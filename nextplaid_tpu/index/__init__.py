@@ -1,0 +1,14 @@
+"""Index layer: build, device container, staged search, update, delete."""
+
+from nextplaid_tpu.index.build import create_index  # noqa: F401
+from nextplaid_tpu.index.config import (  # noqa: F401
+    IndexConfig,
+    Metadata,
+    SearchParameters,
+)
+from nextplaid_tpu.index.container import DeviceIndex  # noqa: F401
+from nextplaid_tpu.index.search import (  # noqa: F401
+    QueryResult,
+    search_batch,
+    search_one,
+)

@@ -1,0 +1,323 @@
+"""Index build pipeline: codec training, chunked encoding, IVF, on-disk write.
+
+Rebuilds the reference's index-creation path
+(/root/reference/next-plaid/src/index.rs:182-971) with the heavy stages on
+device: centroid training (ops.kmeans), code assignment + residual quantization
+(ops.codec) are batched XLA programs; the host orchestrates chunking and writes
+the reference-compatible NPY + JSON directory.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nextplaid_tpu.index.config import IndexConfig, Metadata
+from nextplaid_tpu.ops import codec as codec_ops
+from nextplaid_tpu.ops import kmeans as kmeans_ops
+from nextplaid_tpu.storage.npy import (
+    IndexLayout,
+    atomic_write_json,
+    atomic_write_npy,
+    file_lock,
+)
+
+
+@dataclass
+class CodecArtifacts:
+    """Trained codec parameters (reference `PreparedCodecArtifacts`,
+    index.rs:174-180)."""
+
+    centroids: np.ndarray  # [K, d] f32, L2-normalized
+    bucket_cutoffs: np.ndarray  # [2^nbits - 1]
+    bucket_weights: np.ndarray  # [2^nbits]
+    avg_residual: np.ndarray  # [d] mean |residual| per dim
+    cluster_threshold: float  # 0.75-quantile of heldout residual norms
+    nbits: int
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _assign_codes_padded(emb: np.ndarray, centroids: jax.Array) -> np.ndarray:
+    """Device centroid assignment with row padding to a fixed chunk multiple
+    (keeps one compiled program across chunks)."""
+    n = emb.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int32)
+    chunk = 16384
+    n_pad = _round_up(n, chunk) if n > chunk else n
+    if n_pad != n:
+        emb = np.concatenate([emb, np.zeros((n_pad - n, emb.shape[1]), emb.dtype)])
+    codes = codec_ops.assign_codes(
+        jnp.asarray(emb), centroids, chunk_rows=chunk if n_pad > chunk else 0
+    )
+    return np.asarray(codes[:n])
+
+
+def prepare_codec_artifacts(
+    documents_embeddings: Sequence[np.ndarray],
+    centroids: np.ndarray,
+    config: IndexConfig,
+) -> CodecArtifacts:
+    """Train bucket cutoffs/weights on a held-out sample.
+
+    Reference `prepare_codec_artifacts` (index.rs:182-287): sample up to
+    16*sqrt(120*N) docs, hold out 5% of tokens capped at 50K, assign to
+    centroids, and derive quantile buckets + the 0.75-quantile cluster
+    threshold from the residuals.
+    """
+    num_documents = len(documents_embeddings)
+    if num_documents == 0:
+        raise ValueError("No documents provided")
+    dim = centroids.shape[1]
+    total_embeddings = sum(int(d.shape[0]) for d in documents_embeddings)
+
+    sample_count = max(
+        1, min(int(16.0 * math.sqrt(120.0 * num_documents)), num_documents)
+    )
+    rng = np.random.default_rng(config.seed if config.seed is not None else None)
+    indices = rng.permutation(num_documents)[:sample_count]
+
+    heldout_size = int(min(0.05 * total_embeddings, 50_000.0))
+    collected: List[np.ndarray] = []
+    count = 0
+    for idx in indices[::-1]:
+        if count >= heldout_size:
+            break
+        emb = np.asarray(documents_embeddings[idx], np.float32)
+        take = min(heldout_size - count, emb.shape[0])
+        collected.append(emb[:take])
+        count += take
+    heldout = (
+        np.concatenate(collected)
+        if collected
+        else np.zeros((0, dim), np.float32)
+    )
+    if heldout.shape[0] == 0:
+        heldout = np.asarray(documents_embeddings[0], np.float32)
+
+    cents_dev = jnp.asarray(centroids, jnp.float32)
+    codes = _assign_codes_padded(heldout, cents_dev)
+    residuals = heldout - centroids[codes]
+
+    norms = np.linalg.norm(residuals, axis=1)
+    cluster_threshold = float(np.quantile(norms, 0.75)) if norms.size else 0.0
+    avg_residual = np.mean(np.abs(residuals), axis=0).astype(np.float32)
+
+    cutoffs, weights = codec_ops.train_codec_buckets(residuals, config.nbits)
+
+    return CodecArtifacts(
+        centroids=np.asarray(centroids, np.float32),
+        bucket_cutoffs=cutoffs,
+        bucket_weights=weights,
+        avg_residual=avg_residual,
+        cluster_threshold=cluster_threshold,
+        nbits=config.nbits,
+    )
+
+
+@dataclass
+class EncodedChunk:
+    """One encoded chunk (reference `EncodedIndexChunk`, index.rs:167-172)."""
+
+    codes: np.ndarray  # [n] i64
+    residuals: np.ndarray  # [n, packed_dim] u8
+    doclens: List[int]
+
+
+def encode_chunk(
+    documents_embeddings: Sequence[np.ndarray],
+    artifacts: CodecArtifacts,
+) -> EncodedChunk:
+    """Assign + quantize one batch of documents on device
+    (reference `encode_index_chunk`, index.rs:289-371)."""
+    doclens = [int(np.asarray(d).shape[0]) for d in documents_embeddings]
+    dim = artifacts.centroids.shape[1]
+    if sum(doclens) == 0:
+        return EncodedChunk(
+            codes=np.zeros(0, np.int64),
+            residuals=np.zeros((0, dim * artifacts.nbits // 8), np.uint8),
+            doclens=doclens,
+        )
+    batch = np.concatenate(
+        [np.asarray(d, np.float32).reshape(-1, dim) for d in documents_embeddings]
+    )
+    cents_dev = jnp.asarray(artifacts.centroids, jnp.float32)
+    codes = _assign_codes_padded(batch, cents_dev)
+    residuals_dev = codec_ops.compute_residuals(
+        jnp.asarray(batch), cents_dev, jnp.asarray(codes)
+    )
+    packed = codec_ops.quantize_residuals(
+        residuals_dev, jnp.asarray(artifacts.bucket_cutoffs), artifacts.nbits
+    )
+    return EncodedChunk(
+        codes=codes.astype(np.int64),
+        residuals=np.asarray(packed),
+        doclens=doclens,
+    )
+
+
+def build_ivf(
+    codes: np.ndarray, doclens: np.ndarray, num_centroids: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Build doc-deduplicated posting lists (reference index.rs:479-499).
+
+    Returns (ivf_doc_ids [nnz] i64 sorted within each centroid, ivf_lengths [K] i32).
+    """
+    ndocs = len(doclens)
+    doc_ids = np.repeat(
+        np.arange(ndocs, dtype=np.int64), np.asarray(doclens, np.int64)
+    )
+    codes = np.asarray(codes, np.int64)
+    if codes.size == 0:
+        return np.zeros(0, np.int64), np.zeros(num_centroids, np.int32)
+    order = np.lexsort((doc_ids, codes))
+    sc, sd = codes[order], doc_ids[order]
+    keep = np.ones(sc.shape[0], dtype=bool)
+    keep[1:] = (sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1])
+    uc, ud = sc[keep], sd[keep]
+    ivf_lengths = np.bincount(uc, minlength=num_centroids).astype(np.int32)
+    return ud, ivf_lengths
+
+
+def write_index(
+    chunks: Sequence[EncodedChunk],
+    artifacts: CodecArtifacts,
+    index_path: str,
+    config: IndexConfig,
+) -> Metadata:
+    """Write all index files (reference `write_index_from_encoded_chunks`,
+    index.rs:373-528). All writes are atomic tmp+rename."""
+    layout = IndexLayout(index_path)
+    layout.root.mkdir(parents=True, exist_ok=True)
+
+    dim = artifacts.centroids.shape[1]
+    num_centroids = artifacts.centroids.shape[0]
+    total_embeddings = sum(len(c.codes) for c in chunks)
+    num_documents = sum(len(c.doclens) for c in chunks)
+    avg_doclen = total_embeddings / num_documents if num_documents else 0.0
+
+    atomic_write_npy(layout.centroids, artifacts.centroids)
+    atomic_write_npy(layout.bucket_cutoffs, artifacts.bucket_cutoffs)
+    atomic_write_npy(layout.bucket_weights, artifacts.bucket_weights)
+    atomic_write_npy(layout.avg_residual, artifacts.avg_residual)
+    atomic_write_npy(
+        layout.cluster_threshold,
+        np.asarray([artifacts.cluster_threshold], np.float32),
+    )
+    atomic_write_json(
+        layout.plan, {"nbits": config.nbits, "num_chunks": len(chunks)}
+    )
+
+    all_codes: List[np.ndarray] = []
+    all_doclens: List[int] = []
+    offset = 0
+    for i, chunk in enumerate(chunks):
+        atomic_write_json(
+            layout.chunk_metadata(i),
+            {
+                "num_documents": len(chunk.doclens),
+                "num_embeddings": len(chunk.codes),
+                "embedding_offset": offset,
+            },
+        )
+        offset += len(chunk.codes)
+        atomic_write_json(layout.chunk_doclens(i), chunk.doclens, indent=0)
+        atomic_write_npy(layout.chunk_codes(i), chunk.codes.astype(np.int64))
+        atomic_write_npy(layout.chunk_residuals(i), chunk.residuals)
+        all_codes.append(chunk.codes)
+        all_doclens.extend(chunk.doclens)
+
+    codes = (
+        np.concatenate(all_codes) if all_codes else np.zeros(0, np.int64)
+    )
+    ivf_data, ivf_lengths = build_ivf(
+        codes, np.asarray(all_doclens, np.int64), num_centroids
+    )
+    atomic_write_npy(layout.ivf, ivf_data.astype(np.int64))
+    atomic_write_npy(layout.ivf_lengths, ivf_lengths.astype(np.int32))
+
+    meta = Metadata(
+        num_chunks=len(chunks),
+        nbits=config.nbits,
+        num_partitions=num_centroids,
+        num_embeddings=total_embeddings,
+        avg_doclen=avg_doclen,
+        num_documents=num_documents,
+        embedding_dim=dim,
+        next_plaid_compatible=True,
+    )
+    atomic_write_json(layout.metadata, meta.to_dict())
+    return meta
+
+
+def save_raw_embeddings(
+    documents_embeddings: Sequence[np.ndarray], index_path: str
+) -> None:
+    """Persist raw embeddings for start-from-scratch rebuilds
+    (reference update.rs:265-365)."""
+    layout = IndexLayout(index_path)
+    dim = (
+        int(np.asarray(documents_embeddings[0]).shape[1])
+        if documents_embeddings
+        else 0
+    )
+    flat = (
+        np.concatenate(
+            [np.asarray(d, np.float32).reshape(-1, dim) for d in documents_embeddings]
+        )
+        if documents_embeddings
+        else np.zeros((0, dim), np.float32)
+    )
+    atomic_write_npy(layout.embeddings, flat)
+    atomic_write_json(
+        layout.embeddings_doclens,
+        [int(np.asarray(d).shape[0]) for d in documents_embeddings],
+        indent=0,
+    )
+
+
+def create_index(
+    documents_embeddings: Sequence[np.ndarray],
+    index_path: str,
+    config: Optional[IndexConfig] = None,
+    centroids: Optional[np.ndarray] = None,
+) -> Metadata:
+    """End-to-end index creation (reference `create_index_with_kmeans_files`,
+    index.rs:927-971): k-means -> codec training -> chunked encode -> write.
+    """
+    config = config or IndexConfig()
+    docs = [np.asarray(d, np.float32) for d in documents_embeddings]
+    if not docs:
+        raise ValueError("No documents provided")
+
+    with file_lock(IndexLayout(index_path).lock):
+        if centroids is None:
+            centroids = kmeans_ops.compute_kmeans(
+                docs,
+                kmeans_ops.KMeansConfig(
+                    kmeans_niters=config.kmeans_niters,
+                    max_points_per_centroid=config.max_points_per_centroid,
+                    n_samples_kmeans=config.n_samples_kmeans,
+                    seed=config.seed if config.seed is not None else 42,
+                ),
+            )
+        artifacts = prepare_codec_artifacts(docs, centroids, config)
+
+        chunks: List[EncodedChunk] = []
+        for start in range(0, len(docs), config.batch_size):
+            chunks.append(
+                encode_chunk(docs[start : start + config.batch_size], artifacts)
+            )
+        meta = write_index(chunks, artifacts, index_path, config)
+
+        if len(docs) <= config.start_from_scratch:
+            save_raw_embeddings(docs, index_path)
+    return meta

@@ -1,0 +1,99 @@
+"""Index and search configuration.
+
+Mirrors the reference's `IndexConfig` (/root/reference/next-plaid/src/index.rs:43-102)
+and `SearchParameters` (/root/reference/next-plaid/src/search.rs:28-69) so defaults
+and serialized forms line up, plus TPU-specific padding knobs that bound the
+fixed-shape buffers of the staged search pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+
+def default_start_from_scratch() -> int:
+    """Env-overridable start-from-scratch doc threshold (lib.rs:47-64)."""
+    v = os.environ.get("INDEX_DEFAULT_START_FROM_SCRATCH")
+    if v is not None:
+        try:
+            return int(v)
+        except ValueError:
+            pass
+    return 999
+
+
+@dataclass
+class IndexConfig:
+    """Index build configuration (index.rs:43-102 defaults)."""
+
+    nbits: int = 4
+    batch_size: int = 50_000
+    seed: Optional[int] = 42
+    kmeans_niters: int = 4
+    max_points_per_centroid: int = 256
+    n_samples_kmeans: Optional[int] = None
+    start_from_scratch: int = field(default_factory=default_start_from_scratch)
+    force_cpu: bool = False
+    fts_tokenizer: str = "unicode61"
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "IndexConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+@dataclass
+class SearchParameters:
+    """Staged-search operating point (search.rs:28-69 defaults)."""
+
+    batch_size: int = 2000
+    n_full_scores: int = 4096
+    top_k: int = 10
+    n_ivf_probe: int = 8
+    centroid_batch_size: int = 100_000
+    centroid_score_threshold: Optional[float] = 0.4
+
+    # --- TPU-specific fixed-shape bounds (no reference equivalent; the CPU
+    # engine uses dynamic Vecs). Candidate buffers are padded to these sizes;
+    # overflow is logged, never silent (SURVEY.md §7 "no silent caps").
+    max_candidates: int = 0  # 0 = derived from index stats at pipeline build
+    max_query_tokens: int = 64
+    # Stage-1 matmul precision: "highest" (f32, reference parity) or
+    # "default" (TPU bf16 passes; faster candidate generation).
+    stage1_precision: str = "highest"
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "SearchParameters":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+
+@dataclass
+class Metadata:
+    """Index metadata.json schema (index.rs:105-127)."""
+
+    num_chunks: int
+    nbits: int
+    num_partitions: int
+    num_embeddings: int
+    avg_doclen: float
+    num_documents: int = 0
+    embedding_dim: int = 0
+    next_plaid_compatible: bool = True
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Metadata":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})

@@ -1,0 +1,199 @@
+"""DeviceIndex: the PLAID index as device-resident arrays.
+
+TPU-native replacement for the reference's `MmapIndex`
+(/root/reference/next-plaid/src/index.rs:995-1179): instead of memory-mapped NPY
+files paged by the OS, all hot tables live in HBM as fixed-shape arrays —
+
+  centroids      [K, d]            f32   (replicated across devices)
+  codes          [Nvec_pad]        i32   (token -> centroid id)
+  residuals      [Nvec_pad, pd]    u8    (packed 2/4-bit residuals)
+  doc_offsets    [ndocs + 1]       i32   (CSR over the token table)
+  doclens        [ndocs]           i32
+  ivf_offsets    [K + 1]           i32   (CSR over posting lists)
+  ivf_doc_ids    [nnz_pad]         i32
+
+The on-disk representation stays byte-compatible with the reference's chunked
+NPY + JSON directory (index.rs:373-528) so indexes are interchangeable and the
+reference's eval harnesses can be reused.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nextplaid_tpu.index.config import IndexConfig, Metadata
+from nextplaid_tpu.storage.npy import IndexLayout, load_json, load_npy
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class DeviceIndex:
+    """PLAID index resident on device. A pytree: jittable as an argument."""
+
+    centroids: jax.Array  # [K, d] f32
+    codes: jax.Array  # [Nvec_pad] i32
+    residuals: jax.Array  # [Nvec_pad, packed_dim] u8
+    doc_offsets: jax.Array  # [ndocs_pad + 1] i32
+    doclens: jax.Array  # [ndocs_pad] i32 (0 beyond num_documents)
+    ivf_offsets: jax.Array  # [K + 1] i32
+    ivf_doc_ids: jax.Array  # [nnz_pad] i32
+    bucket_cutoffs: jax.Array  # [2^nbits - 1] f32
+    bucket_weights: jax.Array  # [2^nbits] f32
+    avg_residual: jax.Array  # [d] f32
+    # --- static metadata (aux fields: not traced) ---
+    nbits: int = dataclasses.field(metadata=dict(static=True), default=4)
+    num_documents: int = dataclasses.field(metadata=dict(static=True), default=0)
+    num_embeddings: int = dataclasses.field(metadata=dict(static=True), default=0)
+    max_doclen: int = dataclasses.field(metadata=dict(static=True), default=0)
+    max_posting_len: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def num_centroids(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.centroids.shape[1]
+
+    @property
+    def num_docs_padded(self) -> int:
+        return self.doclens.shape[0]
+
+    # ------------------------------------------------------------------
+    # Construction from host arrays
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_host(
+        cls,
+        centroids: np.ndarray,
+        codes: np.ndarray,
+        residuals: np.ndarray,
+        doclens: np.ndarray,
+        ivf_lengths: np.ndarray,
+        ivf_doc_ids: np.ndarray,
+        bucket_cutoffs: np.ndarray,
+        bucket_weights: np.ndarray,
+        avg_residual: np.ndarray,
+        nbits: int,
+        pad_docs: int = 8,
+        pad_tokens: int = 128,
+    ) -> "DeviceIndex":
+        ndocs = int(doclens.shape[0])
+        nvec = int(codes.shape[0])
+        k, d = centroids.shape
+        packed_dim = d * nbits // 8
+        assert residuals.shape == (nvec, packed_dim), (
+            residuals.shape,
+            (nvec, packed_dim),
+        )
+
+        # +1 so `num_documents` itself is a usable in-bounds sentinel slot
+        # (doclen 0) for padded candidate buffers.
+        ndocs_pad = max(_round_up(ndocs + 1, pad_docs), pad_docs)
+        nvec_pad = max(_round_up(nvec, pad_tokens), pad_tokens)
+        nnz = int(ivf_doc_ids.shape[0])
+        nnz_pad = max(_round_up(nnz, pad_tokens), pad_tokens)
+
+        doclens_p = np.zeros(ndocs_pad, np.int32)
+        doclens_p[:ndocs] = doclens
+        doc_offsets = np.zeros(ndocs_pad + 1, np.int32)
+        np.cumsum(doclens_p, out=doc_offsets[1:])
+
+        codes_p = np.zeros(nvec_pad, np.int32)
+        codes_p[:nvec] = codes
+        residuals_p = np.zeros((nvec_pad, packed_dim), np.uint8)
+        residuals_p[:nvec] = residuals
+
+        ivf_offsets = np.zeros(k + 1, np.int32)
+        np.cumsum(np.asarray(ivf_lengths, np.int64), out=ivf_offsets[1:])
+        ivf_p = np.full(nnz_pad, ndocs, np.int32)  # sentinel = ndocs (invalid doc)
+        ivf_p[:nnz] = ivf_doc_ids
+
+        max_posting = int(np.max(ivf_lengths)) if len(ivf_lengths) else 0
+        max_doclen = int(np.max(doclens)) if ndocs else 0
+
+        return cls(
+            centroids=jnp.asarray(centroids, jnp.float32),
+            codes=jnp.asarray(codes_p),
+            residuals=jnp.asarray(residuals_p),
+            doc_offsets=jnp.asarray(doc_offsets),
+            doclens=jnp.asarray(doclens_p),
+            ivf_offsets=jnp.asarray(ivf_offsets),
+            ivf_doc_ids=jnp.asarray(ivf_p),
+            bucket_cutoffs=jnp.asarray(bucket_cutoffs, jnp.float32),
+            bucket_weights=jnp.asarray(bucket_weights, jnp.float32),
+            avg_residual=jnp.asarray(avg_residual, jnp.float32),
+            nbits=nbits,
+            num_documents=ndocs,
+            num_embeddings=nvec,
+            max_doclen=max_doclen,
+            max_posting_len=max_posting,
+        )
+
+    # ------------------------------------------------------------------
+    # Load from the reference-compatible on-disk format
+    # ------------------------------------------------------------------
+    @classmethod
+    def load(cls, index_path: str) -> "DeviceIndex":
+        """Load an index directory (reference `MmapIndex::load`, index.rs:1026).
+
+        Reads chunked codes/residuals/doclens, concatenates, and stages into
+        device arrays. Also accepts fast-plaid-written f16 centroids.
+        """
+        layout = IndexLayout(index_path)
+        meta = Metadata.from_dict(load_json(layout.metadata))
+
+        centroids = np.asarray(load_npy(layout.centroids), np.float32)
+        cutoffs = np.asarray(load_npy(layout.bucket_cutoffs), np.float32)
+        weights = np.asarray(load_npy(layout.bucket_weights), np.float32)
+        avg_residual = np.asarray(load_npy(layout.avg_residual), np.float32)
+
+        codes_list: List[np.ndarray] = []
+        res_list: List[np.ndarray] = []
+        doclens_list: List[np.ndarray] = []
+        for i in range(meta.num_chunks):
+            codes_list.append(np.asarray(load_npy(layout.chunk_codes(i))))
+            res_list.append(np.asarray(load_npy(layout.chunk_residuals(i))))
+            doclens_list.append(
+                np.asarray(load_json(layout.chunk_doclens(i)), np.int64)
+            )
+        codes = (
+            np.concatenate(codes_list) if codes_list else np.zeros(0, np.int64)
+        ).astype(np.int32)
+        packed_dim = centroids.shape[1] * meta.nbits // 8
+        residuals = (
+            np.concatenate(res_list)
+            if res_list
+            else np.zeros((0, packed_dim), np.uint8)
+        )
+        doclens = (
+            np.concatenate(doclens_list) if doclens_list else np.zeros(0, np.int64)
+        ).astype(np.int32)
+
+        ivf = np.asarray(load_npy(layout.ivf), np.int32)
+        ivf_lengths = np.asarray(load_npy(layout.ivf_lengths), np.int64)
+
+        return cls.from_host(
+            centroids=centroids,
+            codes=codes,
+            residuals=residuals,
+            doclens=doclens,
+            ivf_lengths=ivf_lengths,
+            ivf_doc_ids=ivf,
+            bucket_cutoffs=cutoffs,
+            bucket_weights=weights,
+            avg_residual=avg_residual,
+            nbits=meta.nbits,
+        )

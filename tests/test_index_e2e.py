@@ -1,0 +1,144 @@
+"""End-to-end index build + staged search tests, validated against a brute-force
+NumPy oracle (seeded deterministic embeddings, mirroring the reference's
+integration tests, e.g. filtering_integration.rs:15-30)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nextplaid_tpu.index import (
+    DeviceIndex,
+    IndexConfig,
+    SearchParameters,
+    create_index,
+    search_batch,
+)
+from nextplaid_tpu.ops import codec as codec_ops
+
+
+def make_corpus(num_docs=200, dim=32, seed=7, min_len=3, max_len=12):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for _ in range(num_docs):
+        n = int(rng.integers(min_len, max_len + 1))
+        v = rng.standard_normal((n, dim)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        docs.append(v)
+    return docs
+
+
+def make_queries(docs, num_queries=8, seed=11, tokens=4):
+    """Queries built from noisy copies of tokens of a target doc, so the target
+    is the clear nearest neighbour."""
+    rng = np.random.default_rng(seed)
+    queries, targets = [], []
+    for _ in range(num_queries):
+        t = int(rng.integers(0, len(docs)))
+        base = docs[t]
+        idx = rng.integers(0, base.shape[0], size=tokens)
+        q = base[idx] + 0.05 * rng.standard_normal((tokens, base.shape[1]))
+        q = q.astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        queries.append(q)
+        targets.append(t)
+    return queries, targets
+
+
+def brute_force_scores(index: DeviceIndex, query: np.ndarray) -> np.ndarray:
+    """Oracle: exact MaxSim against codec-reconstructed doc embeddings."""
+    codes = np.asarray(index.codes)
+    packed = np.asarray(index.residuals)
+    doclens = np.asarray(index.doclens)
+    offsets = np.asarray(index.doc_offsets)
+    cents = np.asarray(index.centroids)
+    weights = np.asarray(index.bucket_weights)
+    scores = np.zeros(index.num_documents, np.float32)
+    for d in range(index.num_documents):
+        s, e = offsets[d], offsets[d] + doclens[d]
+        emb = np.asarray(
+            codec_ops.decompress_residuals(
+                jnp.asarray(packed[s:e]),
+                jnp.asarray(codes[s:e]),
+                jnp.asarray(cents),
+                jnp.asarray(weights),
+                index.nbits,
+            )
+        )
+        scores[d] = (query @ emb.T).max(axis=1).sum()
+    return scores
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    docs = make_corpus()
+    path = str(tmp_path_factory.mktemp("idx") / "corpus")
+    meta = create_index(docs, path, IndexConfig(nbits=4, seed=42))
+    index = DeviceIndex.load(path)
+    return docs, path, meta, index
+
+
+def test_metadata(built):
+    docs, path, meta, index = built
+    assert meta.num_documents == len(docs)
+    assert meta.num_embeddings == sum(d.shape[0] for d in docs)
+    assert meta.nbits == 4
+    assert index.num_documents == len(docs)
+    assert index.num_centroids == meta.num_partitions
+
+
+def test_exhaustive_search_matches_bruteforce(built):
+    """With probing disabled-in-effect (probe everything, no threshold, full
+    rerank) the staged pipeline must equal the brute-force oracle exactly."""
+    docs, path, meta, index = built
+    queries, _ = make_queries(docs, num_queries=4)
+    params = SearchParameters(
+        n_ivf_probe=index.num_centroids,
+        centroid_score_threshold=None,
+        n_full_scores=4 * len(docs),
+        top_k=10,
+    )
+    results = search_batch(index, queries, params)
+    for q, res in zip(queries, results):
+        oracle = brute_force_scores(index, q)
+        expected = np.argsort(-oracle)[:10]
+        assert res.passage_ids == [int(x) for x in expected]
+        np.testing.assert_allclose(res.scores, oracle[expected], rtol=2e-4, atol=2e-4)
+
+
+def test_default_params_find_targets(built):
+    docs, path, meta, index = built
+    queries, targets = make_queries(docs, num_queries=8)
+    results = search_batch(index, queries, SearchParameters(top_k=10))
+    hits = sum(t in r.passage_ids for t, r in zip(targets, results))
+    assert hits >= 7, f"only {hits}/8 targets found in top-10"
+    # Scores sorted descending.
+    for r in results:
+        assert r.scores == sorted(r.scores, reverse=True)
+
+
+def test_subset_filtering(built):
+    docs, path, meta, index = built
+    queries, targets = make_queries(docs, num_queries=4)
+    subset = sorted(set(range(0, len(docs), 3)) | set(targets))
+    results = search_batch(index, queries, SearchParameters(top_k=5), subset=subset)
+    for t, r in zip(targets, results):
+        assert set(r.passage_ids) <= set(subset)
+        assert t in r.passage_ids
+
+
+def test_empty_subset_returns_nothing(built):
+    docs, path, meta, index = built
+    queries, _ = make_queries(docs, num_queries=2)
+    results = search_batch(index, queries, SearchParameters(top_k=5), subset=[])
+    for r in results:
+        assert r.passage_ids == []
+
+
+def test_single_query_wrapper(built):
+    docs, path, meta, index = built
+    queries, targets = make_queries(docs, num_queries=1)
+    from nextplaid_tpu.index import search_one
+
+    res = search_one(index, queries[0], SearchParameters(top_k=3))
+    assert len(res.passage_ids) == 3

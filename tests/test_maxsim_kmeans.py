@@ -1,0 +1,104 @@
+"""MaxSim + k-means op tests (reference: maxsim.rs:387-508, kmeans.rs:455-556)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nextplaid_tpu.ops import kmeans, maxsim
+
+
+def test_maxsim_score_reference_case():
+    # Reference test_colbert_score (search.rs:685-705).
+    query = jnp.asarray([[1.0, 0, 0, 0], [0, 1.0, 0, 0]], dtype=jnp.float32)
+    doc = jnp.asarray(
+        [[0.5, 0.5, 0, 0], [0.8, 0.2, 0, 0], [0, 0.9, 0.1, 0]], dtype=jnp.float32
+    )
+    score = float(maxsim.maxsim_score(query, doc))
+    assert abs(score - 1.7) < 1e-5
+
+
+def test_maxsim_batch_masking():
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((2, 4, 8)).astype(np.float32)
+    d = rng.standard_normal((3, 5, 8)).astype(np.float32)
+    qmask = np.array([[1, 1, 1, 0], [1, 1, 0, 0]], dtype=bool)
+    dmask = np.array([[1, 1, 1, 1, 0], [1, 1, 0, 0, 0], [1, 1, 1, 1, 1]], dtype=bool)
+
+    got = np.asarray(
+        maxsim.maxsim_batch(
+            jnp.asarray(q), jnp.asarray(d), jnp.asarray(qmask), jnp.asarray(dmask)
+        )
+    )
+    # Brute-force with explicit trimming.
+    for qi in range(2):
+        for di in range(3):
+            qq = q[qi][qmask[qi]]
+            dd = d[di][dmask[di]]
+            expected = (qq @ dd.T).max(axis=1).sum()
+            assert abs(got[qi, di] - expected) < 1e-4
+
+
+def test_maxsim_pairwise_matches_batch():
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((2, 3, 8)).astype(np.float32)
+    docs = rng.standard_normal((2, 4, 6, 8)).astype(np.float32)
+    qmask = np.ones((2, 3), dtype=bool)
+    dmask = rng.random((2, 4, 6)) > 0.3
+
+    got = np.asarray(
+        maxsim.maxsim_pairwise(
+            jnp.asarray(q), jnp.asarray(docs), jnp.asarray(qmask), jnp.asarray(dmask)
+        )
+    )
+    for qi in range(2):
+        per_q = np.asarray(
+            maxsim.maxsim_batch(
+                jnp.asarray(q[qi : qi + 1]),
+                jnp.asarray(docs[qi]),
+                jnp.asarray(qmask[qi : qi + 1]),
+                jnp.asarray(dmask[qi]),
+            )
+        )
+        np.testing.assert_allclose(got[qi], per_q[0], rtol=1e-5)
+
+
+def test_fully_masked_doc_scores_zero():
+    q = jnp.ones((1, 2, 4), dtype=jnp.float32)
+    d = jnp.ones((1, 3, 4), dtype=jnp.float32)
+    qmask = jnp.ones((1, 2), dtype=bool)
+    dmask = jnp.zeros((1, 3), dtype=bool)
+    got = np.asarray(maxsim.maxsim_batch(q, d, qmask, dmask))
+    assert got[0, 0] == 0.0
+
+
+def test_kmeans_heuristics():
+    # K heuristic: 2^floor(log2(16*sqrt(tokens))) — kmeans.rs:304-309.
+    assert kmeans.num_partitions_heuristic(10_000) == 1024
+    assert kmeans.n_samples_heuristic(1000) == min(
+        int(1 + 16 * np.sqrt(120 * 1000)), 1000
+    )
+
+
+def test_kmeans_separates_clusters():
+    rng = np.random.default_rng(42)
+    c0 = rng.normal([5, 0, 0, 0], 0.05, size=(100, 4))
+    c1 = rng.normal([0, 5, 0, 0], 0.05, size=(100, 4))
+    docs = [np.vstack([c0[i], c1[i]]).astype(np.float32) for i in range(100)]
+    cents = kmeans.compute_kmeans(
+        docs, kmeans.KMeansConfig(num_partitions=2, seed=42)
+    )
+    assert cents.shape == (2, 4)
+    # Normalized (kmeans.rs:414-419).
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, rtol=1e-5)
+    # One centroid near each cluster direction.
+    dirs = np.abs(cents)
+    assert {dirs[0].argmax(), dirs[1].argmax()} == {0, 1}
+
+
+def test_lloyd_empty_cluster_keeps_centroid():
+    data = jnp.asarray(np.ones((8, 4), dtype=np.float32))
+    init = jnp.asarray(
+        np.array([[1, 1, 1, 1], [-100, 0, 0, 0]], dtype=np.float32)
+    )
+    out = np.asarray(kmeans.lloyd(data, init, iters=2, assign_chunk=8))
+    # Cluster 1 never gets points; its centroid must stay put.
+    np.testing.assert_allclose(out[1], [-100, 0, 0, 0])
