@@ -1,0 +1,121 @@
+"""Headline benchmark: staged PLAID search throughput at SciFact scale.
+
+Builds a synthetic clustered corpus matching SciFact's shape (5,183 docs,
+~290 tokens/doc -> ~1.5M token vectors, dim 128, nbits=4 — BASELINE.md) on the
+available accelerator, then measures batched search QPS at the reference's
+default operating point (top_k=10, n_ivf_probe=8, n_full_scores=4096,
+centroid_score_threshold=0.4).
+
+Baseline for `vs_baseline`: the reference's published SciFact Docker search
+throughput — 55.3 QPS on CPU (docs/benchmarks/scifact_docker_benchmark.json,
+300 queries in 5.4 s, search-only timing; the closest published search-
+throughput figure). Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
+BASELINE_QPS = 55.3
+
+
+def make_clustered_corpus(
+    num_docs=5183, avg_len=290, dim=128, n_topics=512, seed=0
+):
+    rng = np.random.default_rng(seed)
+    topics = rng.standard_normal((n_topics, dim)).astype(np.float32)
+    topics /= np.linalg.norm(topics, axis=1, keepdims=True)
+    docs = []
+    for _ in range(num_docs):
+        n = int(np.clip(rng.normal(avg_len, 40), 64, 300))
+        t = topics[rng.integers(0, n_topics, size=n)]
+        v = (t + 0.35 * rng.standard_normal((n, dim))).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        docs.append(v)
+    return docs, topics
+
+
+def make_queries(topics, num_queries=320, tokens=32, dim=128, seed=1):
+    rng = np.random.default_rng(seed)
+    queries = []
+    for _ in range(num_queries):
+        t = topics[rng.integers(0, len(topics), size=tokens)]
+        q = (t + 0.3 * rng.standard_normal((tokens, dim))).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        queries.append(q)
+    return queries
+
+
+def main():
+    import tempfile
+
+    from nextplaid_tpu.index import (
+        DeviceIndex,
+        IndexConfig,
+        SearchParameters,
+        create_index,
+        search_batch,
+    )
+
+    docs, topics = make_clustered_corpus()
+    queries = make_queries(topics)
+
+    path = tempfile.mkdtemp(prefix="bench_idx_") + "/scifact_scale"
+    t0 = time.perf_counter()
+    create_index(docs, path, IndexConfig(nbits=4, seed=42))
+    build_s = time.perf_counter() - t0
+    index = DeviceIndex.load(path)
+
+    params = SearchParameters(top_k=10)
+    batch = 32
+
+    # Warmup / compile.
+    search_batch(index, queries[:batch], params)
+
+    t0 = time.perf_counter()
+    n_done = 0
+    for start in range(0, len(queries), batch):
+        res = search_batch(index, queries[start : start + batch], params)
+        n_done += len(res)
+    elapsed = time.perf_counter() - t0
+    qps = n_done / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "scifact_scale_search_qps",
+                "value": round(qps, 2),
+                "unit": "qps",
+                "vs_baseline": round(qps / BASELINE_QPS, 2),
+                "detail": {
+                    "num_docs": index.num_documents,
+                    "num_embeddings": index.num_embeddings,
+                    "num_centroids": index.num_centroids,
+                    "nbits": index.nbits,
+                    "queries": n_done,
+                    "batch": batch,
+                    "index_build_s": round(build_s, 1),
+                    "indexing_docs_per_s": round(index.num_documents / build_s, 1),
+                    "baseline": "reference SciFact Docker CPU search: 55.3 QPS",
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

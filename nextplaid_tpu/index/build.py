@@ -262,7 +262,8 @@ def save_raw_embeddings(
     documents_embeddings: Sequence[np.ndarray], index_path: str
 ) -> None:
     """Persist raw embeddings for start-from-scratch rebuilds
-    (reference update.rs:265-365)."""
+    (reference update.rs:265-365; file names match the reference:
+    embeddings.npy + embeddings_lengths.json)."""
     layout = IndexLayout(index_path)
     dim = (
         int(np.asarray(documents_embeddings[0]).shape[1])
@@ -278,7 +279,7 @@ def save_raw_embeddings(
     )
     atomic_write_npy(layout.embeddings, flat)
     atomic_write_json(
-        layout.embeddings_doclens,
+        layout.embeddings_lengths,
         [int(np.asarray(d).shape[0]) for d in documents_embeddings],
         indent=0,
     )

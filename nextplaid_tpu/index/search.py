@@ -91,17 +91,22 @@ class PipelineShapes:
         )
         cmax = min(cmax, max(index.num_documents, 1))
         cmax = max(_round_up(cmax, 8), 8)
-        n_rerank = max(params.n_full_scores // 4, params.top_k)
+        # Clamp to the corpus: requesting more results than documents exist
+        # returns everything (the reference's dynamic Vecs do this naturally;
+        # fixed shapes must clamp or lax.top_k rejects k > axis size).
+        top_k = min(params.top_k, max(index.num_documents, 1))
+        n_rerank = max(params.n_full_scores // 4, top_k)
         n_rerank = min(n_rerank, cmax)
-        # Chunk sizes targeting ~64MB transient buffers.
-        cand_chunk = max(
-            8, min(cmax, (16 << 20) // max(query_tokens * td * 4, 1))
-        )
-        cand_chunk = min(cand_chunk, 512)
-        rerank_chunk = max(
-            8, min(n_rerank, (16 << 20) // max(td * index.dim * 4, 1))
-        )
-        cell_chunk = max(1, min(ncells, (8 << 20) // max(p_cap * 4, 1)))
+        # Chunk sizes targeting ~256MB transient buffers (HBM-friendly; the
+        # scan loops bound peak memory like the reference's
+        # DECOMPRESS_CHUNK_SIZE, search.rs:24).
+        budget = 256 << 20
+        cand_bytes = max(num_queries * query_tokens * td * 4, 1)
+        cand_chunk = max(8, min(cmax, budget // cand_bytes))
+        rerank_bytes = max(num_queries * td * index.dim * 4 * 2, 1)
+        rerank_chunk = max(4, min(n_rerank, budget // rerank_bytes))
+        cell_bytes = max(num_queries * p_cap * 4, 1)
+        cell_chunk = max(1, min(ncells, (64 << 20) // cell_bytes))
         return cls(
             num_queries=num_queries,
             query_tokens=query_tokens,
@@ -109,7 +114,7 @@ class PipelineShapes:
             posting_cap=p_cap,
             max_candidates=cmax,
             n_rerank=n_rerank,
-            top_k=params.top_k,
+            top_k=top_k,
             doc_token_cap=td,
             threshold=params.centroid_score_threshold,
             cell_chunk=cell_chunk,

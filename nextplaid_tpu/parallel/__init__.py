@@ -1,0 +1,9 @@
+"""Multi-chip parallelism: doc-sharded search + sharded k-means over a mesh."""
+
+from nextplaid_tpu.parallel.mesh import DOC_AXIS, make_mesh  # noqa: F401
+from nextplaid_tpu.parallel.sharded import (  # noqa: F401
+    HostIndexData,
+    ShardedIndex,
+    lloyd_sharded,
+    search_batch_sharded,
+)

@@ -62,19 +62,56 @@ def load_json(path: PathLike) -> Any:
         return json.load(f)
 
 
+import threading
+
+
+class _PathLock:
+    """Per-path lock state: an RLock for intra-process (thread) exclusion plus
+    a refcounted flock fd for cross-process exclusion."""
+
+    __slots__ = ("rlock", "fd", "count")
+
+    def __init__(self) -> None:
+        self.rlock = threading.RLock()
+        self.fd = None
+        self.count = 0
+
+
+_LOCKS: dict = {}
+_LOCKS_GUARD = threading.Lock()
+
+
 @contextlib.contextmanager
 def file_lock(path: PathLike, exclusive: bool = True) -> Iterator[None]:
-    """Advisory cross-process lock (reference `FileLockGuard`, mmap.rs:25-57)."""
+    """Advisory cross-process + cross-thread lock (reference `FileLockGuard`,
+    mmap.rs:25-57, combined with the per-index in-process mutexes of
+    state.rs:15-59).
+
+    Reentrant within a thread: flock() on two separate fds of the same file
+    would self-deadlock (e.g. update()'s start-from-scratch path calling
+    create_index() on the same index), so nested acquisitions share one fd.
+    """
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    f = open(path, "a+")
-    try:
-        fcntl.flock(f.fileno(), fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH)
-        yield
-    finally:
-        with contextlib.suppress(OSError):
-            fcntl.flock(f.fileno(), fcntl.LOCK_UN)
-        f.close()
+    key = str(path.resolve())
+    with _LOCKS_GUARD:
+        state = _LOCKS.setdefault(key, _PathLock())
+
+    with state.rlock:  # blocks other threads; reentrant for this thread
+        if state.count == 0:
+            f = open(path, "a+")
+            fcntl.flock(f.fileno(), fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH)
+            state.fd = f
+        state.count += 1
+        try:
+            yield
+        finally:
+            state.count -= 1
+            if state.count == 0 and state.fd is not None:
+                with contextlib.suppress(OSError):
+                    fcntl.flock(state.fd.fileno(), fcntl.LOCK_UN)
+                state.fd.close()
+                state.fd = None
 
 
 # ---------------------------------------------------------------------------
@@ -138,16 +175,16 @@ class IndexLayout:
         return self.root / "buffer.npy"
 
     @property
-    def buffer_doclens(self) -> Path:
-        return self.root / "buffer_doclens.json"
+    def buffer_lengths(self) -> Path:
+        return self.root / "buffer_lengths.json"
 
     @property
     def embeddings(self) -> Path:
         return self.root / "embeddings.npy"
 
     @property
-    def embeddings_doclens(self) -> Path:
-        return self.root / "embeddings_doclens.json"
+    def embeddings_lengths(self) -> Path:
+        return self.root / "embeddings_lengths.json"
 
     @property
     def lock(self) -> Path:

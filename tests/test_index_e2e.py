@@ -142,3 +142,32 @@ def test_single_query_wrapper(built):
 
     res = search_one(index, queries[0], SearchParameters(top_k=3))
     assert len(res.passage_ids) == 3
+
+
+def test_top_k_larger_than_corpus(built):
+    """top_k > num_documents must clamp, not crash (lax.top_k k<=axis)."""
+    from nextplaid_tpu.index import DeviceIndex, SearchParameters, search_batch
+
+    docs, path, meta, index = built
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((4, index.dim)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    res = search_batch(index, [q], SearchParameters(top_k=10_000))
+    assert len(res[0].passage_ids) <= index.num_documents
+    assert len(res[0].passage_ids) > 0
+
+
+def test_reconstruct_embeddings(built):
+    """Reconstruction approximates the original vectors (embeddings.rs:56)."""
+    from nextplaid_tpu.index.embeddings import reconstruct_embeddings
+
+    docs, path, meta, index = built
+    recon = reconstruct_embeddings(index, [0, 3])
+    assert recon[0].shape == docs[0].shape
+    assert recon[1].shape == docs[3].shape
+    # 4-bit residual coding keeps cosine similarity high.
+    for orig, rec in [(docs[0], recon[0]), (docs[3], recon[1])]:
+        cos = (orig * rec).sum(axis=1)
+        assert cos.mean() > 0.95, cos.mean()
+    with pytest.raises(Exception):
+        reconstruct_embeddings(index, [10**9])
