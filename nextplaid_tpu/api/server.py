@@ -1,0 +1,845 @@
+"""REST API server (aiohttp): same endpoint surface as the reference
+(/root/reference/next-plaid-api/src/main.rs:5-32, handlers/*).
+
+Endpoints:
+  GET  /health, /
+  GET  /indices                         list index names
+  POST /indices                         create index (writes config.json)
+  GET  /indices/{name}                  index info
+  DELETE /indices/{name}                delete index
+  POST /indices/{name}/documents        add documents (async batched)
+  DELETE /indices/{name}/documents      delete by filter condition
+  POST /indices/{name}/update           synchronous add (returns when indexed)
+  POST /indices/{name}/update_with_encoding
+  PUT  /indices/{name}/config
+  POST /indices/{name}/search           semantic / keyword / hybrid
+  POST /indices/{name}/search/filtered
+  POST /indices/{name}/search_with_encoding
+  POST /indices/{name}/search/filtered_with_encoding
+  GET  /indices/{name}/metadata         all metadata rows
+  GET  /indices/{name}/metadata/count
+  POST /indices/{name}/metadata/check
+  POST /indices/{name}/metadata/query
+  POST /indices/{name}/metadata/get
+  POST /indices/{name}/metadata/update
+  POST /encode
+  POST /rerank
+  POST /rerank_with_encoding
+
+Request correlation: an `X-Request-ID` header is honored or generated and
+echoed back (reference tracing_middleware.rs:60-90).
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import os
+import time
+import uuid
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+from aiohttp import web
+from pydantic import ValidationError
+
+from nextplaid_tpu import __version__, filtering
+from nextplaid_tpu.api import models as dto
+from nextplaid_tpu.api.state import AppState
+from nextplaid_tpu.filtering import text_search
+from nextplaid_tpu.index import SearchParameters, search_batch
+from nextplaid_tpu.index.config import Metadata
+from nextplaid_tpu.ops.maxsim import maxsim_score
+from nextplaid_tpu.storage.npy import IndexLayout, load_json
+from nextplaid_tpu.utils.errors import FilteringError, NextPlaidError
+
+MAX_BODY_BYTES = 100 * 1024 * 1024
+DEFAULT_ALPHA = 0.75
+MAX_BATCH_TEXTS = int(os.environ.get("MAX_BATCH_TEXTS", "64"))
+
+
+def _json_error(status: int, message: str) -> web.Response:
+    return web.json_response({"error": message}, status=status)
+
+
+def _state(request: web.Request) -> AppState:
+    return request.app["state"]
+
+
+async def _parse(request: web.Request, model):
+    try:
+        body = await request.json()
+    except Exception:
+        raise web.HTTPBadRequest(text='{"error": "invalid JSON body"}',
+                                 content_type="application/json")
+    try:
+        return model(**body)
+    except ValidationError as e:
+        import json as _json
+
+        raise web.HTTPUnprocessableEntity(
+            text=_json.dumps({"error": str(e)}),
+            content_type="application/json",
+        )
+
+
+@web.middleware
+async def trace_middleware(request: web.Request, handler):
+    trace_id = request.headers.get("X-Request-ID") or str(uuid.uuid4())
+    try:
+        resp = await handler(request)
+    except web.HTTPException as e:
+        e.headers["X-Request-ID"] = trace_id
+        raise
+    except FilteringError as e:
+        resp = _json_error(400, str(e))
+    except (KeyError, FileNotFoundError) as e:
+        resp = _json_error(404, f"Index not found: {e}")
+    except NextPlaidError as e:
+        resp = _json_error(400, str(e))
+    except Exception as e:  # pragma: no cover - last resort
+        resp = _json_error(500, f"internal error: {e}")
+    resp.headers["X-Request-ID"] = trace_id
+    return resp
+
+
+# ---------------------------------------------------------------------------
+# Health / index management
+# ---------------------------------------------------------------------------
+
+
+async def health(request: web.Request) -> web.Response:
+    state = _state(request)
+    indices = state.list_indices()
+    summaries = []
+    for name in indices:
+        layout = IndexLayout(state.index_path(name))
+        try:
+            meta = load_json(layout.metadata)
+            summaries.append(
+                {
+                    "name": name,
+                    "num_documents": meta.get("num_documents", 0),
+                    "num_embeddings": meta.get("num_embeddings", 0),
+                    "num_partitions": meta.get("num_partitions", 0),
+                }
+            )
+        except Exception:
+            continue
+    model_info = None
+    if state.encoder is not None:
+        cfg = state.encoder.config
+        model_info = {
+            "name": cfg.model_name,
+            "path": "",
+            "quantized": False,
+            "embedding_dim": cfg.embedding_dim,
+            "batch_size": state.encoder.batch_size,
+            "num_sessions": 1,
+            "query_prefix": cfg.query_prefix,
+            "document_prefix": cfg.document_prefix,
+            "query_length": cfg.query_length,
+            "document_length": cfg.document_length,
+            "do_query_expansion": cfg.do_query_expansion,
+            "uses_token_type_ids": cfg.uses_token_type_ids,
+            "mask_token_id": cfg.mask_token_id,
+            "pad_token_id": cfg.pad_token_id,
+        }
+    try:
+        import resource
+
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+    except Exception:
+        rss = 0
+    return web.json_response(
+        {
+            "status": "ok",
+            "version": __version__,
+            "loaded_indices": len(indices),
+            "index_dir": str(state.index_dir),
+            "memory_usage_bytes": rss,
+            "indices": summaries,
+            "updates": [p.to_dict() for p in state.progress.values()],
+            "model": model_info,
+        }
+    )
+
+
+async def list_indices(request: web.Request) -> web.Response:
+    return web.json_response(_state(request).list_indices())
+
+
+async def get_index_info(request: web.Request) -> web.Response:
+    state = _state(request)
+    name = request.match_info["name"]
+    layout = IndexLayout(state.index_path(name))
+    if not layout.exists():
+        if (state.index_path(name) / "config.json").exists():
+            # Created but no documents indexed yet.
+            cfg = state.get_config(name)
+            return web.json_response(
+                {
+                    "name": name,
+                    "num_documents": 0,
+                    "num_embeddings": 0,
+                    "num_partitions": 0,
+                    "avg_doclen": 0.0,
+                    "dimension": 0,
+                    "has_metadata": False,
+                    "metadata_count": None,
+                    "max_documents": cfg.max_documents,
+                }
+            )
+        return _json_error(404, f"Index '{name}' not found")
+    meta = Metadata.from_dict(load_json(layout.metadata))
+    cfg = state.get_config(name)
+    has_meta = filtering.exists(str(state.index_path(name)))
+    return web.json_response(
+        {
+            "name": name,
+            "num_documents": meta.num_documents,
+            "num_embeddings": meta.num_embeddings,
+            "num_partitions": meta.num_partitions,
+            "avg_doclen": meta.avg_doclen,
+            "dimension": meta.embedding_dim,
+            "has_metadata": has_meta,
+            "metadata_count": filtering.count(str(state.index_path(name)))
+            if has_meta
+            else None,
+            "max_documents": cfg.max_documents,
+        }
+    )
+
+
+async def create_index(request: web.Request) -> web.Response:
+    state = _state(request)
+    req = await _parse(request, dto.CreateIndexRequest)
+    path = state.index_path(req.name)
+    if path.exists():
+        return _json_error(409, f"Index '{req.name}' already exists")
+    path.mkdir(parents=True)
+    stored = dto.IndexConfigStored(
+        **{
+            k: v
+            for k, v in req.config.model_dump().items()
+            if v is not None
+        }
+    )
+    state.save_config(req.name, stored)
+    return web.json_response(
+        {
+            "name": req.name,
+            "config": stored.model_dump(),
+            "message": f"Index '{req.name}' created (awaiting documents)",
+        },
+        status=201,
+    )
+
+
+async def delete_index(request: web.Request) -> web.Response:
+    state = _state(request)
+    name = request.match_info["name"]
+    deleted = await state.delete_index(name)
+    if not deleted:
+        return _json_error(404, f"Index '{name}' not found")
+    return web.json_response({"deleted": True, "name": name})
+
+
+async def update_index_config(request: web.Request) -> web.Response:
+    state = _state(request)
+    name = request.match_info["name"]
+    if not state.index_path(name).exists():
+        return _json_error(404, f"Index '{name}' not found")
+    req = await _parse(request, dto.UpdateIndexConfigRequest)
+    cfg = state.get_config(name)
+    cfg = cfg.model_copy(update={"max_documents": req.max_documents})
+    state.save_config(name, cfg)
+    return web.json_response(
+        {
+            "name": name,
+            "config": cfg.model_dump(),
+            "message": "Configuration updated",
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Documents
+# ---------------------------------------------------------------------------
+
+
+def _doc_arrays(documents: List[dto.DocumentEmbeddings]) -> List[np.ndarray]:
+    return [d.to_array() for d in documents]
+
+
+async def add_documents(request: web.Request) -> web.Response:
+    """Async batched add: enqueues and waits for the batch to be indexed."""
+    state = _state(request)
+    name = request.match_info["name"]
+    req = await _parse(request, dto.AddDocumentsRequest)
+    if req.metadata and len(req.metadata) != len(req.documents):
+        return _json_error(
+            400, "metadata length must match documents length"
+        )
+    embeddings = _doc_arrays(req.documents)
+    fut = await state.enqueue_add(name, embeddings, req.metadata or None)
+    doc_ids = await fut
+    layout = IndexLayout(state.index_path(name))
+    meta = load_json(layout.metadata)
+    return web.json_response(
+        {
+            "documents_added": len(embeddings),
+            "total_documents": meta.get("num_documents", 0),
+            "start_id": doc_ids[0] if doc_ids else 0,
+        },
+        status=202,
+    )
+
+
+async def update_index(request: web.Request) -> web.Response:
+    """Synchronous add (reference /update): returns when fully indexed."""
+    state = _state(request)
+    name = request.match_info["name"]
+    req = await _parse(request, dto.UpdateIndexRequest)
+    if req.metadata and len(req.metadata) != len(req.documents):
+        return _json_error(400, "metadata length must match documents length")
+    embeddings = _doc_arrays(req.documents)
+    created = not state.index_exists(name)
+    fut = await state.enqueue_add(name, embeddings, req.metadata or None)
+    await fut
+    meta = load_json(IndexLayout(state.index_path(name)).metadata)
+    return web.json_response(
+        {
+            "name": name,
+            "created": created,
+            "documents_added": len(embeddings),
+            "total_documents": meta.get("num_documents", 0),
+            "num_embeddings": meta.get("num_embeddings", 0),
+            "num_partitions": meta.get("num_partitions", 0),
+            "dimension": meta.get("embedding_dim", 0),
+        }
+    )
+
+
+async def update_index_with_encoding(request: web.Request) -> web.Response:
+    state = _state(request)
+    name = request.match_info["name"]
+    if state.encoder is None:
+        return _json_error(503, "No encoder model loaded")
+    req = await _parse(request, dto.UpdateWithEncodingRequest)
+    if req.metadata and len(req.metadata) != len(req.documents):
+        return _json_error(400, "metadata length must match documents length")
+    loop = asyncio.get_running_loop()
+    embeddings = await loop.run_in_executor(
+        None,
+        lambda: state.encoder.encode_documents(
+            req.documents, pool_factor=req.pool_factor or 1
+        ),
+    )
+    created = not state.index_exists(name)
+    fut = await state.enqueue_add(name, embeddings, req.metadata or None)
+    await fut
+    meta = load_json(IndexLayout(state.index_path(name)).metadata)
+    return web.json_response(
+        {
+            "name": name,
+            "created": created,
+            "documents_added": len(embeddings),
+            "total_documents": meta.get("num_documents", 0),
+            "num_embeddings": meta.get("num_embeddings", 0),
+            "num_partitions": meta.get("num_partitions", 0),
+            "dimension": meta.get("embedding_dim", 0),
+        }
+    )
+
+
+async def delete_documents(request: web.Request) -> web.Response:
+    """Delete by metadata filter condition (reference documents.rs:1352)."""
+    state = _state(request)
+    name = request.match_info["name"]
+    if not state.index_exists(name):
+        return _json_error(404, f"Index '{name}' not found")
+    req = await _parse(request, dto.DeleteDocumentsRequest)
+    path = str(state.index_path(name))
+    loop = asyncio.get_running_loop()
+
+    def _delete() -> int:
+        from nextplaid_tpu.index.delete import delete_with_options
+
+        ids = filtering.where_condition(path, req.condition, req.parameters)
+        if not ids:
+            return 0
+        n = delete_with_options(ids, path)
+        return n
+
+    deleted = await loop.run_in_executor(None, _delete)
+    state.invalidate(name)
+    meta = load_json(IndexLayout(path).metadata)
+    return web.json_response(
+        {
+            "deleted": deleted,
+            "remaining": meta.get("num_documents", 0),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Search
+# ---------------------------------------------------------------------------
+
+
+def _search_params(req: dto.SearchParamsRequest) -> SearchParameters:
+    kw: Dict[str, Any] = {}
+    if req.top_k is not None:
+        kw["top_k"] = req.top_k
+    if req.n_ivf_probe is not None:
+        kw["n_ivf_probe"] = req.n_ivf_probe
+    if req.n_full_scores is not None:
+        kw["n_full_scores"] = req.n_full_scores
+    if req.centroid_score_threshold is not None:
+        kw["centroid_score_threshold"] = req.centroid_score_threshold
+    return SearchParameters(**kw)
+
+
+def _attach_metadata(
+    path: str, results: List[dict]
+) -> None:
+    """Per-result metadata attach (reference search.rs:81, 377)."""
+    if not filtering.exists(path):
+        for r in results:
+            r["metadata"] = [None] * len(r["document_ids"])
+        return
+    for r in results:
+        rows = filtering.get(path, subset=r["document_ids"])
+        by_id = {row["_subset_"]: row for row in rows}
+        r["metadata"] = [by_id.get(i) for i in r["document_ids"]]
+
+
+async def _run_search(
+    state: AppState,
+    name: str,
+    query_arrays: Optional[List[np.ndarray]],
+    params: SearchParameters,
+    subset: Optional[List[int]],
+    text_query: Optional[List[str]],
+    alpha: Optional[float],
+    fusion: Optional[str],
+) -> web.Response:
+    path = str(state.index_path(name))
+    loop = asyncio.get_running_loop()
+    alpha = DEFAULT_ALPHA if alpha is None else alpha
+    fusion = fusion or "relative_score"
+    if fusion not in ("relative_score", "rrf"):
+        return _json_error(400, f"Unknown fusion '{fusion}'")
+
+    semantic = None
+    if query_arrays:
+        index = await state.get_index(name)
+        hybrid = bool(text_query)
+        fetch_k = params.top_k * 3 if hybrid else params.top_k
+        sem_params = (
+            SearchParameters(**{**params.to_dict(), "top_k": fetch_k})
+            if hybrid
+            else params
+        )
+        semantic = await loop.run_in_executor(
+            None,
+            lambda: search_batch(
+                index, query_arrays, sem_params, subset=subset
+            ),
+        )
+
+    keyword = None
+    if text_query:
+        fetch_k = params.top_k * 3 if query_arrays else params.top_k
+
+        def _kw():
+            out = []
+            for q in text_query:
+                sanitized = text_search.sanitize_fts5_query(q)
+                if subset is not None:
+                    ids, scores = text_search.search_filtered(
+                        path, sanitized, fetch_k, subset
+                    )
+                else:
+                    ids, scores = text_search.search(path, sanitized, fetch_k)
+                out.append((ids, scores))
+            return out
+
+        keyword = await loop.run_in_executor(None, _kw)
+
+    results = []
+    if semantic is not None and keyword is not None:
+        if len(keyword) not in (1, len(semantic)):
+            return _json_error(
+                400, "text_query length must be 1 or match queries length"
+            )
+        for qi, sem in enumerate(semantic):
+            kw_ids, kw_scores = keyword[qi if len(keyword) > 1 else 0]
+            if fusion == "rrf":
+                ids, scores = text_search.fuse_rrf(
+                    sem.passage_ids, kw_ids, alpha, params.top_k
+                )
+            else:
+                ids, scores = text_search.fuse_relative_score(
+                    sem.passage_ids, sem.scores, kw_ids, kw_scores,
+                    alpha, params.top_k,
+                )
+            results.append(
+                {"query_id": qi, "document_ids": ids, "scores": scores}
+            )
+    elif semantic is not None:
+        results = [
+            {
+                "query_id": qi,
+                "document_ids": list(r.passage_ids),
+                "scores": [float(s) for s in r.scores],
+            }
+            for qi, r in enumerate(semantic)
+        ]
+    elif keyword is not None:
+        results = [
+            {
+                "query_id": qi,
+                "document_ids": ids[: params.top_k],
+                "scores": scores[: params.top_k],
+            }
+            for qi, (ids, scores) in enumerate(keyword)
+        ]
+    else:
+        return _json_error(400, "Provide queries and/or text_query")
+
+    await loop.run_in_executor(None, _attach_metadata, path, results)
+    return web.json_response(
+        {"results": results, "num_queries": len(results)}
+    )
+
+
+async def search(request: web.Request) -> web.Response:
+    state = _state(request)
+    name = request.match_info["name"]
+    if not state.index_exists(name):
+        return _json_error(404, f"Index '{name}' not found")
+    req = await _parse(request, dto.SearchRequest)
+    subset = req.subset
+    if req.filter_condition:
+        path = str(state.index_path(name))
+        subset = filtering.where_condition(
+            path, req.filter_condition, req.filter_parameters
+        )
+    queries = [q.to_array() for q in req.queries] if req.queries else None
+    return await _run_search(
+        state, name, queries, _search_params(req.params), subset,
+        req.text_query, req.alpha, req.fusion,
+    )
+
+
+async def search_filtered(request: web.Request) -> web.Response:
+    state = _state(request)
+    name = request.match_info["name"]
+    if not state.index_exists(name):
+        return _json_error(404, f"Index '{name}' not found")
+    req = await _parse(request, dto.FilteredSearchRequest)
+    path = str(state.index_path(name))
+    subset = filtering.where_condition(
+        path, req.filter_condition, req.filter_parameters
+    )
+    queries = [q.to_array() for q in req.queries]
+    return await _run_search(
+        state, name, queries, _search_params(req.params), subset,
+        None, None, None,
+    )
+
+
+async def search_with_encoding(request: web.Request) -> web.Response:
+    state = _state(request)
+    name = request.match_info["name"]
+    if state.encoder is None:
+        return _json_error(503, "No encoder model loaded")
+    if not state.index_exists(name):
+        return _json_error(404, f"Index '{name}' not found")
+    req = await _parse(request, dto.SearchWithEncodingRequest)
+    loop = asyncio.get_running_loop()
+    queries = await loop.run_in_executor(
+        None, state.encoder.encode_queries, req.queries
+    )
+    return await _run_search(
+        state, name, queries, _search_params(req.params), req.subset,
+        req.text_query, req.alpha, req.fusion,
+    )
+
+
+async def search_filtered_with_encoding(request: web.Request) -> web.Response:
+    state = _state(request)
+    name = request.match_info["name"]
+    if state.encoder is None:
+        return _json_error(503, "No encoder model loaded")
+    if not state.index_exists(name):
+        return _json_error(404, f"Index '{name}' not found")
+    req = await _parse(request, dto.FilteredSearchWithEncodingRequest)
+    path = str(state.index_path(name))
+    subset = filtering.where_condition(
+        path, req.filter_condition, req.filter_parameters
+    )
+    loop = asyncio.get_running_loop()
+    queries = await loop.run_in_executor(
+        None, state.encoder.encode_queries, req.queries
+    )
+    return await _run_search(
+        state, name, queries, _search_params(req.params), subset,
+        req.text_query, req.alpha, req.fusion,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Metadata
+# ---------------------------------------------------------------------------
+
+
+async def get_all_metadata(request: web.Request) -> web.Response:
+    state = _state(request)
+    name = request.match_info["name"]
+    path = str(state.index_path(name))
+    loop = asyncio.get_running_loop()
+    rows = await loop.run_in_executor(None, filtering.get, path)
+    return web.json_response({"metadata": rows, "count": len(rows)})
+
+
+async def get_metadata_count(request: web.Request) -> web.Response:
+    state = _state(request)
+    name = request.match_info["name"]
+    path = str(state.index_path(name))
+    count = filtering.count(path)
+    return web.json_response(
+        {"count": count, "has_metadata": filtering.exists(path)}
+    )
+
+
+async def check_metadata(request: web.Request) -> web.Response:
+    state = _state(request)
+    name = request.match_info["name"]
+    req = await _parse(request, dto.CheckMetadataRequest)
+    path = str(state.index_path(name))
+    loop = asyncio.get_running_loop()
+    rows = await loop.run_in_executor(
+        None, lambda: filtering.get(path, subset=req.document_ids)
+    )
+    existing = {r["_subset_"] for r in rows}
+    existing_ids = [i for i in req.document_ids if i in existing]
+    missing_ids = [i for i in req.document_ids if i not in existing]
+    return web.json_response(
+        {
+            "existing_ids": existing_ids,
+            "missing_ids": missing_ids,
+            "existing_count": len(existing_ids),
+            "missing_count": len(missing_ids),
+        }
+    )
+
+
+async def query_metadata(request: web.Request) -> web.Response:
+    state = _state(request)
+    name = request.match_info["name"]
+    req = await _parse(request, dto.QueryMetadataRequest)
+    path = str(state.index_path(name))
+    loop = asyncio.get_running_loop()
+    ids = await loop.run_in_executor(
+        None,
+        lambda: filtering.where_condition(path, req.condition, req.parameters),
+    )
+    return web.json_response({"document_ids": ids, "count": len(ids)})
+
+
+async def get_metadata(request: web.Request) -> web.Response:
+    state = _state(request)
+    name = request.match_info["name"]
+    req = await _parse(request, dto.GetMetadataRequest)
+    path = str(state.index_path(name))
+    loop = asyncio.get_running_loop()
+    rows = await loop.run_in_executor(
+        None,
+        lambda: filtering.get(
+            path,
+            condition=req.condition,
+            parameters=req.parameters,
+            subset=req.document_ids,
+        ),
+    )
+    if req.limit is not None:
+        rows = rows[: req.limit]
+    return web.json_response({"metadata": rows, "count": len(rows)})
+
+
+async def update_metadata(request: web.Request) -> web.Response:
+    state = _state(request)
+    name = request.match_info["name"]
+    req = await _parse(request, dto.UpdateMetadataRequest)
+    path = str(state.index_path(name))
+    loop = asyncio.get_running_loop()
+    updated = await loop.run_in_executor(
+        None,
+        lambda: filtering.update_where(
+            path, req.condition, req.parameters, req.updates
+        ),
+    )
+    return web.json_response({"updated": updated})
+
+
+# ---------------------------------------------------------------------------
+# Encode / rerank
+# ---------------------------------------------------------------------------
+
+
+async def encode(request: web.Request) -> web.Response:
+    state = _state(request)
+    if state.encoder is None:
+        return _json_error(503, "No encoder model loaded")
+    req = await _parse(request, dto.EncodeRequest)
+    if len(req.texts) > MAX_BATCH_TEXTS:
+        return _json_error(
+            400, f"Too many texts; max {MAX_BATCH_TEXTS} per request"
+        )
+    loop = asyncio.get_running_loop()
+
+    def _encode():
+        if req.input_type == "query":
+            return state.encoder.encode_queries(req.texts)
+        return state.encoder.encode_documents(
+            req.texts, pool_factor=req.pool_factor or 1
+        )
+
+    arrays = await loop.run_in_executor(None, _encode)
+    if req.output_format == "base64":
+        b64s, shapes = [], []
+        for a in arrays:
+            b, s = dto.encode_embeddings_b64(a)
+            b64s.append(b)
+            shapes.append(list(s))
+        return web.json_response(
+            {
+                "embeddings": None,
+                "embeddings_b64": b64s,
+                "shapes": shapes,
+                "num_texts": len(arrays),
+            }
+        )
+    return web.json_response(
+        {
+            "embeddings": [a.tolist() for a in arrays],
+            "embeddings_b64": None,
+            "shapes": None,
+            "num_texts": len(arrays),
+        }
+    )
+
+
+def _rerank_arrays(
+    query: np.ndarray, docs: List[np.ndarray]
+) -> List[dict]:
+    scores = [
+        float(maxsim_score(query, d)) for d in docs
+    ]
+    order = sorted(range(len(docs)), key=lambda i: -scores[i])
+    return [{"index": i, "score": scores[i]} for i in order]
+
+
+async def rerank(request: web.Request) -> web.Response:
+    req = await _parse(request, dto.RerankRequest)
+    query = req.query_array()
+    docs = [d.to_array() for d in req.documents]
+    loop = asyncio.get_running_loop()
+    results = await loop.run_in_executor(None, _rerank_arrays, query, docs)
+    return web.json_response({"results": results})
+
+
+async def rerank_with_encoding(request: web.Request) -> web.Response:
+    state = _state(request)
+    if state.encoder is None:
+        return _json_error(503, "No encoder model loaded")
+    req = await _parse(request, dto.RerankWithEncodingRequest)
+    loop = asyncio.get_running_loop()
+
+    def _run():
+        q = state.encoder.encode_queries([req.query])[0]
+        d = state.encoder.encode_documents(
+            req.documents, pool_factor=req.pool_factor or 1
+        )
+        return _rerank_arrays(q, d)
+
+    results = await loop.run_in_executor(None, _run)
+    return web.json_response({"results": results})
+
+
+# ---------------------------------------------------------------------------
+# App assembly
+# ---------------------------------------------------------------------------
+
+
+def build_app(index_dir: str, encoder=None) -> web.Application:
+    app = web.Application(
+        middlewares=[trace_middleware], client_max_size=MAX_BODY_BYTES
+    )
+    app["state"] = AppState(index_dir, encoder=encoder)
+    r = app.router
+    r.add_get("/", health)
+    r.add_get("/health", health)
+    r.add_get("/indices", list_indices)
+    r.add_post("/indices", create_index)
+    r.add_get("/indices/{name}", get_index_info)
+    r.add_delete("/indices/{name}", delete_index)
+    r.add_put("/indices/{name}/config", update_index_config)
+    r.add_post("/indices/{name}/documents", add_documents)
+    r.add_delete("/indices/{name}/documents", delete_documents)
+    r.add_post("/indices/{name}/update", update_index)
+    r.add_post(
+        "/indices/{name}/update_with_encoding", update_index_with_encoding
+    )
+    r.add_post("/indices/{name}/search", search)
+    r.add_post("/indices/{name}/search/filtered", search_filtered)
+    r.add_post("/indices/{name}/search_with_encoding", search_with_encoding)
+    r.add_post(
+        "/indices/{name}/search/filtered_with_encoding",
+        search_filtered_with_encoding,
+    )
+    r.add_get("/indices/{name}/metadata", get_all_metadata)
+    r.add_get("/indices/{name}/metadata/count", get_metadata_count)
+    r.add_post("/indices/{name}/metadata/check", check_metadata)
+    r.add_post("/indices/{name}/metadata/query", query_metadata)
+    r.add_post("/indices/{name}/metadata/get", get_metadata)
+    r.add_post("/indices/{name}/metadata/update", update_metadata)
+    r.add_post("/encode", encode)
+    r.add_post("/rerank", rerank)
+    r.add_post("/rerank_with_encoding", rerank_with_encoding)
+    return app
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="nextplaid_tpu API server")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--index-dir", default="./indices")
+    parser.add_argument("--model", default=None, help="encoder model dir")
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--query-length", type=int, default=None)
+    parser.add_argument("--document-length", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    encoder = None
+    if args.model:
+        from nextplaid_tpu.encoder import Colbert
+
+        encoder = Colbert(
+            args.model,
+            batch_size=args.batch_size,
+            query_length=args.query_length,
+            document_length=args.document_length,
+        )
+    web.run_app(
+        build_app(args.index_dir, encoder=encoder),
+        host=args.host,
+        port=args.port,
+    )
+
+
+if __name__ == "__main__":
+    main()

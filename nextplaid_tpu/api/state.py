@@ -1,0 +1,367 @@
+"""Server state: index registry with atomic swap, batched ingest workers,
+update-progress tracking, per-index persisted config.
+
+Rebuild of the reference's AppState + documents batch worker
+(/root/reference/next-plaid-api/src/{state.rs,handlers/documents.rs}):
+
+  - readers never block: searches use whatever `DeviceIndex` snapshot is
+    registered; writers build the new index then atomically swap the
+    reference (state.rs:24-47 ArcSwap semantics — a dict assignment under a
+    lock in Python, which readers access without the lock);
+  - per-index ingest queue: adds are coalesced into batches of up to
+    `MAX_BATCH_DOCUMENTS` docs or `BATCH_WINDOW_MS` of arrivals
+    (documents.rs:323-380), then processed in a thread-pool executor: index
+    update -> metadata -> FTS -> eviction -> reload + swap;
+  - `repair_index_db_sync`: if the vector index and metadata.db disagree on
+    the doc count at batch start, the excess rows are healed
+    (documents.rs:110);
+  - update-progress registry surfaced in /health (state.rs:64-117), entries
+    pruned after 10 minutes.
+
+Env knobs (same names as the reference, main.rs/documents.rs):
+MAX_BATCH_DOCUMENTS (300), MAX_QUEUED_TASKS_PER_INDEX (10).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from nextplaid_tpu import filtering
+from nextplaid_tpu.api.models import IndexConfigStored
+from nextplaid_tpu.filtering import text_search
+from nextplaid_tpu.index import DeviceIndex, IndexConfig
+from nextplaid_tpu.index.delete import delete_with_options
+from nextplaid_tpu.index.update import (
+    UpdateConfig,
+    update_or_create_with_metadata,
+)
+from nextplaid_tpu.storage.npy import IndexLayout, atomic_write_json, load_json
+from nextplaid_tpu.utils.errors import NextPlaidError
+
+MAX_BATCH_DOCUMENTS = int(os.environ.get("MAX_BATCH_DOCUMENTS", "300"))
+MAX_QUEUED_TASKS_PER_INDEX = int(
+    os.environ.get("MAX_QUEUED_TASKS_PER_INDEX", "10")
+)
+BATCH_WINDOW_MS = 100
+PROGRESS_TTL_S = 600.0
+
+
+@dataclass
+class UpdateProgress:
+    index: str
+    status: str = "queued"  # queued | running | completed | failed
+    stage: str = "queued"
+    queued_documents: Optional[int] = None
+    processed_documents: Optional[int] = None
+    started_at: float = field(default_factory=time.time)
+    updated_at: float = field(default_factory=time.time)
+    message: Optional[str] = None
+    error: Optional[str] = None
+
+    def to_dict(self) -> Dict[str, Any]:
+        iso = lambda t: time.strftime(  # noqa: E731
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime(t)
+        )
+        return {
+            "index": self.index,
+            "status": self.status,
+            "stage": self.stage,
+            "queued_documents": self.queued_documents,
+            "processed_documents": self.processed_documents,
+            "started_at": iso(self.started_at),
+            "updated_at": iso(self.updated_at),
+            "elapsed_ms": int((self.updated_at - self.started_at) * 1000),
+            "message": self.message,
+            "error": self.error,
+        }
+
+
+@dataclass
+class _PendingAdd:
+    embeddings: List[np.ndarray]
+    metadata: Optional[List[dict]]
+    future: asyncio.Future
+
+
+class AppState:
+    def __init__(self, index_dir: str, encoder=None):
+        self.index_dir = Path(index_dir)
+        self.index_dir.mkdir(parents=True, exist_ok=True)
+        self.encoder = encoder  # Optional Colbert
+        self.started_at = time.time()
+        # name -> DeviceIndex; plain dict assignment is atomic in CPython, so
+        # readers take snapshots lock-free (the ArcSwap pattern).
+        self._indices: Dict[str, DeviceIndex] = {}
+        self._load_locks: Dict[str, asyncio.Lock] = {}
+        self._ingest_queues: Dict[str, asyncio.Queue] = {}
+        self._ingest_workers: Dict[str, asyncio.Task] = {}
+        self._process_locks: Dict[str, asyncio.Lock] = {}
+        self._queue_sems: Dict[str, asyncio.Semaphore] = {}
+        self._config_cache: Dict[str, IndexConfigStored] = {}
+        self.progress: Dict[str, UpdateProgress] = {}
+
+    # -- paths / existence ----------------------------------------------------
+
+    def index_path(self, name: str) -> Path:
+        if not name or "/" in name or name.startswith("."):
+            raise NextPlaidError(f"Invalid index name '{name}'")
+        return self.index_dir / name
+
+    def index_exists(self, name: str) -> bool:
+        return IndexLayout(self.index_path(name)).exists()
+
+    def list_indices(self) -> List[str]:
+        """Built indices plus created-but-empty ones (config.json only)."""
+        out = []
+        for p in sorted(self.index_dir.iterdir()) if self.index_dir.exists() else []:
+            if p.is_dir() and (
+                IndexLayout(p).exists() or (p / "config.json").exists()
+            ):
+                out.append(p.name)
+        return out
+
+    # -- config ---------------------------------------------------------------
+
+    def get_config(self, name: str) -> IndexConfigStored:
+        if name in self._config_cache:
+            return self._config_cache[name]
+        path = self.index_path(name) / "config.json"
+        if path.exists():
+            cfg = IndexConfigStored(**load_json(path))
+        else:
+            cfg = IndexConfigStored()
+        self._config_cache[name] = cfg
+        return cfg
+
+    def save_config(self, name: str, cfg: IndexConfigStored) -> None:
+        atomic_write_json(
+            self.index_path(name) / "config.json", cfg.model_dump()
+        )
+        self._config_cache[name] = cfg
+
+    # -- registry -------------------------------------------------------------
+
+    async def get_index(self, name: str) -> DeviceIndex:
+        index = self._indices.get(name)
+        if index is not None:
+            return index
+        lock = self._load_locks.setdefault(name, asyncio.Lock())
+        async with lock:
+            index = self._indices.get(name)
+            if index is not None:
+                return index
+            if not self.index_exists(name):
+                raise KeyError(name)
+            loop = asyncio.get_running_loop()
+            index = await loop.run_in_executor(
+                None, DeviceIndex.load, str(self.index_path(name))
+            )
+            self._indices[name] = index
+            return index
+
+    def register(self, name: str, index: DeviceIndex) -> None:
+        self._indices[name] = index  # atomic swap; readers never block
+
+    def invalidate(self, name: str) -> None:
+        self._indices.pop(name, None)
+        self._config_cache.pop(name, None)
+
+    # -- progress -------------------------------------------------------------
+
+    def set_progress(self, name: str, **kw) -> None:
+        entry = self.progress.get(name)
+        if entry is None or entry.status in ("completed", "failed"):
+            entry = UpdateProgress(index=name)
+            self.progress[name] = entry
+        for k, v in kw.items():
+            setattr(entry, k, v)
+        entry.updated_at = time.time()
+        self._prune_progress()
+
+    def _prune_progress(self) -> None:
+        now = time.time()
+        for k in [
+            k
+            for k, v in self.progress.items()
+            if v.status in ("completed", "failed")
+            and now - v.updated_at > PROGRESS_TTL_S
+        ]:
+            del self.progress[k]
+
+    # -- ingest pipeline --------------------------------------------------------
+
+    async def enqueue_add(
+        self,
+        name: str,
+        embeddings: List[np.ndarray],
+        metadata: Optional[List[dict]],
+    ) -> asyncio.Future:
+        """Queue documents for batched ingestion; resolves with assigned ids."""
+        sem = self._queue_sems.setdefault(
+            name, asyncio.Semaphore(MAX_QUEUED_TASKS_PER_INDEX)
+        )
+        await sem.acquire()
+        queue = self._ingest_queues.setdefault(name, asyncio.Queue())
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        fut.add_done_callback(lambda _: sem.release())
+        await queue.put(_PendingAdd(embeddings, metadata, fut))
+        self.set_progress(
+            name,
+            status="queued",
+            stage="queued",
+            queued_documents=(self.progress.get(name).queued_documents or 0)
+            + len(embeddings)
+            if self.progress.get(name)
+            else len(embeddings),
+        )
+        if name not in self._ingest_workers or self._ingest_workers[name].done():
+            self._ingest_workers[name] = asyncio.create_task(
+                self._ingest_worker(name)
+            )
+        return fut
+
+    async def _ingest_worker(self, name: str) -> None:
+        """Coalesce queued adds into batches (documents.rs:344-373)."""
+        queue = self._ingest_queues[name]
+        while True:
+            try:
+                first = await asyncio.wait_for(queue.get(), timeout=5.0)
+            except asyncio.TimeoutError:
+                return  # idle; a new enqueue restarts the worker
+            batch = [first]
+            total = len(first.embeddings)
+            deadline = time.monotonic() + BATCH_WINDOW_MS / 1000
+            while total < MAX_BATCH_DOCUMENTS:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = await asyncio.wait_for(queue.get(), timeout=remaining)
+                except asyncio.TimeoutError:
+                    break
+                batch.append(nxt)
+                total += len(nxt.embeddings)
+            await self._process_batch(name, batch)
+
+    async def _process_batch(self, name: str, batch: List[_PendingAdd]) -> None:
+        lock = self._process_locks.setdefault(name, asyncio.Lock())
+        embeddings = [e for item in batch for e in item.embeddings]
+        has_meta = any(item.metadata for item in batch)
+        metadata: Optional[List[dict]] = None
+        if has_meta:
+            metadata = []
+            for item in batch:
+                metadata.extend(
+                    item.metadata
+                    if item.metadata
+                    else [{} for _ in item.embeddings]
+                )
+        async with lock:
+            self.set_progress(
+                name, status="running", stage="indexing",
+                queued_documents=len(embeddings),
+            )
+            loop = asyncio.get_running_loop()
+            try:
+                doc_ids = await loop.run_in_executor(
+                    None, self._ingest_sync, name, embeddings, metadata
+                )
+                self.set_progress(
+                    name, status="completed", stage="done",
+                    processed_documents=len(embeddings), queued_documents=0,
+                )
+                offset = 0
+                for item in batch:
+                    n = len(item.embeddings)
+                    if not item.future.done():
+                        item.future.set_result(doc_ids[offset : offset + n])
+                    offset += n
+            except BaseException as e:  # propagate to all waiters
+                self.set_progress(
+                    name, status="failed", stage="error", error=str(e)
+                )
+                for item in batch:
+                    if not item.future.done():
+                        item.future.set_exception(
+                            e if len(batch) == 1 else NextPlaidError(str(e))
+                        )
+
+    def _ingest_sync(
+        self,
+        name: str,
+        embeddings: List[np.ndarray],
+        metadata: Optional[List[dict]],
+    ) -> List[int]:
+        path = str(self.index_path(name))
+        self.repair_index_db_sync(name)
+        cfg = self.get_config(name)
+        index_config = IndexConfig(
+            nbits=cfg.nbits,
+            batch_size=cfg.batch_size,
+            seed=cfg.seed,
+            start_from_scratch=cfg.start_from_scratch,
+            fts_tokenizer=cfg.fts_tokenizer,
+        )
+        update_config = UpdateConfig(
+            batch_size=cfg.batch_size,
+            seed=cfg.seed if cfg.seed is not None else 42,
+            start_from_scratch=cfg.start_from_scratch,
+        )
+        doc_ids = update_or_create_with_metadata(
+            embeddings, path, index_config, update_config, metadata
+        )
+        self._evict_oldest(name, cfg)
+        self.register(name, DeviceIndex.load(path))
+        return doc_ids
+
+    def _evict_oldest(self, name: str, cfg: IndexConfigStored) -> None:
+        """FIFO eviction beyond max_documents (documents.rs:633)."""
+        if cfg.max_documents is None:
+            return
+        path = str(self.index_path(name))
+        layout = IndexLayout(path)
+        if not layout.metadata.exists():
+            return
+        meta = load_json(layout.metadata)
+        num_docs = int(meta.get("num_documents", 0))
+        excess = num_docs - cfg.max_documents
+        if excess > 0:
+            delete_with_options(list(range(excess)), path)
+
+    def repair_index_db_sync(self, name: str) -> None:
+        """Heal index <-> metadata.db count drift (documents.rs:110): if the
+        DB has more rows than the index has documents, drop the tail rows."""
+        path = str(self.index_path(name))
+        layout = IndexLayout(path)
+        if not layout.metadata.exists() or not layout.metadata_db.exists():
+            return
+        meta = load_json(layout.metadata)
+        num_docs = int(meta.get("num_documents", 0))
+        db_count = filtering.count(path)
+        if db_count > num_docs:
+            filtering.delete(path, list(range(num_docs, db_count)))
+            text_search.rebuild(path)
+
+    # -- delete ----------------------------------------------------------------
+
+    async def delete_index(self, name: str) -> bool:
+        path = self.index_path(name)
+        if not path.exists():
+            return False
+        lock = self._process_locks.setdefault(name, asyncio.Lock())
+        async with lock:
+            self.invalidate(name)
+            filtering.metadata.invalidate_read_connection(str(path))
+            await asyncio.get_running_loop().run_in_executor(
+                None, shutil.rmtree, str(path)
+            )
+        return True

@@ -1,0 +1,451 @@
+"""API server integration tests: a real aiohttp server on a random port,
+driven with `requests` — the same two-tier shape as the reference's
+integration_tests.rs / test_api.py."""
+
+import asyncio
+import base64
+import threading
+import time
+
+import numpy as np
+import pytest
+import requests
+
+from nextplaid_tpu.api.server import build_app
+
+
+class ServerThread:
+    def __init__(self, index_dir: str, encoder=None):
+        self.index_dir = index_dir
+        self.encoder = encoder
+        self.port = None
+        self._loop = None
+        self._started = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        assert self._started.wait(30), "server failed to start"
+
+    def _run(self):
+        from aiohttp import web
+
+        self._loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(self._loop)
+
+        async def start():
+            app = build_app(self.index_dir, encoder=self.encoder)
+            runner = web.AppRunner(app)
+            await runner.setup()
+            site = web.TCPSite(runner, "127.0.0.1", 0)
+            await site.start()
+            self.port = runner.addresses[0][1]
+            self._started.set()
+
+        self._loop.run_until_complete(start())
+        self._loop.run_forever()
+
+    @property
+    def url(self):
+        return f"http://127.0.0.1:{self.port}"
+
+    def stop(self):
+        if self._loop:
+            self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(timeout=10)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    s = ServerThread(str(tmp_path_factory.mktemp("indices")))
+    yield s
+    s.stop()
+
+
+def make_docs(n, dim=64, tokens=12, seed=0):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for _ in range(n):
+        v = rng.standard_normal((tokens, dim)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        docs.append(v)
+    return docs
+
+
+def doc_payload(arr, b64=False):
+    if b64:
+        return {
+            "embeddings_b64": base64.b64encode(
+                np.ascontiguousarray(arr, "<f4").tobytes()
+            ).decode(),
+            "shape": list(arr.shape),
+        }
+    return {"embeddings": arr.tolist()}
+
+
+def test_health(server):
+    r = requests.get(server.url + "/health")
+    assert r.status_code == 200
+    body = r.json()
+    assert body["status"] == "ok"
+    assert "version" in body
+    assert r.headers.get("X-Request-ID")
+
+
+def test_request_id_propagation(server):
+    r = requests.get(server.url + "/health", headers={"X-Request-ID": "abc-1"})
+    assert r.headers["X-Request-ID"] == "abc-1"
+
+
+def test_index_lifecycle(server):
+    # create
+    r = requests.post(
+        server.url + "/indices",
+        json={"name": "lifecycle", "config": {"nbits": 4}},
+    )
+    assert r.status_code == 201, r.text
+    # duplicate rejected
+    assert (
+        requests.post(server.url + "/indices", json={"name": "lifecycle"})
+    ).status_code == 409
+    # add documents (async batched path)
+    docs = make_docs(30)
+    meta = [{"title": f"doc {i}", "group": i % 3} for i in range(30)]
+    r = requests.post(
+        server.url + "/indices/lifecycle/documents",
+        json={
+            "documents": [doc_payload(d) for d in docs],
+            "metadata": meta,
+        },
+    )
+    assert r.status_code == 202, r.text
+    assert r.json()["documents_added"] == 30
+    # listed + info
+    assert "lifecycle" in requests.get(server.url + "/indices").json()
+    info = requests.get(server.url + "/indices/lifecycle").json()
+    assert info["num_documents"] == 30
+    assert info["has_metadata"] is True
+    assert info["metadata_count"] == 30
+    # search (semantic)
+    q = docs[7][:4]
+    r = requests.post(
+        server.url + "/indices/lifecycle/search",
+        json={"queries": [doc_payload(q)], "params": {"top_k": 5}},
+    )
+    assert r.status_code == 200, r.text
+    res = r.json()["results"][0]
+    assert res["document_ids"][0] == 7
+    assert res["metadata"][0]["title"] == "doc 7"
+    # base64 query path
+    r = requests.post(
+        server.url + "/indices/lifecycle/search",
+        json={"queries": [doc_payload(q, b64=True)], "params": {"top_k": 3}},
+    )
+    assert r.json()["results"][0]["document_ids"][0] == 7
+    # filtered search
+    r = requests.post(
+        server.url + "/indices/lifecycle/search/filtered",
+        json={
+            "queries": [doc_payload(q)],
+            "params": {"top_k": 5},
+            "filter_condition": "\"group\" = ?",
+            "filter_parameters": [0],
+        },
+    )
+    ids = r.json()["results"][0]["document_ids"]
+    assert ids and all(i % 3 == 0 for i in ids)
+    # keyword + hybrid search
+    r = requests.post(
+        server.url + "/indices/lifecycle/search",
+        json={"text_query": ["doc 7"], "params": {"top_k": 5}},
+    )
+    assert r.status_code == 200, r.text
+    assert 7 in r.json()["results"][0]["document_ids"]
+    r = requests.post(
+        server.url + "/indices/lifecycle/search",
+        json={
+            "queries": [doc_payload(q)],
+            "text_query": ["doc 7"],
+            "params": {"top_k": 5},
+            "fusion": "rrf",
+        },
+    )
+    assert r.json()["results"][0]["document_ids"][0] == 7
+    # metadata endpoints
+    r = requests.post(
+        server.url + "/indices/lifecycle/metadata/query",
+        json={"condition": "\"group\" = ?", "parameters": [1]},
+    )
+    assert r.json()["count"] == 10
+    r = requests.post(
+        server.url + "/indices/lifecycle/metadata/get",
+        json={"document_ids": [3, 1]},
+    )
+    assert [m["title"] for m in r.json()["metadata"]] == ["doc 3", "doc 1"]
+    r = requests.post(
+        server.url + "/indices/lifecycle/metadata/check",
+        json={"document_ids": [0, 999]},
+    )
+    assert r.json()["existing_ids"] == [0]
+    assert r.json()["missing_ids"] == [999]
+    r = requests.post(
+        server.url + "/indices/lifecycle/metadata/update",
+        json={
+            "condition": "\"group\" = ?",
+            "parameters": [2],
+            "updates": {"title": "updated"},
+        },
+    )
+    assert r.json()["updated"] == 10
+    r = requests.get(server.url + "/indices/lifecycle/metadata/count")
+    assert r.json()["count"] == 30
+    # injection attempt
+    r = requests.post(
+        server.url + "/indices/lifecycle/metadata/query",
+        json={"condition": "group = ?; DROP TABLE METADATA", "parameters": [1]},
+    )
+    assert r.status_code == 400
+    # delete by filter
+    r = requests.delete(
+        server.url + "/indices/lifecycle/documents",
+        json={"condition": "\"group\" = ?", "parameters": [2]},
+    )
+    assert r.status_code == 200, r.text
+    assert r.json()["deleted"] == 10
+    assert r.json()["remaining"] == 20
+    info = requests.get(server.url + "/indices/lifecycle").json()
+    assert info["num_documents"] == 20
+    assert info["metadata_count"] == 20
+    # search still works post-delete
+    r = requests.post(
+        server.url + "/indices/lifecycle/search",
+        json={"queries": [doc_payload(q)], "params": {"top_k": 3}},
+    )
+    assert r.status_code == 200
+    # rerank with raw embeddings
+    r = requests.post(
+        server.url + "/rerank",
+        json={
+            "query": q.tolist(),
+            "documents": [doc_payload(docs[7]), doc_payload(docs[2])],
+        },
+    )
+    results = r.json()["results"]
+    assert results[0]["index"] == 0  # doc 7 contains the query tokens
+    # delete index
+    assert requests.delete(server.url + "/indices/lifecycle").json()["deleted"]
+    assert (
+        requests.get(server.url + "/indices/lifecycle")
+    ).status_code == 404
+
+
+def test_update_endpoint_sync(server):
+    docs = make_docs(5, seed=3)
+    r = requests.post(
+        server.url + "/indices/syncidx/update",
+        json={"documents": [doc_payload(d) for d in docs]},
+    )
+    assert r.status_code == 200, r.text
+    body = r.json()
+    assert body["created"] is True
+    assert body["documents_added"] == 5
+    assert body["total_documents"] == 5
+    # incremental second update
+    r = requests.post(
+        server.url + "/indices/syncidx/update",
+        json={"documents": [doc_payload(d) for d in make_docs(3, seed=4)]},
+    )
+    assert r.json()["total_documents"] == 8
+    assert r.json()["created"] is False
+
+
+def test_max_documents_eviction(server):
+    docs = make_docs(10, seed=5)
+    requests.post(
+        server.url + "/indices/evict/update",
+        json={
+            "documents": [doc_payload(d) for d in docs],
+            "metadata": [{"n": i} for i in range(10)],
+        },
+    )
+    r = requests.put(
+        server.url + "/indices/evict/config", json={"max_documents": 6}
+    )
+    assert r.status_code == 200, r.text
+    requests.post(
+        server.url + "/indices/evict/update",
+        json={
+            "documents": [doc_payload(d) for d in make_docs(2, seed=6)],
+            "metadata": [{"n": 10}, {"n": 11}],
+        },
+    )
+    info = requests.get(server.url + "/indices/evict").json()
+    assert info["num_documents"] == 6
+    # Oldest docs evicted FIFO: survivors are n=6..11.
+    rows = requests.get(server.url + "/indices/evict/metadata").json()[
+        "metadata"
+    ]
+    assert sorted(m["n"] for m in rows) == [6, 7, 8, 9, 10, 11]
+
+
+def test_encode_without_model(server):
+    r = requests.post(
+        server.url + "/encode", json={"texts": ["hi"], "input_type": "query"}
+    )
+    assert r.status_code == 503
+
+
+def test_errors(server):
+    assert (
+        requests.get(server.url + "/indices/noexist")
+    ).status_code == 404
+    r = requests.post(server.url + "/indices", json={"bad": "payload"})
+    assert r.status_code == 422
+    r = requests.post(
+        server.url + "/indices/noexist/search",
+        json={"queries": [{"embeddings": [[0.0]]}]},
+    )
+    assert r.status_code == 404
+
+
+def test_concurrent_adds_coalesce(server):
+    """Parallel adds to one index must all land (batch coalescing path)."""
+    import concurrent.futures as cf
+
+    requests.post(server.url + "/indices", json={"name": "conc"})
+
+    def add(seed):
+        docs = make_docs(4, seed=seed)
+        return requests.post(
+            server.url + "/indices/conc/documents",
+            json={"documents": [doc_payload(d) for d in docs]},
+        ).status_code
+
+    with cf.ThreadPoolExecutor(8) as ex:
+        codes = list(ex.map(add, range(8)))
+    assert all(c == 202 for c in codes)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        info = requests.get(server.url + "/indices/conc").json()
+        if info.get("num_documents") == 32:
+            break
+        time.sleep(0.5)
+    assert info["num_documents"] == 32
+
+
+# ---------------------------------------------------------------------------
+# Encoder-backed endpoints (tiny random ColBERT, no checkpoint)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def enc_server(tmp_path_factory):
+    from tests.test_encoder import make_tokenizer
+    from nextplaid_tpu.encoder import (
+        BackboneConfig,
+        Colbert,
+        ColbertConfig,
+        init_random_params,
+    )
+
+    tok, vocab = make_tokenizer()
+    bcfg = BackboneConfig(
+        model_type="bert", vocab_size=len(vocab), hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, projection_dim=16,
+    )
+    ccfg = ColbertConfig(
+        query_prefix="[Q]", document_prefix="[D]", query_length=16,
+        document_length=24, embedding_dim=16,
+        mask_token_id=vocab["[MASK]"], pad_token_id=vocab["[PAD]"],
+    )
+    encoder = Colbert(
+        config=ccfg, backbone_config=bcfg, tokenizer=tok,
+        params=init_random_params(bcfg, seed=0), batch_size=4,
+    )
+    s = ServerThread(str(tmp_path_factory.mktemp("enc_indices")), encoder)
+    yield s
+    s.stop()
+
+
+def test_encode_endpoint(enc_server):
+    r = requests.post(
+        enc_server.url + "/encode",
+        json={"texts": ["quick fox", "lazy dog"], "input_type": "document"},
+    )
+    assert r.status_code == 200, r.text
+    body = r.json()
+    assert body["num_texts"] == 2
+    assert len(body["embeddings"][0][0]) == 16
+    # base64 format
+    r = requests.post(
+        enc_server.url + "/encode",
+        json={"texts": ["quick fox"], "input_type": "query",
+              "output_format": "base64"},
+    )
+    body = r.json()
+    assert body["shapes"][0] == [16, 16]  # query expansion to query_length
+
+
+def test_encoding_ingest_and_search(enc_server):
+    docs = ["the quick brown fox", "lazy dog jumps", "a b c d e"]
+    r = requests.post(
+        enc_server.url + "/indices/encidx/update_with_encoding",
+        json={
+            "documents": docs,
+            "metadata": [{"text": t} for t in docs],
+        },
+    )
+    assert r.status_code == 200, r.text
+    assert r.json()["total_documents"] == 3
+    # Expected ranking computed locally with the SAME encoder (random weights
+    # make semantic assumptions unreliable; exact-MaxSim parity is the spec).
+    from nextplaid_tpu.ops.maxsim import maxsim_score
+
+    encoder = enc_server.encoder
+    q_emb = encoder.encode_queries(["quick brown fox"])[0]
+    d_embs = encoder.encode_documents(docs)
+    expected = max(
+        range(3), key=lambda i: float(maxsim_score(q_emb, d_embs[i]))
+    )
+    r = requests.post(
+        enc_server.url + "/indices/encidx/search_with_encoding",
+        json={"queries": ["quick brown fox"], "params": {"top_k": 3}},
+    )
+    assert r.status_code == 200, r.text
+    res = r.json()["results"][0]
+    assert res["document_ids"][0] == expected
+    # keyword-only path is exact regardless of model weights
+    r = requests.post(
+        enc_server.url + "/indices/encidx/search_with_encoding",
+        json={
+            "queries": ["lazy dog"],
+            "text_query": ["lazy dog"],
+            "params": {"top_k": 2},
+            "alpha": 0.0,  # pure keyword fusion
+        },
+    )
+    assert r.json()["results"][0]["document_ids"][0] == 1
+    # filtered with encoding
+    r = requests.post(
+        enc_server.url + "/indices/encidx/search/filtered_with_encoding",
+        json={
+            "queries": ["quick fox"],
+            "params": {"top_k": 3},
+            "filter_condition": "text LIKE ?",
+            "filter_parameters": ["%dog%"],
+        },
+    )
+    assert r.json()["results"][0]["document_ids"] == [1]
+
+
+def test_rerank_with_encoding(enc_server):
+    r = requests.post(
+        enc_server.url + "/rerank_with_encoding",
+        json={
+            "query": "quick fox",
+            "documents": ["the quick brown fox", "unrelated words here"],
+        },
+    )
+    assert r.status_code == 200, r.text
+    results = r.json()["results"]
+    assert results[0]["index"] == 0
+    assert results[0]["score"] >= results[1]["score"]
