@@ -67,6 +67,11 @@ class SearchParameters:
     # Stage-1 matmul precision: "highest" (f32, reference parity) or
     # "default" (TPU bf16 passes; faster candidate generation).
     stage1_precision: str = "highest"
+    # Search strategy: "auto" picks exhaustive MXU scoring for small corpora
+    # (exact + faster than pruning below ~exact_max_embeddings tokens) and
+    # the staged PLAID pipeline above; "staged"/"exact" force one.
+    mode: str = "auto"
+    exact_max_embeddings: int = 8_000_000
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

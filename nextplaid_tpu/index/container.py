@@ -160,24 +160,47 @@ class DeviceIndex:
         weights = np.asarray(load_npy(layout.bucket_weights), np.float32)
         avg_residual = np.asarray(load_npy(layout.avg_residual), np.float32)
 
-        codes_list: List[np.ndarray] = []
-        res_list: List[np.ndarray] = []
-        doclens_list: List[np.ndarray] = []
-        for i in range(meta.num_chunks):
-            codes_list.append(np.asarray(load_npy(layout.chunk_codes(i))))
-            res_list.append(np.asarray(load_npy(layout.chunk_residuals(i))))
-            doclens_list.append(
-                np.asarray(load_json(layout.chunk_doclens(i)), np.int64)
-            )
-        codes = (
-            np.concatenate(codes_list) if codes_list else np.zeros(0, np.int64)
-        ).astype(np.int32)
         packed_dim = centroids.shape[1] * meta.nbits // 8
-        residuals = (
-            np.concatenate(res_list)
-            if res_list
-            else np.zeros((0, packed_dim), np.uint8)
-        )
+        code_paths = [str(layout.chunk_codes(i)) for i in range(meta.num_chunks)]
+        res_paths = [
+            str(layout.chunk_residuals(i)) for i in range(meta.num_chunks)
+        ]
+        doclens_list: List[np.ndarray] = [
+            np.asarray(load_json(layout.chunk_doclens(i)), np.int64)
+            for i in range(meta.num_chunks)
+        ]
+        # Chunk merge goes through the native mmap+memcpy pass when the host
+        # library is built (reference merge_*_chunks, mmap.rs:1266-1704);
+        # numpy concatenation otherwise.
+        from nextplaid_tpu.storage import native
+
+        codes = None
+        residuals = None
+        if meta.num_chunks and native.available():
+            first_codes = np.asarray(load_npy(code_paths[0], mmap=True))
+            codes = native.merge_chunk_payloads(
+                code_paths, first_codes.dtype
+            )
+            residuals = native.merge_chunk_payloads(
+                res_paths, np.uint8, (packed_dim,)
+            )
+        if codes is None:
+            codes_list = [
+                np.asarray(load_npy(p)) for p in code_paths
+            ]
+            codes = (
+                np.concatenate(codes_list)
+                if codes_list
+                else np.zeros(0, np.int64)
+            )
+        if residuals is None:
+            res_list = [np.asarray(load_npy(p)) for p in res_paths]
+            residuals = (
+                np.concatenate(res_list)
+                if res_list
+                else np.zeros((0, packed_dim), np.uint8)
+            )
+        codes = codes.astype(np.int32)
         doclens = (
             np.concatenate(doclens_list) if doclens_list else np.zeros(0, np.int64)
         ).astype(np.int32)

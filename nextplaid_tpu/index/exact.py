@@ -1,0 +1,117 @@
+"""Exhaustive MaxSim search: score EVERY document on the MXU.
+
+There is no reference equivalent — the reference's CPU can't brute-force, so
+it prunes (search.rs staged pipeline). On TPU the arithmetic is nearly free:
+scoring a [Q=32, Tq=32] query batch against a 1.5M-token corpus is ~0.4
+TFLOP, milliseconds on an MXU, while the staged pipeline's candidate gathers
+are memory-bound. Below a corpus-size threshold, exhaustive search is both
+FASTER and EXACT (recall == 1.0 by construction), so `search_batch` routes to
+it automatically (SearchParameters.mode = "auto").
+
+The corpus streams through a `lax.scan` over fixed-size document tiles:
+decompress tile tokens (codes + packed residuals -> f32, shared across the
+whole query batch), one einsum, masked max over doc tokens, sum over query
+tokens. Peak memory is one tile's similarity block.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nextplaid_tpu.index.container import DeviceIndex
+from nextplaid_tpu.ops import codec as codec_ops
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def default_doc_tile(num_queries: int, query_tokens: int, td: int) -> int:
+    """Tile size targeting ~128 MB similarity blocks."""
+    budget = 128 << 20
+    block_bytes = max(num_queries * query_tokens * td * 4, 1)
+    tile = budget // block_bytes
+    return int(np.clip(tile, 8, 512))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("top_k", "doc_tile", "precision", "has_subset")
+)
+def exact_search_pipeline(
+    index: DeviceIndex,
+    queries: jax.Array,  # [Q, Tq, d] f32, zero-padded
+    qmask: jax.Array,  # [Q, Tq] bool
+    subset_mask: Optional[jax.Array],  # [num_docs_padded] bool
+    top_k: int,
+    doc_tile: int,
+    precision: str = "highest",
+    has_subset: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (doc_ids [Q, top_k] i32 with -1 invalid, scores [Q, top_k])."""
+    q_n = queries.shape[0]
+    nd = index.num_documents
+    nd_pad = index.num_docs_padded
+    td = max(_round_up(max(index.max_doclen, 1), 8), 8)
+    nvec_pad = index.codes.shape[0]
+
+    n_tiles = -(-nd // doc_tile)
+    tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * doc_tile
+    t_arange = jnp.arange(td, dtype=jnp.int32)
+    d_arange = jnp.arange(doc_tile, dtype=jnp.int32)
+
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def score_tile(_, start):
+        ids = start + d_arange  # [tile]
+        safe = jnp.minimum(ids, nd_pad - 1)
+        offs = index.doc_offsets[safe]
+        lens = jnp.where(ids < nd, index.doclens[safe], 0)
+        tok_pos = jnp.clip(offs[:, None] + t_arange[None, :], 0, nvec_pad - 1)
+        tok_valid = t_arange[None, :] < lens[:, None]  # [tile, Td]
+        emb = codec_ops.decompress_residuals(
+            index.residuals[tok_pos],
+            index.codes[tok_pos],
+            index.centroids,
+            index.bucket_weights,
+            index.nbits,
+            normalize=True,
+        )  # [tile, Td, d] — decompressed ONCE for the whole query batch
+        sim = jnp.einsum(
+            "qtd,njd->qntj",
+            queries,
+            emb,
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        sim = jnp.where(tok_valid[None, :, None, :], sim, NEG_INF)
+        per_tok = jnp.max(sim, axis=-1)  # [Q, tile, Tq]
+        per_tok = jnp.where(
+            qmask[:, None, :] & jnp.isfinite(per_tok), per_tok, 0.0
+        )
+        scores = jnp.sum(per_tok, axis=-1)  # [Q, tile]
+        scores = jnp.where((ids < nd)[None, :], scores, NEG_INF)
+        return None, scores
+
+    _, tiles = jax.lax.scan(score_tile, None, tile_starts)
+    all_scores = tiles.transpose(1, 0, 2).reshape(q_n, n_tiles * doc_tile)
+    all_scores = all_scores[:, : max(nd, 1)]
+    if has_subset and subset_mask is not None:
+        all_scores = jnp.where(subset_mask[None, :nd], all_scores, NEG_INF)
+
+    k = min(top_k, max(nd, 1))
+    final_scores, final_ids = jax.lax.top_k(all_scores, k)
+    final_ids = jnp.where(
+        jnp.isfinite(final_scores), final_ids.astype(jnp.int32), -1
+    )
+    return final_ids, final_scores

@@ -16,15 +16,23 @@ Re-design of the reference's per-query CPU pipeline
                                           are fused here as a bitmap AND
                                           instead of the post-hoc retain of
                                           search.rs:434-437)
-  stage 4  approximate scoring          — gather each candidate's token codes,
-                                          look up centroid scores, masked
-                                          max-over-doc-tokens + sum-over-query-
-                                          tokens (search.rs:305-324), chunked
-                                          with `lax.scan` to bound memory
-  stage 5  exact re-rank                — fused unpack + dequantize + renorm +
-                                          MaxSim over the top n_full_scores/4
-                                          docs (search.rs:468-493), chunked
-  stage 6  on-device top-k
+  stage 4  union + shared exact scoring — the per-query candidate bitmaps are
+                                          OR-ed into one batch-wide candidate
+                                          set; those documents are
+                                          decompressed ONCE (fused unpack +
+                                          dequantize + renorm) and MaxSim-
+                                          scored against the whole query batch
+                                          on the MXU; per-query bitmaps mask
+                                          the final scores
+  stage 5  on-device top-k
+
+This replaces the reference's approximate-score prune + per-query decompress
+(search.rs:305-324, 468-493): profiling on TPU showed per-query residual
+gathers dominate (>25s per batch at SciFact scale) while exact MaxSim on the
+MXU is nearly free, so scoring the candidate UNION exactly is both faster and
+higher-recall than approx-pruning to n_full_scores/4 per query. (The
+approx stage would only re-earn its place if the union ever exceeded tens of
+thousands of documents per batch.)
 
 Everything between host entry and the final [Q, top_k] results is one jitted
 program over static shapes; padding is masked, never silently dropped —
@@ -61,14 +69,12 @@ class PipelineShapes:
     query_tokens: int  # Tq (padded)
     nprobe: int
     posting_cap: int  # P_cap: max posting entries gathered per cell
-    max_candidates: int  # Cmax
-    n_rerank: int  # R = max(n_full_scores/4, top_k)
+    max_candidates: int  # Cmax: cap on the batch-wide candidate UNION
     top_k: int
     doc_token_cap: int  # Td: max doc length (padded)
     threshold: Optional[float]
     cell_chunk: int  # cells scattered per scan step
-    cand_chunk: int  # candidates approx-scored per scan step
-    rerank_chunk: int  # docs decompressed per scan step
+    cand_tile: int  # union candidates decompressed+scored per scan step
     nbits: int
     # Matmul precision for stage 1 (candidate generation / approx scoring).
     # "highest" = full f32 (reference parity); "default" = TPU bf16 passes
@@ -86,25 +92,24 @@ class PipelineShapes:
         td = max(_round_up(max(index.max_doclen, 1), 8), 8)
         ncells = query_tokens * params.n_ivf_probe
         p_cap = max(index.max_posting_len, 1)
-        cmax = params.max_candidates or min(
-            max(index.num_documents, 1), 1 << 16
-        )
-        cmax = min(cmax, max(index.num_documents, 1))
+        nd = max(index.num_documents, 1)
+        # Union cap: the batch-wide candidate set. Default scales with the
+        # reference's rerank breadth (n_full_scores) but never below 8192 so
+        # typical probe unions fit without overflow.
+        cmax = params.max_candidates or min(nd, max(2 * params.n_full_scores, 8192))
+        cmax = min(cmax, nd)
         cmax = max(_round_up(cmax, 8), 8)
         # Clamp to the corpus: requesting more results than documents exist
         # returns everything (the reference's dynamic Vecs do this naturally;
         # fixed shapes must clamp or lax.top_k rejects k > axis size).
-        top_k = min(params.top_k, max(index.num_documents, 1))
-        n_rerank = max(params.n_full_scores // 4, top_k)
-        n_rerank = min(n_rerank, cmax)
-        # Chunk sizes targeting ~256MB transient buffers (HBM-friendly; the
-        # scan loops bound peak memory like the reference's
+        top_k = min(params.top_k, nd)
+        # Tile sizes targeting ~128MB transient similarity blocks (HBM-
+        # friendly; bounds peak memory like the reference's
         # DECOMPRESS_CHUNK_SIZE, search.rs:24).
-        budget = 256 << 20
-        cand_bytes = max(num_queries * query_tokens * td * 4, 1)
-        cand_chunk = max(8, min(cmax, budget // cand_bytes))
-        rerank_bytes = max(num_queries * td * index.dim * 4 * 2, 1)
-        rerank_chunk = max(4, min(n_rerank, budget // rerank_bytes))
+        budget = 128 << 20
+        tile_bytes = max(num_queries * query_tokens * td * 4, 1)
+        cand_tile = int(np.clip(budget // tile_bytes, 8, 512))
+        cand_tile = min(cand_tile, cmax)
         cell_bytes = max(num_queries * p_cap * 4, 1)
         cell_chunk = max(1, min(ncells, (64 << 20) // cell_bytes))
         return cls(
@@ -113,13 +118,11 @@ class PipelineShapes:
             nprobe=min(params.n_ivf_probe, index.num_centroids),
             posting_cap=p_cap,
             max_candidates=cmax,
-            n_rerank=n_rerank,
             top_k=top_k,
             doc_token_cap=td,
             threshold=params.centroid_score_threshold,
             cell_chunk=cell_chunk,
-            cand_chunk=cand_chunk,
-            rerank_chunk=rerank_chunk,
+            cand_tile=cand_tile,
             nbits=index.nbits,
             stage1_precision=params.stage1_precision,
         )
@@ -147,22 +150,21 @@ def _select_cells(
     return cells.reshape(cells.shape[0], -1).astype(jnp.int32)
 
 
-def _gen_candidates(
+def _gen_bitmap(
     index: DeviceIndex, cells: jax.Array, shapes: PipelineShapes,
     subset_mask: Optional[jax.Array],
-) -> Tuple[jax.Array, jax.Array]:
-    """Stage 3: posting gathers -> bitmap -> compacted candidate ids.
+) -> jax.Array:
+    """Stage 3a: posting gathers -> per-query candidate bitmap [Q, nd_pad].
 
-    Returns (cand_ids [Q, Cmax] int32 with sentinel=num_docs_padded-? invalid,
-             overflow [Q] int32 count of candidates dropped).
-    Sentinel for an empty slot is `index.num_documents` (doclen 0 there).
+    Replaces the HashSet union of index.rs:1142-1156; subset filters are
+    fused here as a bitmap AND instead of the post-hoc retain of
+    search.rs:434-437.
     """
     q_n, ncells = cells.shape
     k = index.num_centroids
     nd = index.num_documents
     nd_pad = index.num_docs_padded
     nnz_pad = index.ivf_doc_ids.shape[0]
-    cmax = shapes.max_candidates
 
     n_chunks = -(-ncells // shapes.cell_chunk)
     pad_cells = n_chunks * shapes.cell_chunk - ncells
@@ -195,140 +197,100 @@ def _gen_candidates(
     bitmap &= doc_valid
     if subset_mask is not None:
         bitmap &= subset_mask[None, :]
-
-    positions = jnp.cumsum(bitmap.astype(jnp.int32), axis=1)
-    total = positions[:, -1]
-    overflow = jnp.maximum(total - cmax, 0)
-
-    slots = jnp.where(bitmap, positions - 1, cmax)
-    slots = jnp.minimum(slots, cmax)  # overflowing candidates -> dump slot
-    doc_iota = jnp.broadcast_to(
-        jnp.arange(nd_pad, dtype=jnp.int32)[None, :], (q_n, nd_pad)
-    )
-    cand = jnp.full((q_n, cmax + 1), nd, jnp.int32)
-    q_idx = jnp.broadcast_to(
-        jnp.arange(q_n, dtype=jnp.int32)[:, None], (q_n, nd_pad)
-    )
-    cand = cand.at[q_idx, slots].set(doc_iota, mode="drop")
-    return cand[:, :cmax], overflow
+    return bitmap
 
 
-def _approx_scores(
-    index: DeviceIndex,
-    scores_masked: jax.Array,
-    qmask: jax.Array,
-    cand_ids: jax.Array,
-    shapes: PipelineShapes,
-) -> jax.Array:
-    """Stage 4: centroid-score approximation per candidate (search.rs:305-324)."""
-    q_n, cmax = cand_ids.shape
-    td = shapes.doc_token_cap
-    nvec_pad = index.codes.shape[0]
+def _union_candidates(
+    index: DeviceIndex, bitmap: jax.Array, shapes: PipelineShapes
+) -> Tuple[jax.Array, jax.Array]:
+    """Stage 3b: OR the per-query bitmaps and compact the union into a fixed
+    [Cmax] id buffer (sentinel = num_documents). Returns (union_ids,
+    overflow count)."""
+    nd = index.num_documents
     nd_pad = index.num_docs_padded
+    cmax = shapes.max_candidates
 
-    n_chunks = -(-cmax // shapes.cand_chunk)
-    pad = n_chunks * shapes.cand_chunk - cmax
-    cand_p = (
-        jnp.concatenate(
-            [cand_ids, jnp.full((q_n, pad), index.num_documents, jnp.int32)], axis=1
-        )
-        if pad
-        else cand_ids
-    )
-    chunks = cand_p.reshape(q_n, n_chunks, shapes.cand_chunk).transpose(1, 0, 2)
-
-    t_arange = jnp.arange(td, dtype=jnp.int32)
-
-    def score_chunk(_, cand_chunk):
-        safe = jnp.clip(cand_chunk, 0, nd_pad - 1)
-        offs = index.doc_offsets[safe]
-        lens = index.doclens[safe]
-        tok_pos = offs[:, :, None] + t_arange[None, None, :]
-        tok_valid = t_arange[None, None, :] < lens[:, :, None]
-        tok_codes = index.codes[jnp.clip(tok_pos, 0, nvec_pad - 1)]  # [Q,cc,Td]
-
-        def per_query(s_q, codes_q, tv_q):
-            sim = s_q[:, codes_q.reshape(-1)].reshape(
-                s_q.shape[0], *codes_q.shape
-            )  # [Tq, cc, Td]
-            sim = jnp.where(tv_q[None], sim, NEG_INF)
-            return jnp.max(sim, axis=-1)  # [Tq, cc]
-
-        per_tok = jax.vmap(per_query)(scores_masked, tok_codes, tok_valid)
-        per_tok = jnp.where(
-            qmask[:, :, None] & jnp.isfinite(per_tok), per_tok, 0.0
-        )
-        approx = jnp.sum(per_tok, axis=1)  # [Q, cc]
-        approx = jnp.where(cand_chunk < index.num_documents, approx, NEG_INF)
-        return None, approx
-
-    _, out = jax.lax.scan(score_chunk, None, chunks)
-    return out.transpose(1, 0, 2).reshape(q_n, -1)[:, :cmax]
+    union = jnp.any(bitmap, axis=0)  # [nd_pad]
+    positions = jnp.cumsum(union.astype(jnp.int32))
+    overflow = jnp.maximum(positions[-1] - cmax, 0)
+    slots = jnp.where(union, positions - 1, cmax)
+    slots = jnp.minimum(slots, cmax)
+    out = jnp.full(cmax + 1, nd, jnp.int32)
+    out = out.at[slots].set(jnp.arange(nd_pad, dtype=jnp.int32), mode="drop")
+    return out[:cmax], overflow
 
 
-def _exact_rerank(
+def _exact_on_candidates(
     index: DeviceIndex,
     queries: jax.Array,
     qmask: jax.Array,
-    rerank_ids: jax.Array,
+    union_ids: jax.Array,
     shapes: PipelineShapes,
 ) -> jax.Array:
-    """Stage 5: decompress + exact MaxSim on the rerank set (search.rs:481-493)."""
-    q_n, r = rerank_ids.shape
+    """Stage 4: decompress each union candidate ONCE, exact MaxSim against
+    the whole query batch on the MXU. Returns scores [Q, Cmax].
+
+    Profiling drove this design: the reference-shaped per-query decompress
+    (search.rs:481-493 under rayon) costs Q× the residual-gather traffic and
+    took >25s/batch on TPU; sharing the decompressed tile across the batch is
+    ~Q× cheaper and the extra MaxSim FLOPs ride the MXU for free.
+    """
+    q_n = queries.shape[0]
+    cmax = union_ids.shape[0]
     td = shapes.doc_token_cap
     nvec_pad = index.codes.shape[0]
     nd_pad = index.num_docs_padded
 
-    n_chunks = -(-r // shapes.rerank_chunk)
-    pad = n_chunks * shapes.rerank_chunk - r
+    n_tiles = -(-cmax // shapes.cand_tile)
+    pad = n_tiles * shapes.cand_tile - cmax
     ids_p = (
         jnp.concatenate(
-            [rerank_ids, jnp.full((q_n, pad), index.num_documents, jnp.int32)],
-            axis=1,
+            [union_ids, jnp.full(pad, index.num_documents, jnp.int32)]
         )
         if pad
-        else rerank_ids
+        else union_ids
     )
-    chunks = ids_p.reshape(q_n, n_chunks, shapes.rerank_chunk).transpose(1, 0, 2)
+    tiles = ids_p.reshape(n_tiles, shapes.cand_tile)
 
     t_arange = jnp.arange(td, dtype=jnp.int32)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if shapes.stage1_precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
 
-    def rerank_chunk(_, id_chunk):
-        safe = jnp.clip(id_chunk, 0, nd_pad - 1)
+    def score_tile(_, ids):
+        safe = jnp.clip(ids, 0, nd_pad - 1)
         offs = index.doc_offsets[safe]
-        lens = index.doclens[safe]
-        tok_pos = jnp.clip(
-            offs[:, :, None] + t_arange[None, None, :], 0, nvec_pad - 1
-        )
-        tok_valid = t_arange[None, None, :] < lens[:, :, None]  # [Q,rc,Td]
-        tok_codes = index.codes[tok_pos]
-        packed = index.residuals[tok_pos]  # [Q,rc,Td,pd] u8
+        lens = jnp.where(ids < index.num_documents, index.doclens[safe], 0)
+        tok_pos = jnp.clip(offs[:, None] + t_arange[None, :], 0, nvec_pad - 1)
+        tok_valid = t_arange[None, :] < lens[:, None]  # [tile, Td]
         emb = codec_ops.decompress_residuals(
-            packed,
-            tok_codes,
+            index.residuals[tok_pos],
+            index.codes[tok_pos],
             index.centroids,
             index.bucket_weights,
             shapes.nbits,
             normalize=True,
-        )  # [Q,rc,Td,d]
-        # HIGHEST precision: final scores must match the reference's f32 GEMM
-        # (search.rs:481-493); TPU bf16 default drifts ~1e-3.
+        )  # [tile, Td, d] — shared across all queries
+        # Final scores match the reference's f32 GEMM (search.rs:481-493)
+        # under "highest"; "default" allows TPU bf16 passes.
         sim = jnp.einsum(
-            "qtd,qrjd->qrtj",
+            "qtd,njd->qntj",
             queries,
             emb,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
-        sim = jnp.where(tok_valid[:, :, None, :], sim, NEG_INF)
-        per_tok = jnp.max(sim, axis=-1)  # [Q,rc,Tq]
+        sim = jnp.where(tok_valid[None, :, None, :], sim, NEG_INF)
+        per_tok = jnp.max(sim, axis=-1)  # [Q, tile, Tq]
         per_tok = jnp.where(
             qmask[:, None, :] & jnp.isfinite(per_tok), per_tok, 0.0
         )
-        return None, jnp.sum(per_tok, axis=-1)  # [Q, rc]
+        return None, jnp.sum(per_tok, axis=-1)  # [Q, tile]
 
-    _, out = jax.lax.scan(rerank_chunk, None, chunks)
-    return out.transpose(1, 0, 2).reshape(q_n, -1)[:, :r]
+    _, out = jax.lax.scan(score_tile, None, tiles)
+    return out.transpose(1, 0, 2).reshape(q_n, -1)[:, :cmax]
 
 
 # ---------------------------------------------------------------------------
@@ -366,26 +328,33 @@ def search_pipeline(
     # Stage 2: cell selection.
     cells = _select_cells(s_masked, qmask, shapes, k)
 
-    # Stage 3: candidates.
+    # Stage 3: per-query candidate bitmaps -> batch union.
     subset = subset_mask if has_subset else None
-    cand_ids, overflow = _gen_candidates(index, cells, shapes, subset)
+    bitmap = _gen_bitmap(index, cells, shapes, subset)
+    union_ids, overflow = _union_candidates(index, bitmap, shapes)
 
-    # Stage 4: approximate scores + select rerank set.
-    approx = _approx_scores(index, s_masked, qmask, cand_ids, shapes)
-    top_approx, top_slots = jax.lax.top_k(approx, shapes.n_rerank)
-    rerank_ids = jnp.take_along_axis(cand_ids, top_slots, axis=1)
-    rerank_valid = jnp.isfinite(top_approx) & (
-        rerank_ids < index.num_documents
+    # Stage 4: exact MaxSim on the union (decompress once per candidate).
+    exact = _exact_on_candidates(index, queries, qmask, union_ids, shapes)
+    # Each query only ranks ITS OWN candidates (reference semantics).
+    nd_pad = index.num_docs_padded
+    mine = jnp.take_along_axis(
+        bitmap,
+        jnp.broadcast_to(
+            jnp.clip(union_ids, 0, nd_pad - 1)[None, :],
+            (bitmap.shape[0], union_ids.shape[0]),
+        ),
+        axis=1,
     )
+    exact = jnp.where(mine & (union_ids < index.num_documents)[None, :],
+                      exact, NEG_INF)
 
-    # Stage 5: exact re-rank.
-    exact = _exact_rerank(index, queries, qmask, rerank_ids, shapes)
-    exact = jnp.where(rerank_valid, exact, NEG_INF)
-
-    # Stage 6: final top-k.
+    # Stage 5: final top-k.
     final_scores, final_slots = jax.lax.top_k(exact, shapes.top_k)
-    final_ids = jnp.take_along_axis(rerank_ids, final_slots, axis=1)
+    final_ids = jnp.take_along_axis(
+        jnp.broadcast_to(union_ids[None, :], exact.shape), final_slots, axis=1
+    )
     final_ids = jnp.where(jnp.isfinite(final_scores), final_ids, -1)
+    overflow = jnp.broadcast_to(overflow, (queries.shape[0],))
     return final_ids, final_scores, overflow
 
 
@@ -442,29 +411,53 @@ def search_batch(
             [q_mask, np.zeros((q_bucket - n, q_mask.shape[1]), bool)]
         )
 
-    shapes = PipelineShapes.derive(index, params, q_bucket, q_arr.shape[1])
-
     if subset is not None:
         mask = np.zeros(index.num_docs_padded, bool)
-        ids = np.asarray(list(subset), np.int64)
-        ids = ids[(ids >= 0) & (ids < index.num_documents)]
-        mask[ids] = True
+        sids = np.asarray(list(subset), np.int64)
+        sids = sids[(sids >= 0) & (sids < index.num_documents)]
+        mask[sids] = True
         subset_arr = jnp.asarray(mask)
     else:
         subset_arr = None
 
-    ids, scores, overflow = search_pipeline(
-        index,
-        jnp.asarray(q_arr),
-        jnp.asarray(q_mask),
-        subset_arr,
-        shapes,
-        subset is not None,
+    use_exact = params.mode == "exact" or (
+        params.mode == "auto"
+        and index.num_embeddings <= params.exact_max_embeddings
     )
-    ids = np.asarray(ids)[:n]
-    scores = np.asarray(scores)[:n]
-    overflow = np.asarray(overflow)[:n]
-    if overflow.max(initial=0) > 0:
+    if use_exact:
+        from nextplaid_tpu.index.exact import (
+            default_doc_tile,
+            exact_search_pipeline,
+        )
+
+        td = max(_round_up(max(index.max_doclen, 1), 8), 8)
+        ids, scores = exact_search_pipeline(
+            index,
+            jnp.asarray(q_arr),
+            jnp.asarray(q_mask),
+            subset_arr,
+            top_k=min(params.top_k, max(index.num_documents, 1)),
+            doc_tile=default_doc_tile(q_bucket, q_arr.shape[1], td),
+            precision=params.stage1_precision,
+            has_subset=subset is not None,
+        )
+        ids = np.asarray(ids)[:n]
+        scores = np.asarray(scores)[:n]
+        overflow = np.zeros(n, np.int32)
+    else:
+        shapes = PipelineShapes.derive(index, params, q_bucket, q_arr.shape[1])
+        ids, scores, overflow = search_pipeline(
+            index,
+            jnp.asarray(q_arr),
+            jnp.asarray(q_mask),
+            subset_arr,
+            shapes,
+            subset is not None,
+        )
+        ids = np.asarray(ids)[:n]
+        scores = np.asarray(scores)[:n]
+        overflow = np.asarray(overflow)[:n]
+    if not use_exact and overflow.max(initial=0) > 0:
         import logging
 
         logging.getLogger(__name__).warning(

@@ -12,11 +12,10 @@ contiguous doc ranges over a 1-D `"docs"` mesh axis:
   - per-shard exact top-k results are merged with `all_gather` over ICI and a
     final replicated top-k.
 
-Per-shard rerank depth: the reference applies `n_full_scores/4` globally
-(search.rs:468); a faithful global selection would need a mid-pipeline
-collective. We over-approximate instead — each shard reranks up to
-`max(2*ceil(R/S), top_k)` local candidates, which can only *increase* recall
-relative to the reference at equal parameters (documented deviation).
+Each shard runs the union-candidate pipeline (stages 1-4 of
+nextplaid_tpu.index.search) against its local docs and produces an exact
+local top-k; the merge is then exact — unlike approximate-prune-then-merge
+designs there is no cross-shard recall loss at equal probe parameters.
 """
 
 from __future__ import annotations
@@ -37,11 +36,11 @@ from nextplaid_tpu.index.container import DeviceIndex
 from nextplaid_tpu.index.search import (
     PipelineShapes,
     QueryResult,
-    _approx_scores,
-    _exact_rerank,
-    _gen_candidates,
+    _exact_on_candidates,
+    _gen_bitmap,
     _pad_queries,
     _select_cells,
+    _union_candidates,
     NEG_INF,
 )
 from nextplaid_tpu.parallel.mesh import DOC_AXIS, make_mesh
@@ -225,7 +224,6 @@ class HostIndexData:
 def _shard_search_fn(
     shapes: PipelineShapes,
     static: dict,
-    rerank_local: int,
     top_k: int,
     has_subset: bool,
 ):
@@ -262,10 +260,6 @@ def _shard_search_fn(
             avg_residual=avg_residual,
             **static,
         )
-        local_shapes = dataclasses.replace(
-            shapes, n_rerank=rerank_local, top_k=min(top_k, rerank_local)
-        )
-
         s_raw = jnp.einsum(
             "qtd,kd->qtk",
             queries,
@@ -278,20 +272,29 @@ def _shard_search_fn(
             ),
         )
         s_masked = jnp.where(qmask[:, :, None], s_raw, NEG_INF)
-        cells = _select_cells(s_masked, qmask, local_shapes, index.num_centroids)
+        cells = _select_cells(s_masked, qmask, shapes, index.num_centroids)
         subset = subset_mask[0] if has_subset else None
-        cand_ids, overflow = _gen_candidates(index, cells, local_shapes, subset)
-        approx = _approx_scores(index, s_masked, qmask, cand_ids, local_shapes)
-        top_approx, top_slots = jax.lax.top_k(approx, rerank_local)
-        rerank_ids = jnp.take_along_axis(cand_ids, top_slots, axis=1)
-        rerank_valid = jnp.isfinite(top_approx) & (
-            rerank_ids < index.num_documents
+        bitmap = _gen_bitmap(index, cells, shapes, subset)
+        union_ids, overflow = _union_candidates(index, bitmap, shapes)
+        exact = _exact_on_candidates(index, queries, qmask, union_ids, shapes)
+        nd_pad = index.num_docs_padded
+        mine = jnp.take_along_axis(
+            bitmap,
+            jnp.broadcast_to(
+                jnp.clip(union_ids, 0, nd_pad - 1)[None, :],
+                (bitmap.shape[0], union_ids.shape[0]),
+            ),
+            axis=1,
         )
-        exact = _exact_rerank(index, queries, qmask, rerank_ids, local_shapes)
-        exact = jnp.where(rerank_valid, exact, NEG_INF)
-        k_local = min(top_k, rerank_local)
+        exact = jnp.where(
+            mine & (union_ids < index.num_documents)[None, :], exact, NEG_INF
+        )
+        k_local = min(top_k, shapes.max_candidates)
         local_scores, local_slots = jax.lax.top_k(exact, k_local)
-        local_ids = jnp.take_along_axis(rerank_ids, local_slots, axis=1)
+        local_ids = jnp.take_along_axis(
+            jnp.broadcast_to(union_ids[None, :], exact.shape), local_slots,
+            axis=1,
+        )
         local_ids = jnp.where(
             jnp.isfinite(local_scores), local_ids + doc_base[0], -1
         )
@@ -321,14 +324,8 @@ def sharded_search_jit(
     """Build the jitted sharded search program for fixed batch shapes."""
     template = sindex.local_index_template()
     shapes = PipelineShapes.derive(template, params, num_queries, query_tokens)
-    n = sindex.n_shards
-    rerank_local = min(
-        max(2 * (-(-shapes.n_rerank // n)), params.top_k), shapes.n_rerank
-    )
 
-    body = _shard_search_fn(
-        shapes, sindex.static, rerank_local, params.top_k, has_subset
-    )
+    body = _shard_search_fn(shapes, sindex.static, params.top_k, has_subset)
     in_specs = (
         [P() if f in _REPLICATED else P(DOC_AXIS) for f in _ARRAY_FIELDS]
         + [P(DOC_AXIS), P(), P(), P(DOC_AXIS)]

@@ -171,3 +171,50 @@ def test_reconstruct_embeddings(built):
         assert cos.mean() > 0.95, cos.mean()
     with pytest.raises(Exception):
         reconstruct_embeddings(index, [10**9])
+
+
+def test_staged_mode_matches_exact_mode(built):
+    """Force mode='staged' (probe everything) and mode='exact'; both must
+    reproduce the brute-force oracle — covers both code paths explicitly."""
+    docs, path, meta, index = built
+    queries, _ = make_queries(docs, num_queries=4)
+    staged = search_batch(
+        index,
+        queries,
+        SearchParameters(
+            mode="staged",
+            n_ivf_probe=index.num_centroids,
+            centroid_score_threshold=None,
+            n_full_scores=4 * len(docs),
+            top_k=10,
+        ),
+    )
+    exact = search_batch(
+        index, queries, SearchParameters(mode="exact", top_k=10)
+    )
+    for s, e in zip(staged, exact):
+        assert s.passage_ids == e.passage_ids
+        np.testing.assert_allclose(s.scores, e.scores, rtol=2e-4, atol=2e-4)
+
+
+def test_staged_mode_default_params(built):
+    """The staged pipeline with default operating point still finds targets."""
+    docs, path, meta, index = built
+    queries, targets = make_queries(docs, num_queries=8)
+    results = search_batch(
+        index, queries, SearchParameters(top_k=10, mode="staged")
+    )
+    hits = sum(t in r.passage_ids for t, r in zip(targets, results))
+    assert hits >= 7, f"only {hits}/8 targets found in top-10"
+
+
+def test_exact_mode_subset(built):
+    docs, path, meta, index = built
+    queries, targets = make_queries(docs, num_queries=4)
+    subset = sorted(set(range(0, len(docs), 3)) | set(targets))
+    results = search_batch(
+        index, queries, SearchParameters(top_k=5, mode="exact"), subset=subset
+    )
+    for t, r in zip(targets, results):
+        assert set(r.passage_ids) <= set(subset)
+        assert t in r.passage_ids
