@@ -93,9 +93,16 @@ def main():
 
         with open(path + "/build_seconds.json", "w") as f:
             _json.dump({"build_s": build_s}, f)
-    index = DeviceIndex.load(path)
+    index_f32 = DeviceIndex.load(path)
 
-    params = SearchParameters(top_k=10)
+    # Operating point: pinned bf16 token grid + bf16 MXU passes — the
+    # TPU-native configuration. Quality is reported against the f32
+    # exhaustive oracle (recall@10) computed on the UNpinned index.
+    index = index_f32.with_token_grid()
+    params = SearchParameters(top_k=10, stage1_precision="default")
+    oracle_params = SearchParameters(
+        top_k=10, mode="exact", stage1_precision="highest"
+    )
     batch = 32
 
     # Warmup / compile.
@@ -103,11 +110,27 @@ def main():
 
     t0 = time.perf_counter()
     n_done = 0
+    results = []
     for start in range(0, len(queries), batch):
         res = search_batch(index, queries[start : start + batch], params)
+        results.extend(res)
         n_done += len(res)
     elapsed = time.perf_counter() - t0
     qps = n_done / elapsed
+
+    # Quality: recall@10 of the fast config vs the f32 exhaustive oracle on a
+    # query subsample.
+    n_eval = 64
+    oracle = search_batch(index_f32, queries[:n_eval], oracle_params)
+    recall = float(
+        np.mean(
+            [
+                len(set(r.passage_ids) & set(o.passage_ids))
+                / max(len(o.passage_ids), 1)
+                for r, o in zip(results[:n_eval], oracle)
+            ]
+        )
+    )
 
     print(
         json.dumps(
@@ -125,6 +148,8 @@ def main():
                     "batch": batch,
                     "index_build_s": round(build_s, 1),
                     "indexing_docs_per_s": round(index.num_documents / build_s, 1),
+                    "recall_at_10_vs_f32_oracle": round(recall, 4),
+                    "pinned_token_grid": index.token_grid is not None,
                     "baseline": "reference SciFact Docker CPU search: 55.3 QPS",
                 },
             }

@@ -162,9 +162,14 @@ class AppState:
             if not self.index_exists(name):
                 raise KeyError(name)
             loop = asyncio.get_running_loop()
-            index = await loop.run_in_executor(
-                None, DeviceIndex.load, str(self.index_path(name))
-            )
+            def _load() -> DeviceIndex:
+                # Pin the decompressed token grid when it fits the HBM
+                # budget: exhaustive search then skips per-batch decompress.
+                return DeviceIndex.load(
+                    str(self.index_path(name))
+                ).with_token_grid()
+
+            index = await loop.run_in_executor(None, _load)
             self._indices[name] = index
             return index
 
@@ -320,7 +325,7 @@ class AppState:
             embeddings, path, index_config, update_config, metadata
         )
         self._evict_oldest(name, cfg)
-        self.register(name, DeviceIndex.load(path))
+        self.register(name, DeviceIndex.load(path).with_token_grid())
         return doc_ids
 
     def _evict_oldest(self, name: str, cfg: IndexConfigStored) -> None:

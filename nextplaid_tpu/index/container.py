@@ -20,6 +20,8 @@ reference's eval harnesses can be reused.
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 import math
 from dataclasses import dataclass
 from pathlib import Path
@@ -52,6 +54,10 @@ class DeviceIndex:
     bucket_cutoffs: jax.Array  # [2^nbits - 1] f32
     bucket_weights: jax.Array  # [2^nbits] f32
     avg_residual: jax.Array  # [d] f32
+    # Optional pinned decompressed corpus: [ndocs_grid, Td_grid, d] bf16.
+    # Built at load when it fits the HBM budget; lets exhaustive search skip
+    # the per-batch decompress entirely (pure dynamic-slice + MXU einsum).
+    token_grid: Optional[jax.Array] = None
     # --- static metadata (aux fields: not traced) ---
     nbits: int = dataclasses.field(metadata=dict(static=True), default=4)
     num_documents: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -70,6 +76,31 @@ class DeviceIndex:
     @property
     def num_docs_padded(self) -> int:
         return self.doclens.shape[0]
+
+    # ------------------------------------------------------------------
+    # Pinned decompressed corpus
+    # ------------------------------------------------------------------
+    def grid_bytes(self) -> int:
+        td = max(_round_up(max(self.max_doclen, 1), 8), 8)
+        return self.num_docs_padded * td * self.dim * 2
+
+    def with_token_grid(
+        self, budget_mb: Optional[int] = None
+    ) -> "DeviceIndex":
+        """Return a copy carrying the decompressed [nd_pad, Td, d] bf16 token
+        grid, or self unchanged if it exceeds the HBM budget
+        (NEXT_PLAID_PIN_BUDGET_MB, default 4096)."""
+        if self.token_grid is not None or self.num_documents == 0:
+            return self
+        if budget_mb is None:
+            budget_mb = int(
+                os.environ.get("NEXT_PLAID_PIN_BUDGET_MB", "4096")
+            )
+        if self.grid_bytes() > budget_mb << 20:
+            return self
+        td = max(_round_up(max(self.max_doclen, 1), 8), 8)
+        grid = _build_token_grid(self, td)
+        return dataclasses.replace(self, token_grid=grid)
 
     # ------------------------------------------------------------------
     # Construction from host arrays
@@ -220,3 +251,58 @@ class DeviceIndex:
             avg_residual=avg_residual,
             nbits=meta.nbits,
         )
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "td", "tile"))
+def _build_token_grid_jit(
+    codes, residuals, doc_offsets, doclens, centroids, bucket_weights,
+    nbits, td, tile,
+):
+    from nextplaid_tpu.ops import codec as codec_ops
+
+    nvec_pad = codes.shape[0]
+    nd_pad = doclens.shape[0]
+    # Pad rows so exact-search dynamic_slice windows (doc_tile <= 512) never
+    # clamp: a clamped start would silently misalign tile <-> doc ids.
+    nd_grid = ((nd_pad + 512 + tile - 1) // tile) * tile
+    n_tiles = nd_grid // tile
+    t_arange = jnp.arange(td, dtype=jnp.int32)
+
+    def build_tile(_, start):
+        ids = start + jnp.arange(tile, dtype=jnp.int32)
+        safe = jnp.minimum(ids, nd_pad - 1)
+        offs = doc_offsets[safe]
+        lens = jnp.where(ids < nd_pad, doclens[safe], 0)
+        tok_pos = jnp.clip(offs[:, None] + t_arange[None, :], 0, nvec_pad - 1)
+        tok_valid = t_arange[None, :] < lens[:, None]
+        emb = codec_ops.decompress_residuals(
+            residuals[tok_pos], codes[tok_pos], centroids, bucket_weights,
+            nbits, normalize=True,
+        )
+        emb = jnp.where(tok_valid[:, :, None], emb, 0.0)
+        return None, emb.astype(jnp.bfloat16)
+
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    _, tiles = jax.lax.scan(build_tile, None, starts)
+    return tiles.reshape(n_tiles * tile, td, -1)
+
+
+def _build_token_grid(index: "DeviceIndex", td: int) -> jax.Array:
+    """Decompress the whole corpus once into a padded bf16 token grid.
+
+    Zeroed padding rows contribute 0 to every dot product, so the grid path
+    needs no per-token mask at query time — padded tokens can never win the
+    per-query-token max against a real token unless every similarity is
+    negative, which the NEG_INF masking in exact.py handles via doclens.
+    """
+    return _build_token_grid_jit(
+        index.codes,
+        index.residuals,
+        index.doc_offsets,
+        index.doclens,
+        index.centroids,
+        index.bucket_weights,
+        index.nbits,
+        td,
+        tile=64,
+    )

@@ -72,24 +72,40 @@ def exact_search_pipeline(
         else jax.lax.Precision.DEFAULT
     )
 
+    q_in = queries if precision == "highest" else queries.astype(jnp.bfloat16)
+
     def score_tile(_, start):
         ids = start + d_arange  # [tile]
         safe = jnp.minimum(ids, nd_pad - 1)
-        offs = index.doc_offsets[safe]
         lens = jnp.where(ids < nd, index.doclens[safe], 0)
-        tok_pos = jnp.clip(offs[:, None] + t_arange[None, :], 0, nvec_pad - 1)
         tok_valid = t_arange[None, :] < lens[:, None]  # [tile, Td]
-        emb = codec_ops.decompress_residuals(
-            index.residuals[tok_pos],
-            index.codes[tok_pos],
-            index.centroids,
-            index.bucket_weights,
-            index.nbits,
-            normalize=True,
-        )  # [tile, Td, d] — decompressed ONCE for the whole query batch
+        if index.token_grid is not None:
+            # Pinned path: contiguous slice of the pre-decompressed grid.
+            emb = jax.lax.dynamic_slice(
+                index.token_grid,
+                (start, 0, 0),
+                (doc_tile, td, index.token_grid.shape[2]),
+            )
+            if precision == "highest":
+                emb = emb.astype(jnp.float32)
+        else:
+            offs = index.doc_offsets[safe]
+            tok_pos = jnp.clip(
+                offs[:, None] + t_arange[None, :], 0, nvec_pad - 1
+            )
+            emb = codec_ops.decompress_residuals(
+                index.residuals[tok_pos],
+                index.codes[tok_pos],
+                index.centroids,
+                index.bucket_weights,
+                index.nbits,
+                normalize=True,
+            )  # [tile, Td, d] — decompressed ONCE for the whole query batch
+            if precision != "highest":
+                emb = emb.astype(jnp.bfloat16)
         sim = jnp.einsum(
             "qtd,njd->qntj",
-            queries,
+            q_in,
             emb,
             preferred_element_type=jnp.float32,
             precision=prec,

@@ -125,3 +125,62 @@ def test_train_codec_buckets_quantiles():
     cutoffs, weights = codec.train_codec_buckets(sample, 2)
     np.testing.assert_allclose(cutoffs, [-0.5, 0.0, 0.5], atol=1e-3)
     np.testing.assert_allclose(weights, [-0.75, -0.25, 0.25, 0.75], atol=1e-3)
+
+
+def test_fastplaid_conversion(tmp_path):
+    """f16/i64/<u1 fast-plaid files convert in place and stay loadable
+    (reference mmap.rs:1757-1811)."""
+    import struct
+
+    from nextplaid_tpu.storage.convert import convert_fastplaid_to_nextplaid
+    from nextplaid_tpu.storage.npy import load_npy
+
+    rng = np.random.default_rng(0)
+    cents = rng.standard_normal((16, 8)).astype(np.float16)
+    np.save(tmp_path / "centroids.npy", cents)
+    np.save(tmp_path / "ivf_lengths.npy", np.arange(16, dtype=np.int64))
+    # Hand-write a '<u1' descriptor NPY (numpy itself writes '|u1').
+    res = rng.integers(0, 255, size=(10, 4)).astype(np.uint8)
+    header = "{'descr': '<u1', 'fortran_order': False, 'shape': (10, 4), }"
+    header += " " * ((64 - (10 + len(header) + 1) % 64) % 64) + "\n"
+    with open(tmp_path / "0.residuals.npy", "wb") as f:
+        f.write(b"\x93NUMPY\x01\x00")
+        f.write(struct.pack("<H", len(header)))
+        f.write(header.encode())
+        f.write(res.tobytes())
+
+    assert convert_fastplaid_to_nextplaid(tmp_path) is True
+    c = np.asarray(load_npy(tmp_path / "centroids.npy"))
+    assert c.dtype == np.float32
+    np.testing.assert_allclose(c, cents.astype(np.float32))
+    iv = np.asarray(load_npy(tmp_path / "ivf_lengths.npy"))
+    assert iv.dtype == np.int32
+    r = np.asarray(load_npy(tmp_path / "0.residuals.npy"))
+    assert r.dtype == np.uint8
+    np.testing.assert_array_equal(r, res)
+    # Idempotent.
+    assert convert_fastplaid_to_nextplaid(tmp_path) is False
+
+
+def test_native_codec_matches_device_codec():
+    """C++ host pack/unpack/bucketize == the JAX device codec bit-for-bit."""
+    import jax.numpy as jnp
+
+    from nextplaid_tpu.ops import codec
+    from nextplaid_tpu.storage import native
+
+    rng = np.random.default_rng(1)
+    for nbits in (2, 4):
+        buckets = rng.integers(0, 1 << nbits, size=(64, 128)).astype(np.int32)
+        host = native.pack_residuals(buckets, nbits)
+        dev = np.asarray(codec.pack_buckets(jnp.asarray(buckets), nbits))
+        np.testing.assert_array_equal(host, dev)
+        np.testing.assert_array_equal(
+            native.unpack_residuals(host, nbits), buckets
+        )
+    cut = np.sort(rng.standard_normal(15)).astype(np.float32)
+    vals = rng.standard_normal(500).astype(np.float32)
+    np.testing.assert_array_equal(
+        native.bucketize(vals, cut),
+        np.asarray(codec.bucketize(jnp.asarray(vals), jnp.asarray(cut), 4)),
+    )

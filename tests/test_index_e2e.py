@@ -218,3 +218,42 @@ def test_exact_mode_subset(built):
     for t, r in zip(targets, results):
         assert set(r.passage_ids) <= set(subset)
         assert t in r.passage_ids
+
+
+def test_token_grid_path_matches(built):
+    """Pinned token-grid exact search == decompress-on-the-fly exact search."""
+    docs, path, meta, index = built
+    queries, _ = make_queries(docs, num_queries=4)
+    base = search_batch(index, queries, SearchParameters(mode="exact", top_k=10))
+    pinned = index.with_token_grid(budget_mb=10_000)
+    assert pinned.token_grid is not None
+    got = search_batch(pinned, queries, SearchParameters(mode="exact", top_k=10))
+    for b, g in zip(base, got):
+        # The grid stores bf16, so near-ties (score gap < ~1e-3) may swap
+        # order; compare the retrieved SET and the scores per doc id.
+        assert set(b.passage_ids) == set(g.passage_ids)
+        assert b.passage_ids[0] == g.passage_ids[0]
+        by_id_b = dict(zip(b.passage_ids, b.scores))
+        by_id_g = dict(zip(g.passage_ids, g.scores))
+        for doc in by_id_b:
+            np.testing.assert_allclose(
+                by_id_b[doc], by_id_g[doc], rtol=5e-3, atol=5e-3
+            )
+
+
+def test_bf16_precision_recall(built):
+    """precision='default' (bf16) keeps top-10 ranking nearly identical."""
+    docs, path, meta, index = built
+    queries, targets = make_queries(docs, num_queries=8)
+    hi = search_batch(index, queries, SearchParameters(mode="exact", top_k=10))
+    lo = search_batch(
+        index, queries,
+        SearchParameters(mode="exact", top_k=10, stage1_precision="default"),
+    )
+    overlap = np.mean([
+        len(set(h.passage_ids) & set(l.passage_ids)) / max(len(h.passage_ids), 1)
+        for h, l in zip(hi, lo)
+    ])
+    assert overlap >= 0.9, overlap
+    hits = sum(t in r.passage_ids for t, r in zip(targets, lo))
+    assert hits >= 7
