@@ -83,9 +83,60 @@ async def _parse(request: web.Request, model):
         )
 
 
+import logging
+
+_log = logging.getLogger("nextplaid_tpu.api")
+SLOW_REQUEST_S = 1.0  # reference: >1s search warning (search.rs:256-258)
+
+# Reference parity (main.rs:291-505): global concurrency cap + env-gated
+# rate limit; health/info/update/encode/delete paths bypass the rate limit.
+CONCURRENCY_LIMIT = int(os.environ.get("CONCURRENCY_LIMIT", "100"))
+RATE_LIMIT_PER_SECOND = float(os.environ.get("RATE_LIMIT_PER_SECOND", "0"))
+RATE_LIMIT_BURST = int(os.environ.get("RATE_LIMIT_BURST", "50"))
+_RATE_EXEMPT_PREFIXES = ("/health", "/encode", "/rerank")
+_RATE_EXEMPT_SUFFIXES = ("/update", "/update_with_encoding")
+
+
+class _TokenBucket:
+    def __init__(self, rate: float, burst: int):
+        self.rate = rate
+        self.tokens = float(burst)
+        self.burst = float(burst)
+        self.last = time.monotonic()
+
+    def try_acquire(self) -> bool:
+        now = time.monotonic()
+        self.tokens = min(self.burst, self.tokens + (now - self.last) * self.rate)
+        self.last = now
+        if self.tokens >= 1.0:
+            self.tokens -= 1.0
+            return True
+        return False
+
+
+@web.middleware
+async def limits_middleware(request: web.Request, handler):
+    app = request.app
+    bucket: Optional[_TokenBucket] = app.get("rate_bucket")
+    if bucket is not None:
+        path = request.path
+        exempt = (
+            request.method == "GET"
+            or path.startswith(_RATE_EXEMPT_PREFIXES)
+            or path.endswith(_RATE_EXEMPT_SUFFIXES)
+            or (request.method == "DELETE")
+        )
+        if not exempt and not bucket.try_acquire():
+            return _json_error(429, "rate limit exceeded")
+    sem: asyncio.Semaphore = app["concurrency_sem"]
+    async with sem:
+        return await handler(request)
+
+
 @web.middleware
 async def trace_middleware(request: web.Request, handler):
     trace_id = request.headers.get("X-Request-ID") or str(uuid.uuid4())
+    t0 = time.perf_counter()
     try:
         resp = await handler(request)
     except web.HTTPException as e:
@@ -99,6 +150,20 @@ async def trace_middleware(request: web.Request, handler):
         resp = _json_error(400, str(e))
     except Exception as e:  # pragma: no cover - last resort
         resp = _json_error(500, f"internal error: {e}")
+    elapsed = time.perf_counter() - t0
+    # Structured per-request event (reference tracing: search.complete /
+    # update.batch.complete with stage timings + slow-op warnings).
+    level = logging.WARNING if elapsed > SLOW_REQUEST_S else logging.DEBUG
+    _log.log(
+        level,
+        "request.complete method=%s path=%s status=%s elapsed_ms=%.1f "
+        "trace_id=%s",
+        request.method,
+        request.path,
+        resp.status,
+        elapsed * 1000,
+        trace_id,
+    )
     resp.headers["X-Request-ID"] = trace_id
     return resp
 
@@ -777,9 +842,16 @@ async def rerank_with_encoding(request: web.Request) -> web.Response:
 
 def build_app(index_dir: str, encoder=None) -> web.Application:
     app = web.Application(
-        middlewares=[trace_middleware], client_max_size=MAX_BODY_BYTES
+        middlewares=[trace_middleware, limits_middleware],
+        client_max_size=MAX_BODY_BYTES,
     )
     app["state"] = AppState(index_dir, encoder=encoder)
+    app["concurrency_sem"] = asyncio.Semaphore(CONCURRENCY_LIMIT)
+    app["rate_bucket"] = (
+        _TokenBucket(RATE_LIMIT_PER_SECOND, RATE_LIMIT_BURST)
+        if RATE_LIMIT_PER_SECOND > 0
+        else None
+    )
     r = app.router
     r.add_get("/", health)
     r.add_get("/health", health)

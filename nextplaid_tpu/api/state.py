@@ -25,7 +25,6 @@ MAX_BATCH_DOCUMENTS (300), MAX_QUEUED_TASKS_PER_INDEX (10).
 from __future__ import annotations
 
 import asyncio
-import json
 import os
 import shutil
 import time

@@ -12,7 +12,7 @@ faster than JSON arrays for multi-vector payloads.
 from __future__ import annotations
 
 import base64
-from typing import Any, Dict, Iterable, List, Optional, Sequence, Union
+from typing import Any, Dict, List, Optional, Sequence, Union
 
 import numpy as np
 import requests

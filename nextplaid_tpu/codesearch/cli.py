@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import json as jsonlib
 import os
-import sys
-from pathlib import Path
 
 import click
 

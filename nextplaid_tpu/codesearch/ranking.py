@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 import re
 from pathlib import PurePosixPath
-from typing import Callable, List, Sequence
+from typing import Callable, List
 
 from nextplaid_tpu.filtering.text_search import tokenize_identifiers
 

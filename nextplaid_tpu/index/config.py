@@ -72,6 +72,10 @@ class SearchParameters:
     # the staged PLAID pipeline above; "staged"/"exact" force one.
     mode: str = "auto"
     exact_max_embeddings: int = 8_000_000
+    # Fused MaxSim Pallas kernel over the pinned token grid: "auto" uses it
+    # on TPU backends when the grid is pinned; "pallas" forces it (interpret
+    # mode off-TPU is for tests only); "off" keeps the XLA scan path.
+    kernel: str = "auto"
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

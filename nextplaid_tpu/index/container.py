@@ -22,16 +22,14 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
-import math
 from dataclasses import dataclass
-from pathlib import Path
-from typing import Any, List, Optional, Sequence
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nextplaid_tpu.index.config import IndexConfig, Metadata
+from nextplaid_tpu.index.config import Metadata
 from nextplaid_tpu.storage.npy import IndexLayout, load_json, load_npy
 
 
@@ -80,9 +78,13 @@ class DeviceIndex:
     # ------------------------------------------------------------------
     # Pinned decompressed corpus
     # ------------------------------------------------------------------
+    def grid_td(self) -> int:
+        # Lane-aligned token axis (multiple of 128) so the fused Pallas
+        # MaxSim kernel can reshape [Dblk*Td] similarity rows cleanly.
+        return max(_round_up(max(self.max_doclen, 1), 128), 128)
+
     def grid_bytes(self) -> int:
-        td = max(_round_up(max(self.max_doclen, 1), 8), 8)
-        return self.num_docs_padded * td * self.dim * 2
+        return self.num_docs_padded * self.grid_td() * self.dim * 2
 
     def with_token_grid(
         self, budget_mb: Optional[int] = None
@@ -98,8 +100,7 @@ class DeviceIndex:
             )
         if self.grid_bytes() > budget_mb << 20:
             return self
-        td = max(_round_up(max(self.max_doclen, 1), 8), 8)
-        grid = _build_token_grid(self, td)
+        grid = _build_token_grid(self, self.grid_td())
         return dataclasses.replace(self, token_grid=grid)
 
     # ------------------------------------------------------------------

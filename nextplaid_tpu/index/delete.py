@@ -10,7 +10,7 @@ search), and cleanup of the raw-embedding side files (delete.rs:286-398).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -42,7 +42,10 @@ def default_doc_tile(num_queries: int, query_tokens: int, td: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "doc_tile", "precision", "has_subset")
+    jax.jit,
+    static_argnames=(
+        "top_k", "doc_tile", "precision", "has_subset", "use_kernel"
+    ),
 )
 def exact_search_pipeline(
     index: DeviceIndex,
@@ -53,12 +56,21 @@ def exact_search_pipeline(
     doc_tile: int,
     precision: str = "highest",
     has_subset: bool = False,
+    use_kernel: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (doc_ids [Q, top_k] i32 with -1 invalid, scores [Q, top_k])."""
     q_n = queries.shape[0]
     nd = index.num_documents
     nd_pad = index.num_docs_padded
-    td = max(_round_up(max(index.max_doclen, 1), 8), 8)
+    if use_kernel and index.token_grid is not None:
+        return _exact_search_kernel(
+            index, queries, subset_mask, top_k, has_subset
+        )
+    td = (
+        index.token_grid.shape[1]
+        if index.token_grid is not None
+        else max(_round_up(max(index.max_doclen, 1), 8), 8)
+    )
     nvec_pad = index.codes.shape[0]
 
     n_tiles = -(-nd // doc_tile)
@@ -127,6 +139,46 @@ def exact_search_pipeline(
 
     k = min(top_k, max(nd, 1))
     final_scores, final_ids = jax.lax.top_k(all_scores, k)
+    final_ids = jnp.where(
+        jnp.isfinite(final_scores), final_ids.astype(jnp.int32), -1
+    )
+    return final_ids, final_scores
+
+
+def _exact_search_kernel(
+    index: DeviceIndex,
+    queries: jax.Array,
+    subset_mask: Optional[jax.Array],
+    top_k: int,
+    has_subset: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused-Pallas exhaustive scoring over the pinned token grid.
+
+    Padded query tokens are zero vectors by construction (_pad_queries), so
+    no query mask is needed — see ops/maxsim_kernel.py for the contract.
+    """
+    from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores
+
+    q_n, tq, d = queries.shape
+    nd = index.num_documents
+    grid = index.token_grid
+    nd_grid, td, _ = grid.shape
+    doclens = jnp.zeros((nd_grid, 1), jnp.int32)
+    doclens = doclens.at[: index.num_docs_padded, 0].set(index.doclens)
+
+    scores = maxsim_grid_scores(
+        queries.reshape(q_n * tq, d).astype(jnp.bfloat16),
+        grid,
+        doclens,
+        tq=tq,
+    )  # [Q, nd_grid]
+    scores = scores[:, : max(nd, 1)]
+    valid = jnp.arange(scores.shape[1]) < nd
+    if has_subset and subset_mask is not None:
+        valid &= subset_mask[: scores.shape[1]]
+    scores = jnp.where(valid[None, :], scores, NEG_INF)
+    k = min(top_k, max(nd, 1))
+    final_scores, final_ids = jax.lax.top_k(scores, k)
     final_ids = jnp.where(
         jnp.isfinite(final_scores), final_ids.astype(jnp.int32), -1
     )

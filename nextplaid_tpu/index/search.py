@@ -41,7 +41,6 @@ candidate-buffer overflow is counted and returned as a diagnostic.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
@@ -430,7 +429,15 @@ def search_batch(
             exact_search_pipeline,
         )
 
-        td = max(_round_up(max(index.max_doclen, 1), 8), 8)
+        td = (
+            index.token_grid.shape[1]
+            if index.token_grid is not None
+            else max(_round_up(max(index.max_doclen, 1), 8), 8)
+        )
+        use_kernel = index.token_grid is not None and (
+            params.kernel == "pallas"
+            or (params.kernel == "auto" and jax.default_backend() != "cpu")
+        )
         ids, scores = exact_search_pipeline(
             index,
             jnp.asarray(q_arr),
@@ -440,6 +447,7 @@ def search_batch(
             doc_tile=default_doc_tile(q_bucket, q_arr.shape[1], td),
             precision=params.stage1_precision,
             has_subset=subset is not None,
+            use_kernel=use_kernel,
         )
         ids = np.asarray(ids)[:n]
         scores = np.asarray(scores)[:n]

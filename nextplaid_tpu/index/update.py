@@ -25,7 +25,7 @@ import dataclasses
 import math
 from dataclasses import dataclass
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,6 @@ from nextplaid_tpu.index.config import (
     Metadata,
     default_start_from_scratch,
 )
-from nextplaid_tpu.ops import codec as codec_ops
 from nextplaid_tpu.ops import kmeans as kmeans_ops
 from nextplaid_tpu.storage.npy import (
     IndexLayout,

@@ -1,0 +1,121 @@
+"""Fused MaxSim Pallas kernel over the pinned token grid.
+
+The XLA exhaustive path materializes per-tile similarity blocks
+[Q, tile, Tq, Td] in HBM (~40 GB of intermediate traffic per 32-query batch
+at SciFact scale). This kernel keeps the similarity block in VMEM
+(flash-attention-style): for each document block it computes
+
+    sim_T = blockᵀ-free dot: [Dsub*Td, d] @ [d, Q*Tq]   (MXU, bf16 in, f32 acc)
+    per-doc max over token ROWS (sublane groups of Td)    (VPU)
+    sum over query tokens as a matmul with an iota-built
+    group-indicator matrix                                 (MXU)
+
+and writes only the [DBLK, Q] score block to HBM. HBM traffic collapses to
+one read of the bf16 grid (+ tiny outputs).
+
+Everything is 2-D with lane/sublane-aligned shapes — Mosaic rejects 3-D
+reshapes like [Qf, D, Td] (relayout errors), so the doc axis lives on
+sublanes and queries arrive PRE-TRANSPOSED as [d, Q*Tq].
+
+Layout contract (matches DeviceIndex.token_grid):
+  grid_tokens [ND, Td, d] bf16, Td a multiple of 128, ND a multiple of 8,
+              invalid token rows zeroed;
+  doclens     [ND, 1] int32 (0 for padding docs);
+  queries_t   [d, Q*Tq] bf16 — padded query tokens are zero columns, so they
+              contribute exactly 0 to every score.
+
+Scores for empty/padding docs come out as 0; callers mask ids >= num_docs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30  # plain float: jnp constants would be captured as kernel consts
+DBLK = 64  # docs per grid step (fewer steps amortize per-step overhead)
+SUB = 4  # docs per in-kernel sub-step (bounds the f32 sim buffer ~6 MB)
+
+
+def _kernel(qt_ref, grid_ref, lens_ref, out_ref, *, tq: int):
+    """One grid step: score DBLK docs against all queries.
+
+    qt_ref:   [d, Qf]        bf16 (Qf = Q * Tq, resident across steps)
+    grid_ref: [DBLK, Td, d]  bf16
+    lens_ref: [DBLK, 1]      int32
+    out_ref:  [DBLK, Q]      f32
+    """
+    dblk, td, d = grid_ref.shape
+    qf = qt_ref.shape[1]
+    q_n = qf // tq
+    qt = qt_ref[:]
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (td, 1), 0)
+    doc_rows = []
+    for s in range(dblk // SUB):
+        block = grid_ref[s * SUB : (s + 1) * SUB].reshape(SUB * td, d)
+        # [SUB*Td, Qf] — similarity block, VMEM only.
+        sim = jnp.dot(block, qt, preferred_element_type=jnp.float32)
+        for k in range(SUB):
+            doc_len = lens_ref[s * SUB + k, 0]
+            doc_sim = sim[k * td : (k + 1) * td]  # only this doc's rows
+            masked = jnp.where(row_iota < doc_len, doc_sim, jnp.float32(NEG))
+            m = jnp.max(masked, axis=0, keepdims=True)  # [1, Qf]
+            doc_rows.append(jnp.where(m > NEG / 2, m, 0.0))
+
+    scores_t = jnp.concatenate(doc_rows, axis=0)  # [DBLK, Qf]
+    # Sum per query (groups of tq columns) as an MXU matmul with the
+    # group-indicator matrix G[f, q] = (f // tq == q).
+    g = (
+        jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 0) // tq
+        == jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 1)
+    ).astype(jnp.float32)
+    out_ref[:] = jnp.dot(scores_t, g, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "interpret"))
+def maxsim_grid_scores(
+    queries_flat: jax.Array,  # [Q*Tq, d] bf16, zero-padded rows
+    grid_tokens: jax.Array,  # [ND, Td, d] bf16, ND % DBLK == 0
+    doclens: jax.Array,  # [ND, 1] int32
+    tq: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Exhaustive MaxSim scores [Q, ND] f32 via the fused kernel."""
+    nd, td, d = grid_tokens.shape
+    qf = queries_flat.shape[0]
+    q_n = qf // tq
+    dblk = next((d_ for d_ in (DBLK, 32, 16, 8) if nd % d_ == 0), None)
+    assert dblk is not None, f"grid rows {nd} not a multiple of 8"
+
+    queries_t = queries_flat.T  # [d, Qf] (host-side XLA transpose, once)
+
+    grid_spec = pl.GridSpec(
+        grid=(nd // dblk,),
+        in_specs=[
+            pl.BlockSpec((d, qf), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (dblk, td, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((dblk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (dblk, q_n), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, tq=tq),
+        out_shape=jax.ShapeDtypeStruct((nd, q_n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qf * d * nd * td,
+            bytes_accessed=nd * td * d * 2 + qf * d * 2 + q_n * nd * 4,
+            transcendentals=0,
+        ),
+    )(queries_t, grid_tokens, doclens)
+    return out.T  # [Q, ND]

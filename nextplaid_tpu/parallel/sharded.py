@@ -20,17 +20,15 @@ designs there is no cross-shard recall loss at equal probe parameters.
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from nextplaid_tpu.index.build import CodecArtifacts, build_ivf
+from nextplaid_tpu.index.build import build_ivf
 from nextplaid_tpu.index.config import SearchParameters
 from nextplaid_tpu.index.container import DeviceIndex
 from nextplaid_tpu.index.search import (

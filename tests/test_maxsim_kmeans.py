@@ -102,3 +102,42 @@ def test_lloyd_empty_cluster_keeps_centroid():
     out = np.asarray(kmeans.lloyd(data, init, iters=2, assign_chunk=8))
     # Cluster 1 never gets points; its centroid must stay put.
     np.testing.assert_allclose(out[1], [-100, 0, 0, 0])
+
+
+def test_pallas_maxsim_kernel_interpret():
+    """Fused MaxSim kernel (interpret mode) == plain masked MaxSim math."""
+    import jax.numpy as jnp
+
+    from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores
+
+    rng = np.random.default_rng(3)
+    q_n, tq, d = 4, 8, 128
+    nd, td = 8, 128
+    queries = rng.standard_normal((q_n, tq, d)).astype(np.float32)
+    queries[:, 5:] = 0.0  # padded query tokens are zero vectors
+    grid = rng.standard_normal((nd, td, d)).astype(np.float32)
+    lens = rng.integers(1, td, size=nd).astype(np.int32)
+    lens[-1] = 0  # padding doc
+    for i in range(nd):
+        grid[i, lens[i]:] = 0.0
+
+    got = np.asarray(
+        maxsim_grid_scores(
+            jnp.asarray(queries.reshape(q_n * tq, d), jnp.bfloat16),
+            jnp.asarray(grid, jnp.bfloat16),
+            jnp.asarray(lens[:, None]),
+            tq=tq,
+            interpret=True,
+        )
+    )
+    # Oracle in the same bf16 precision.
+    qb = queries.astype(jnp.bfloat16).astype(np.float32)
+    gb = grid.astype(jnp.bfloat16).astype(np.float32)
+    want = np.zeros((q_n, nd), np.float32)
+    for q in range(q_n):
+        for n in range(nd):
+            if lens[n] == 0:
+                continue
+            sim = qb[q, :5] @ gb[n, : lens[n]].T
+            want[q, n] = sim.max(axis=1).sum()
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
