@@ -103,7 +103,9 @@ def main():
     oracle_params = SearchParameters(
         top_k=10, mode="exact", stage1_precision="highest"
     )
-    batch = 32
+    # Batch 64: the server's ingest/search coalescing produces batches this
+    # size under concurrent load; also amortizes per-dispatch overhead.
+    batch = 64
 
     # Warmup / compile.
     search_batch(index, queries[:batch], params)

@@ -65,17 +65,9 @@ def _print_hits(hits, json_out, files_only, count_only, line_numbers):
         for h in hits:
             click.echo(h.file)
         return
-    for h in hits:
-        loc = f"{h.file}:{h.line}" if line_numbers else h.file
-        click.secho(f"{loc}  ", fg="cyan", nl=False)
-        click.secho(f"{h.unit_type} {h.name}", fg="green", nl=False)
-        click.echo(f"  (score {h.score:.3f})")
-        if h.signature:
-            click.echo(f"  {h.signature}")
-        preview = (h.docstring or h.code).strip().splitlines()
-        for line in preview[:3]:
-            click.echo(f"  | {line}")
-        click.echo()
+    from nextplaid_tpu.codesearch.display import print_hits
+
+    print_hits(hits, line_numbers=line_numbers)
 
 
 @click.group(invoke_without_command=True)

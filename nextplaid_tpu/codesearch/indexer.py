@@ -54,11 +54,31 @@ def cache_root() -> Path:
     return Path(base) / "nextplaid_tpu" / "codesearch"
 
 
+def resolve_worktree_main(project: Path) -> Path:
+    """Map a git worktree to its main working tree so all worktrees of a repo
+    share one index (reference colgrep/src/index/worktree.rs)."""
+    git = project / ".git"
+    try:
+        if git.is_file():
+            # Linked worktree: .git is a file "gitdir: <main>/.git/worktrees/x"
+            line = git.read_text().strip()
+            if line.startswith("gitdir:"):
+                gitdir = Path(line.split(":", 1)[1].strip())
+                if "worktrees" in gitdir.parts:
+                    i = gitdir.parts.index("worktrees")
+                    common = Path(*gitdir.parts[:i])  # <main>/.git
+                    return common.parent
+    except OSError:
+        pass
+    return project
+
+
 def project_index_dir(project: Path, model_id: str = "default") -> Path:
+    root = resolve_worktree_main(project.resolve())
     key = hashlib.blake2b(
-        f"{project.resolve()}::{model_id}".encode(), digest_size=12
+        f"{root}::{model_id}".encode(), digest_size=12
     ).hexdigest()
-    return cache_root() / f"{project.name}-{key}"
+    return cache_root() / f"{root.name}-{key}"
 
 
 def _hash_content(data: bytes) -> str:

@@ -270,26 +270,40 @@ class Colbert:
         filter_skiplist: bool = True,
     ) -> List[np.ndarray]:
         """Encode documents; padding rows are dropped, skiplist token rows
-        filtered (lib.rs:1118), optional hierarchical pooling applied."""
+        filtered (lib.rs:1118), optional hierarchical pooling applied.
+
+        Documents are length-sorted before batching (reference dynamic
+        batching, lib.rs:752-758): each forward batch pads only to ITS
+        longest member, so mixing short and long docs doesn't waste MXU
+        cycles; original order is restored on output.
+        """
         if not documents:
             return []
-        input_ids, attention, rows, lengths = self._prepare(
-            documents, is_query=False
+        order = sorted(
+            range(len(documents)), key=lambda i: len(documents[i])
         )
-        emb = self._run_batches(input_ids, attention)
-        out: List[np.ndarray] = []
-        for i, row in enumerate(rows):
-            L = min(lengths[i], emb.shape[1])
-            if filter_skiplist and self.skiplist_ids:
-                keep = [
-                    j for j in range(L) if row[j] not in self.skiplist_ids
-                ]
-                out.append(emb[i, keep])
-            else:
-                out.append(emb[i, :L])
+        out: List[Optional[np.ndarray]] = [None] * len(documents)
+        for start in range(0, len(order), self.batch_size):
+            idxs = order[start : start + self.batch_size]
+            batch_docs = [documents[i] for i in idxs]
+            input_ids, attention, rows, lengths = self._prepare(
+                batch_docs, is_query=False
+            )
+            emb = self._run_batches(input_ids, attention)
+            for bi, orig in enumerate(idxs):
+                L = min(lengths[bi], emb.shape[1])
+                row = rows[bi]
+                if filter_skiplist and self.skiplist_ids:
+                    keep = [
+                        j for j in range(L) if row[j] not in self.skiplist_ids
+                    ]
+                    out[orig] = emb[bi, keep]
+                else:
+                    out[orig] = emb[bi, :L]
+        result = [e for e in out]  # order restored
         if pool_factor > 1:
-            out = pool_document_embeddings(out, pool_factor)
-        return out
+            result = pool_document_embeddings(result, pool_factor)
+        return result
 
     def encode_documents_stream(
         self,

@@ -74,7 +74,12 @@ def _kernel(qt_ref, grid_ref, lens_ref, out_ref, *, tq: int):
         jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 0) // tq
         == jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 1)
     ).astype(jnp.float32)
-    out_ref[:] = jnp.dot(scores_t, g, preferred_element_type=jnp.float32)
+    # HIGHEST: DEFAULT f32 dots may run single-pass bf16 on the MXU, which
+    # would truncate the per-token maxima before the final sum.
+    out_ref[:] = jnp.dot(
+        scores_t, g, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("tq", "interpret"))
