@@ -120,6 +120,7 @@ def lloyd(
 def compute_kmeans(
     documents_embeddings: Sequence[np.ndarray],
     config: KMeansConfig = KMeansConfig(),
+    flat_device: Optional[jax.Array] = None,
 ) -> np.ndarray:
     """Train centroids from per-document embedding arrays.
 
@@ -153,16 +154,30 @@ def compute_kmeans(
 
     # Cap training points per centroid (faiss-style subsample).
     max_points = k * config.max_points_per_centroid
-    if samples.shape[0] > max_points:
+    subsampled = samples.shape[0] > max_points
+    if subsampled:
         keep = rng.permutation(samples.shape[0])[:max_points]
         samples = samples[keep]
 
     init_idx = rng.permutation(samples.shape[0])[:k]
     init = samples[init_idx]
 
+    # When sampling selected the whole corpus (common below ~12K docs) and a
+    # staged device copy exists, train on it directly — host->device
+    # transfers dominate index build otherwise.
+    if (
+        flat_device is not None
+        and not subsampled
+        and n_samples == num_documents
+        and flat_device.shape[0] == samples.shape[0]
+    ):
+        data_dev = flat_device
+    else:
+        data_dev = jnp.asarray(samples)
+
     chunk = min(65536, max(1024, 1 << (samples.shape[0] - 1).bit_length()))
     centroids = lloyd(
-        jnp.asarray(samples),
+        data_dev,
         jnp.asarray(init),
         iters=config.kmeans_niters,
         assign_chunk=min(chunk, 65536),

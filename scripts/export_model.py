@@ -1,0 +1,113 @@
+"""Convert a PyLate / sentence-transformers ColBERT checkpoint into a
+nextplaid_tpu model directory.
+
+Counterpart of the reference's `pylate-onnx-export` tool
+(/root/reference/next-plaid-onnx/python/src/colbert_export): instead of
+tracing to ONNX, this just normalizes the directory layout our Flax loader
+reads — HF `config.json` + weights, `tokenizer.json`, `1_Dense/` projection —
+and writes the behavior config (`onnx_config.json`, same schema as the
+reference export so either stack can consume the directory).
+
+Usage:
+  python scripts/export_model.py SRC_DIR DST_DIR \
+      [--query-prefix "[Q] "] [--document-prefix "[D] "] \
+      [--query-length 48] [--document-length 300] [--dim 128]
+
+SRC_DIR must be a local checkout of the model (no network access is
+performed). Weights are converted torch->safetensors when needed.
+"""
+
+import argparse
+import json
+import shutil
+import sys
+from pathlib import Path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("--query-prefix", default="[Q] ")
+    ap.add_argument("--document-prefix", default="[D] ")
+    ap.add_argument("--query-length", type=int, default=48)
+    ap.add_argument("--document-length", type=int, default=300)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--no-query-expansion", action="store_true")
+    args = ap.parse_args()
+
+    src, dst = Path(args.src), Path(args.dst)
+    dst.mkdir(parents=True, exist_ok=True)
+
+    for name in ("config.json", "tokenizer.json", "tokenizer_config.json",
+                 "special_tokens_map.json", "vocab.txt"):
+        if (src / name).exists():
+            shutil.copy2(src / name, dst / name)
+
+    # Weights: prefer safetensors; convert a torch bin if that's all we have.
+    if (src / "model.safetensors").exists():
+        shutil.copy2(src / "model.safetensors", dst / "model.safetensors")
+    elif (src / "pytorch_model.bin").exists():
+        import torch
+        from safetensors.numpy import save_file
+
+        sd = torch.load(
+            src / "pytorch_model.bin", map_location="cpu", weights_only=True
+        )
+        save_file(
+            {k: v.float().numpy() for k, v in sd.items()},
+            str(dst / "model.safetensors"),
+        )
+    else:
+        sys.exit(f"No weights found in {src}")
+
+    # Projection head (sentence-transformers module layout).
+    dense_src = src / "1_Dense"
+    if dense_src.exists():
+        (dst / "1_Dense").mkdir(exist_ok=True)
+        for f in dense_src.iterdir():
+            if f.suffix in (".safetensors", ".bin", ".json"):
+                shutil.copy2(f, dst / "1_Dense" / f.name)
+
+    # Behavior config — reference onnx_config.json schema (lib.rs:555-697).
+    # PyLate stores some of these in config_sentence_transformers.json.
+    st_cfg = {}
+    st_path = src / "config_sentence_transformers.json"
+    if st_path.exists():
+        st_cfg = json.loads(st_path.read_text())
+    hf_cfg = json.loads((src / "config.json").read_text())
+    model_type = hf_cfg.get("model_type", "bert")
+    config = {
+        "model_type": "ColBERT",
+        "model_name": src.name,
+        "query_prefix": st_cfg.get("query_prefix", args.query_prefix),
+        "document_prefix": st_cfg.get("document_prefix", args.document_prefix),
+        "query_length": st_cfg.get("query_length", args.query_length),
+        "document_length": st_cfg.get("document_length", args.document_length),
+        "do_query_expansion": not args.no_query_expansion,
+        "embedding_dim": args.dim,
+        "uses_token_type_ids": model_type not in ("modernbert",),
+        "mask_token_id": hf_cfg.get("mask_token_id", 103),
+        "pad_token_id": hf_cfg.get("pad_token_id", 0),
+        "skiplist_words": st_cfg.get(
+            "skiplist_words",
+            list("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"),
+        ),
+        "do_lower_case": st_cfg.get("do_lower_case", False),
+    }
+    (dst / "onnx_config.json").write_text(json.dumps(config, indent=2))
+
+    # Smoke-load through the real loader.
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from nextplaid_tpu.encoder import Colbert
+
+    enc = Colbert(str(dst))
+    out = enc.encode_documents(["smoke test document"])
+    print(
+        f"exported to {dst}: backbone={model_type}, "
+        f"encoded shape={out[0].shape}"
+    )
+
+
+if __name__ == "__main__":
+    main()
