@@ -199,3 +199,19 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+@cli.command("install-agent")
+@click.option("--agent", type=click.Choice(["claude-code"]), default="claude-code")
+@click.pass_context
+def install_agent(ctx, agent):
+    """Install the cgrep skill into the project for an agent CLI."""
+    from nextplaid_tpu.codesearch.install import (
+        hook_snippet_json,
+        install_claude_code,
+    )
+
+    path = install_claude_code(ctx.obj["path"])
+    click.echo(f"wrote {path}")
+    click.echo("optional settings.json hook snippet:")
+    click.echo(hook_snippet_json())

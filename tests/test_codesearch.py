@@ -453,3 +453,19 @@ def test_cgrep_cli(indexed, project, monkeypatch):
     )
     assert result.exit_code == 0
     assert "python" in result.output
+
+
+def test_install_agent(tmp_path):
+    from nextplaid_tpu.codesearch.install import (
+        hook_snippet_json,
+        install_claude_code,
+    )
+
+    skill = install_claude_code(str(tmp_path))
+    assert skill.exists()
+    text = skill.read_text()
+    assert "cgrep" in text and str(tmp_path.resolve()) in text
+    import json
+
+    snippet = json.loads(hook_snippet_json())
+    assert "hooks" in snippet
