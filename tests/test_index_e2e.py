@@ -257,3 +257,39 @@ def test_bf16_precision_recall(built):
     assert overlap >= 0.9, overlap
     hits = sum(t in r.passage_ids for t, r in zip(targets, lo))
     assert hits >= 7
+
+
+def test_nbits2_end_to_end(tmp_path):
+    """2-bit residuals: build, load, grid-pin, search (index.rs nbits=2)."""
+    docs = make_corpus(num_docs=60, seed=9)
+    path = str(tmp_path / "idx2bit")
+    meta = create_index(docs, path, IndexConfig(nbits=2, seed=42))
+    assert meta.nbits == 2
+    index = DeviceIndex.load(path)
+    assert index.nbits == 2
+    queries, targets = make_queries(docs, num_queries=4)
+    res = search_batch(index, queries, SearchParameters(top_k=5))
+    hits = sum(t in r.passage_ids for t, r in zip(targets, res))
+    assert hits >= 3  # 2-bit is lossier but targets still retrieved
+    pinned = index.with_token_grid(budget_mb=10_000)
+    res2 = search_batch(pinned, queries, SearchParameters(top_k=5))
+    hits2 = sum(t in r.passage_ids for t, r in zip(targets, res2))
+    assert hits2 >= 3
+
+
+def test_multi_chunk_index(tmp_path):
+    """batch_size smaller than the corpus writes multiple chunks; the loader
+    must merge them (index.rs:373-528, mmap.rs merge)."""
+    docs = make_corpus(num_docs=50, seed=10)
+    path = str(tmp_path / "chunked")
+    meta = create_index(
+        docs, path, IndexConfig(nbits=4, seed=42, batch_size=12)
+    )
+    assert meta.num_chunks == 5
+    index = DeviceIndex.load(path)
+    assert index.num_documents == 50
+    assert index.num_embeddings == sum(d.shape[0] for d in docs)
+    queries, targets = make_queries(docs, num_queries=4)
+    res = search_batch(index, queries, SearchParameters(top_k=5))
+    hits = sum(t in r.passage_ids for t, r in zip(targets, res))
+    assert hits >= 3
