@@ -51,7 +51,9 @@ def _assign_codes_padded(emb: np.ndarray, centroids: jax.Array) -> np.ndarray:
     n = emb.shape[0]
     if n == 0:
         return np.zeros(0, np.int32)
-    chunk = 16384
+    k = centroids.shape[0]
+    chunk = int(max(1024, min(16384, (256 << 20) // max(k * 4, 1))))
+    chunk = 1 << (chunk.bit_length() - 1)
     n_pad = _round_up(n, chunk) if n > chunk else n
     if n_pad != n:
         emb = np.concatenate([emb, np.zeros((n_pad - n, emb.shape[1]), emb.dtype)])
@@ -160,10 +162,12 @@ def encode_chunk(
             ]
         )
         batch_device = jnp.asarray(batch)
-    # Chunk the assignment to bound the [chunk, K] score buffer; pad rows on
-    # device (cheap) so one compiled program covers all chunk counts.
+    # Chunk the assignment to bound the [chunk, K] score buffer (~256 MB);
+    # pad rows on device (cheap) so one compiled program covers all chunks.
     n = batch_device.shape[0]
-    chunk = 16384
+    k = cents_dev.shape[0]
+    chunk = int(max(1024, min(16384, (256 << 20) // max(k * 4, 1))))
+    chunk = 1 << (chunk.bit_length() - 1)
     n_pad = _round_up(n, chunk) if n > chunk else n
     padded = (
         jnp.concatenate(

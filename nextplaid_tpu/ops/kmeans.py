@@ -175,12 +175,16 @@ def compute_kmeans(
     else:
         data_dev = jnp.asarray(samples)
 
-    chunk = min(65536, max(1024, 1 << (samples.shape[0] - 1).bit_length()))
+    # Bound the [chunk, K] assignment score buffer to ~256 MB so large-K
+    # configs (e.g. 32K+ centroids at LoTTE/MS MARCO scale) fit HBM next to
+    # the staged corpus.
+    chunk = int(max(1024, min(65536, (256 << 20) // max(k * 4, 1))))
+    chunk = 1 << (chunk.bit_length() - 1)  # power of two for clean padding
     centroids = lloyd(
         data_dev,
         jnp.asarray(init),
         iters=config.kmeans_niters,
-        assign_chunk=min(chunk, 65536),
+        assign_chunk=chunk,
     )
     centroids = np.asarray(centroids)
     norms = np.linalg.norm(centroids, axis=1, keepdims=True)
