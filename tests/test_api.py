@@ -449,3 +449,38 @@ def test_rerank_with_encoding(enc_server):
     results = r.json()["results"]
     assert results[0]["index"] == 0
     assert results[0]["score"] >= results[1]["score"]
+
+
+def test_metadata_failure_rolls_back_index(server):
+    """Invalid metadata column -> vector index rolled back so counts stay in
+    sync (reference documents.rs:474-485)."""
+    requests.post(server.url + "/indices", json={"name": "rollback"})
+    docs = make_docs(4, seed=40)
+    r = requests.post(
+        server.url + "/indices/rollback/update",
+        json={
+            "documents": [doc_payload(d) for d in docs],
+            "metadata": [{"ok": 1}] * 4,
+        },
+    )
+    assert r.status_code == 200
+    assert r.json()["total_documents"] == 4
+    # Second add with an injection-shaped column name fails metadata write.
+    r = requests.post(
+        server.url + "/indices/rollback/update",
+        json={
+            "documents": [doc_payload(d) for d in make_docs(3, seed=41)],
+            "metadata": [{"bad-name!": 1}] * 3,
+        },
+    )
+    assert r.status_code >= 400, r.text
+    info = requests.get(server.url + "/indices/rollback").json()
+    assert info["num_documents"] == 4  # rolled back
+    assert info["metadata_count"] == 4
+    # The index still works after the rollback.
+    r = requests.post(
+        server.url + "/indices/rollback/search",
+        json={"queries": [doc_payload(docs[0][:4])], "params": {"top_k": 2}},
+    )
+    assert r.status_code == 200
+    assert r.json()["results"][0]["document_ids"][0] == 0

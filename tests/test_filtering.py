@@ -232,3 +232,38 @@ def test_nested_values_stored_as_json(store):
     filtering.update(store, [{"name": "Eve", "tags": ["x", "y"]}], [4])
     row = filtering.get(store, subset=[4])[0]
     assert row["tags"] == '["x", "y"]'
+
+
+def test_v0_schema_migrates_on_delete(tmp_path):
+    """A legacy v0 DB (rowid-PK _subset_) migrates to v1 on first delete and
+    resequences correctly (filtering.rs:792-877, 3580)."""
+    path = str(tmp_path / "legacy")
+    (tmp_path / "legacy").mkdir()
+    db = sqlite3.connect(str(tmp_path / "legacy" / "metadata.db"))
+    db.execute(
+        'CREATE TABLE METADATA ("_subset_" INTEGER PRIMARY KEY, '
+        '"name" TEXT, "code" TEXT)'
+    )
+    for i in range(6):
+        db.execute(
+            "INSERT INTO METADATA VALUES (?, ?, ?)",
+            (i, f"n{i}", f"fn f{i}() {{}}"),
+        )
+    db.execute("PRAGMA user_version=0")
+    db.commit()
+    db.close()
+
+    # Reads work on the legacy layout.
+    assert filtering.count(path) == 6
+    assert filtering.where_condition(path, "name = ?", ["n2"]) == [2]
+
+    # Delete migrates to v1 (demoted indexed column) and resequences.
+    assert filtering.delete(path, [1, 3]) == 2
+    conn = sqlite3.connect(f"file:{path}/metadata.db?mode=ro", uri=True)
+    assert conn.execute("PRAGMA user_version").fetchone()[0] == 1
+    pk_cols = [r[1] for r in conn.execute("PRAGMA table_info(METADATA)") if r[5]]
+    assert "_subset_" not in pk_cols  # demoted from rowid PK
+    conn.close()
+    rows = filtering.get(path)
+    assert [r["_subset_"] for r in rows] == [0, 1, 2, 3]
+    assert [r["name"] for r in rows] == ["n0", "n2", "n4", "n5"]
