@@ -9,6 +9,7 @@ the reference-compatible NPY + JSON directory.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
@@ -179,11 +180,14 @@ def encode_chunk(
     codes_dev = codec_ops.assign_codes(
         padded, cents_dev, chunk_rows=chunk if n_pad > chunk else 0
     )[:n]
-    residuals_dev = codec_ops.compute_residuals(
-        batch_device, cents_dev, codes_dev
-    )
-    packed = codec_ops.quantize_residuals(
-        residuals_dev, jnp.asarray(artifacts.bucket_cutoffs), artifacts.nbits
+    # Residual + quantize in bounded token tiles: full-corpus f32 residual /
+    # int32 bucket temporaries would each duplicate the staged corpus in HBM.
+    packed = _residual_quantize_tiled(
+        batch_device,
+        codes_dev,
+        cents_dev,
+        jnp.asarray(artifacts.bucket_cutoffs),
+        artifacts.nbits,
     )
     return EncodedChunk(
         codes=np.asarray(codes_dev).astype(np.int64),
@@ -370,3 +374,37 @@ def create_index(
         if len(docs) <= config.start_from_scratch:
             save_raw_embeddings(docs, index_path)
     return meta
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "tile"))
+def _residual_quantize_tiled_jit(emb, codes, centroids, cutoffs, nbits, tile):
+    n, d = emb.shape
+    n_tiles = -(-n // tile)
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+
+    def step(_, start):
+        start_c = jnp.minimum(start, max(n - tile, 0))
+        chunk = jax.lax.dynamic_slice(emb, (start_c, 0), (min(tile, n), d))
+        ccodes = jax.lax.dynamic_slice(codes, (start_c,), (min(tile, n),))
+        residual = chunk - centroids[ccodes]
+        return None, codec_ops.quantize_residuals(residual, cutoffs, nbits)
+
+    _, packed = jax.lax.scan(step, None, starts)
+    return packed.reshape(n_tiles * min(tile, n), -1)
+
+
+def _residual_quantize_tiled(emb, codes, centroids, cutoffs, nbits, tile=262_144):
+    n = emb.shape[0]
+    packed = _residual_quantize_tiled_jit(emb, codes, centroids, cutoffs, nbits, tile)
+    if n <= tile:
+        return packed[:n]
+    # Clamped final window duplicates some rows; rebuild the exact layout.
+    n_tiles = -(-n // tile)
+    out = np.empty((n, packed.shape[1]), np.uint8)
+    packed_np = np.asarray(packed).reshape(n_tiles, tile, -1)
+    for i in range(n_tiles):
+        start = i * tile
+        start_c = min(start, n - tile)
+        rows = packed_np[i]
+        out[start : min(start + tile, n)] = rows[start - start_c : start - start_c + min(tile, n - start)]
+    return out

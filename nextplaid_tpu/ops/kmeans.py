@@ -73,22 +73,22 @@ def lloyd(
     n, d = data.shape
     k = init_centroids.shape[0]
 
-    pad = (-n) % assign_chunk
-    if pad:
-        # Padded rows are assigned to a virtual segment K and dropped.
-        data_padded = jnp.concatenate([data, jnp.zeros((pad, d), data.dtype)])
-        valid = jnp.concatenate(
-            [jnp.ones((n,), jnp.bool_), jnp.zeros((pad,), jnp.bool_)]
-        )
-    else:
-        data_padded = data
-        valid = jnp.ones((n,), jnp.bool_)
-    chunks = data_padded.reshape(-1, assign_chunk, d)
-    valid_chunks = valid.reshape(-1, assign_chunk)
+    # Chunk by dynamic_slice with a clamped start — no padded full copy of
+    # the (multi-GB) training set. The final window may overlap the previous
+    # one; overlapping rows are masked out so nothing double-counts.
+    n_chunks = -(-n // assign_chunk)
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * assign_chunk
+    arange = jnp.arange(assign_chunk, dtype=jnp.int32)
 
     def step(centroids, _):
-        def assign(args):
-            chunk, v = args
+        def per_chunk(carry, start):
+            sums, counts = carry
+            start_c = jnp.minimum(start, max(n - assign_chunk, 0))
+            chunk = jax.lax.dynamic_slice(
+                data, (start_c, 0), (min(assign_chunk, n), d)
+            )
+            pos = start_c + arange[: chunk.shape[0]]
+            valid = (pos >= start) & (pos < n)
             scores = jnp.dot(
                 chunk,
                 centroids.T,
@@ -97,15 +97,20 @@ def lloyd(
             )
             scores = jnp.where(jnp.isfinite(scores), scores, -jnp.inf)
             codes = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-            return jnp.where(v, codes, k)
+            codes = jnp.where(valid, codes, k)
+            sums = sums + jax.ops.segment_sum(
+                chunk.astype(jnp.float32), codes, num_segments=k + 1
+            )[:k]
+            counts = counts + jax.ops.segment_sum(
+                valid.astype(jnp.float32), codes, num_segments=k + 1
+            )[:k]
+            return (sums, counts), None
 
-        codes = jax.lax.map(assign, (chunks, valid_chunks)).reshape(-1)
-        sums = jax.ops.segment_sum(
-            data_padded.astype(jnp.float32), codes, num_segments=k + 1
-        )[:k]
-        counts = jax.ops.segment_sum(
-            jnp.ones((codes.shape[0],), jnp.float32), codes, num_segments=k + 1
-        )[:k]
+        init = (
+            jnp.zeros((k, d), jnp.float32),
+            jnp.zeros((k,), jnp.float32),
+        )
+        (sums, counts), _ = jax.lax.scan(per_chunk, init, starts)
         new_centroids = sums / jnp.maximum(counts[:, None], 1.0)
         # Empty clusters keep their previous centroid.
         new_centroids = jnp.where(
