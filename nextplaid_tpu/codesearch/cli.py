@@ -77,6 +77,10 @@ def _print_hits(hits, json_out, files_only, count_only, line_numbers):
 @click.option("--index-dir", default=None)
 @click.option("--top-k", "-k", type=int, default=10)
 @click.option("-e", "--regexp", default=None, help="filter by code regex")
+@click.option("-F", "--fixed-strings", is_flag=True,
+              help="treat -e PATTERN as a literal string")
+@click.option("-w", "--word-regexp", is_flag=True,
+              help="match -e PATTERN only at word boundaries")
 @click.option("-i", "--ignore-case", is_flag=True, default=False)
 @click.option("-l", "--files-with-matches", "files_only", is_flag=True)
 @click.option("-c", "--count", "count_only", is_flag=True)
@@ -88,9 +92,10 @@ def _print_hits(hits, json_out, files_only, count_only, line_numbers):
 @click.option("--no-rank-boosts", is_flag=True)
 @click.option("--no-update", is_flag=True, help="skip auto index update")
 @click.pass_context
-def cli(ctx, query, path_, model, index_dir, top_k, regexp, ignore_case,
-        files_only, count_only, line_numbers, includes, excludes,
-        exclude_dirs, json_out, no_rank_boosts, no_update):
+def cli(ctx, query, path_, model, index_dir, top_k, regexp, fixed_strings,
+        word_regexp, ignore_case, files_only, count_only, line_numbers,
+        includes, excludes, exclude_dirs, json_out, no_rank_boosts,
+        no_update):
     """Semantic code search. QUERY searches; subcommands manage the index."""
     ctx.ensure_object(dict)
     ctx.obj.update(path=path_, model=model, index_dir=index_dir)
@@ -105,6 +110,13 @@ def cli(ctx, query, path_, model, index_dir, top_k, regexp, ignore_case,
     if not query:
         click.echo(ctx.get_help())
         return
+    if regexp is not None:
+        import re as _re
+
+        if fixed_strings:
+            regexp = _re.escape(regexp)
+        if word_regexp:
+            regexp = rf"\b(?:{regexp})\b"
     indexer = _indexer(path_, model, index_dir)
     if not no_update:
         indexer.update()
