@@ -67,11 +67,14 @@ class SearchParameters:
     # Stage-1 matmul precision: "highest" (f32, reference parity) or
     # "default" (TPU bf16 passes; faster candidate generation).
     stage1_precision: str = "highest"
-    # Search strategy: "auto" picks exhaustive MXU scoring for small corpora
-    # (exact + faster than pruning below ~exact_max_embeddings tokens) and
-    # the staged PLAID pipeline above; "staged"/"exact" force one.
+    # Search strategy: "auto" picks exhaustive MXU scoring whenever the
+    # corpus is small enough (or a pinned token grid exists — it fits HBM by
+    # construction); the staged PLAID pipeline only pays off beyond that.
+    # Measured crossover on one v5e: exact at 9M embeddings ≈ 300+ QPS vs
+    # staged 15 QPS (candidate unions barely overlap across a batch).
+    # "staged"/"exact" force one.
     mode: str = "auto"
-    exact_max_embeddings: int = 8_000_000
+    exact_max_embeddings: int = 16_000_000
     # Fused MaxSim Pallas kernel over the pinned token grid: "auto" uses it
     # on TPU backends when the grid is pinned; "pallas" forces it (interpret
     # mode off-TPU is for tests only); "off" keeps the XLA scan path.

@@ -41,31 +41,20 @@ def default_doc_tile(num_queries: int, query_tokens: int, td: int) -> int:
     return int(np.clip(tile, 8, 512))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "top_k", "doc_tile", "precision", "has_subset", "use_kernel"
-    ),
-)
-def exact_search_pipeline(
+def exact_all_scores(
     index: DeviceIndex,
-    queries: jax.Array,  # [Q, Tq, d] f32, zero-padded
-    qmask: jax.Array,  # [Q, Tq] bool
-    subset_mask: Optional[jax.Array],  # [num_docs_padded] bool
-    top_k: int,
+    queries: jax.Array,
+    qmask: jax.Array,
     doc_tile: int,
     precision: str = "highest",
-    has_subset: bool = False,
-    use_kernel: bool = False,
-) -> Tuple[jax.Array, jax.Array]:
-    """Returns (doc_ids [Q, top_k] i32 with -1 invalid, scores [Q, top_k])."""
+) -> jax.Array:
+    """Exhaustive MaxSim scores [Q, num_documents] via the tile scan.
+
+    Shared by the single-device pipeline and the per-shard body of the
+    sharded search (each shard scores its local docs exhaustively)."""
     q_n = queries.shape[0]
     nd = index.num_documents
     nd_pad = index.num_docs_padded
-    if use_kernel and index.token_grid is not None:
-        return _exact_search_kernel(
-            index, queries, subset_mask, top_k, has_subset
-        )
     td = (
         index.token_grid.shape[1]
         if index.token_grid is not None
@@ -134,6 +123,37 @@ def exact_search_pipeline(
     _, tiles = jax.lax.scan(score_tile, None, tile_starts)
     all_scores = tiles.transpose(1, 0, 2).reshape(q_n, n_tiles * doc_tile)
     all_scores = all_scores[:, : max(nd, 1)]
+    return all_scores
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "top_k", "doc_tile", "precision", "has_subset", "use_kernel"
+    ),
+)
+def exact_search_pipeline(
+    index: DeviceIndex,
+    queries: jax.Array,  # [Q, Tq, d] f32, zero-padded
+    qmask: jax.Array,  # [Q, Tq] bool
+    subset_mask: Optional[jax.Array],  # [num_docs_padded] bool
+    top_k: int,
+    doc_tile: int,
+    precision: str = "highest",
+    has_subset: bool = False,
+    use_kernel: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (doc_ids [Q, top_k] i32 with -1 invalid, scores [Q, top_k])."""
+    q_n = queries.shape[0]
+    nd = index.num_documents
+    nd_pad = index.num_docs_padded
+    if use_kernel and index.token_grid is not None:
+        return _exact_search_kernel(
+            index, queries, subset_mask, top_k, has_subset
+        )
+    all_scores = exact_all_scores(
+        index, queries, qmask, doc_tile, precision
+    )
     if has_subset and subset_mask is not None:
         all_scores = jnp.where(subset_mask[None, :nd], all_scores, NEG_INF)
 

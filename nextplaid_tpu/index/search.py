@@ -92,10 +92,18 @@ class PipelineShapes:
         ncells = query_tokens * params.n_ivf_probe
         p_cap = max(index.max_posting_len, 1)
         nd = max(index.num_documents, 1)
-        # Union cap: the batch-wide candidate set. Default scales with the
-        # reference's rerank breadth (n_full_scores) but never below 8192 so
-        # typical probe unions fit without overflow.
-        cmax = params.max_candidates or min(nd, max(2 * params.n_full_scores, 8192))
+        # Union cap: the batch-wide candidate set. Scales with the query
+        # batch (distinct queries probe mostly-disjoint candidates at scale)
+        # and the reference's rerank breadth; overflow is counted and logged,
+        # never silent.
+        cmax = params.max_candidates or min(
+            nd,
+            max(
+                2 * params.n_full_scores,
+                8192,
+                num_queries * params.n_full_scores // 4,
+            ),
+        )
         cmax = min(cmax, nd)
         cmax = max(_round_up(cmax, 8), 8)
         # Clamp to the corpus: requesting more results than documents exist
@@ -421,7 +429,10 @@ def search_batch(
 
     use_exact = params.mode == "exact" or (
         params.mode == "auto"
-        and index.num_embeddings <= params.exact_max_embeddings
+        and (
+            index.token_grid is not None  # pinned => fits HBM => exhaustive
+            or index.num_embeddings <= params.exact_max_embeddings
+        )
     )
     if use_exact:
         from nextplaid_tpu.index.exact import (

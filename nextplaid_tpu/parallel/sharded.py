@@ -224,6 +224,7 @@ def _shard_search_fn(
     static: dict,
     top_k: int,
     has_subset: bool,
+    mode: str = "staged",
 ):
     """Per-device body: full staged pipeline on the local shard + all_gather
     merge. Closed over static config; returns a function for shard_map."""
@@ -258,44 +259,71 @@ def _shard_search_fn(
             avg_residual=avg_residual,
             **static,
         )
-        s_raw = jnp.einsum(
-            "qtd,kd->qtk",
-            queries,
-            index.centroids,
-            preferred_element_type=jnp.float32,
-            precision=(
-                jax.lax.Precision.HIGHEST
-                if shapes.stage1_precision == "highest"
-                else jax.lax.Precision.DEFAULT
-            ),
-        )
-        s_masked = jnp.where(qmask[:, :, None], s_raw, NEG_INF)
-        cells = _select_cells(s_masked, qmask, shapes, index.num_centroids)
-        subset = subset_mask[0] if has_subset else None
-        bitmap = _gen_bitmap(index, cells, shapes, subset)
-        union_ids, overflow = _union_candidates(index, bitmap, shapes)
-        exact = _exact_on_candidates(index, queries, qmask, union_ids, shapes)
-        nd_pad = index.num_docs_padded
-        mine = jnp.take_along_axis(
-            bitmap,
-            jnp.broadcast_to(
-                jnp.clip(union_ids, 0, nd_pad - 1)[None, :],
-                (bitmap.shape[0], union_ids.shape[0]),
-            ),
-            axis=1,
-        )
-        exact = jnp.where(
-            mine & (union_ids < index.num_documents)[None, :], exact, NEG_INF
-        )
-        k_local = min(top_k, shapes.max_candidates)
-        local_scores, local_slots = jax.lax.top_k(exact, k_local)
-        local_ids = jnp.take_along_axis(
-            jnp.broadcast_to(union_ids[None, :], exact.shape), local_slots,
-            axis=1,
-        )
-        local_ids = jnp.where(
-            jnp.isfinite(local_scores), local_ids + doc_base[0], -1
-        )
+        if mode == "exact":
+            # Per-shard exhaustive scoring: each chip brute-forces its local
+            # docs on the MXU (the multi-chip scaling story — shard until
+            # every local corpus fits the exhaustive regime).
+            from nextplaid_tpu.index.exact import exact_all_scores
+
+            all_scores = exact_all_scores(
+                index, queries, qmask,
+                doc_tile=min(128, index.num_docs_padded),
+                precision=shapes.stage1_precision,
+            )
+            if has_subset:
+                all_scores = jnp.where(
+                    subset_mask[0][None, : all_scores.shape[1]],
+                    all_scores, NEG_INF,
+                )
+            overflow = jnp.zeros((), jnp.int32)
+            k_local = min(top_k, max(index.num_documents, 1))
+            local_scores, local_ids = jax.lax.top_k(all_scores, k_local)
+            local_ids = jnp.where(
+                jnp.isfinite(local_scores),
+                local_ids.astype(jnp.int32) + doc_base[0], -1,
+            )
+        else:
+            s_raw = jnp.einsum(
+                "qtd,kd->qtk",
+                queries,
+                index.centroids,
+                preferred_element_type=jnp.float32,
+                precision=(
+                    jax.lax.Precision.HIGHEST
+                    if shapes.stage1_precision == "highest"
+                    else jax.lax.Precision.DEFAULT
+                ),
+            )
+            s_masked = jnp.where(qmask[:, :, None], s_raw, NEG_INF)
+            cells = _select_cells(s_masked, qmask, shapes, index.num_centroids)
+            subset = subset_mask[0] if has_subset else None
+            bitmap = _gen_bitmap(index, cells, shapes, subset)
+            union_ids, overflow = _union_candidates(index, bitmap, shapes)
+            exact = _exact_on_candidates(
+                index, queries, qmask, union_ids, shapes
+            )
+            nd_pad = index.num_docs_padded
+            mine = jnp.take_along_axis(
+                bitmap,
+                jnp.broadcast_to(
+                    jnp.clip(union_ids, 0, nd_pad - 1)[None, :],
+                    (bitmap.shape[0], union_ids.shape[0]),
+                ),
+                axis=1,
+            )
+            exact = jnp.where(
+                mine & (union_ids < index.num_documents)[None, :],
+                exact, NEG_INF,
+            )
+            k_local = min(top_k, shapes.max_candidates)
+            local_scores, local_slots = jax.lax.top_k(exact, k_local)
+            local_ids = jnp.take_along_axis(
+                jnp.broadcast_to(union_ids[None, :], exact.shape),
+                local_slots, axis=1,
+            )
+            local_ids = jnp.where(
+                jnp.isfinite(local_scores), local_ids + doc_base[0], -1
+            )
 
         # Merge across shards over ICI.
         all_scores = jax.lax.all_gather(local_scores, DOC_AXIS)  # [S, Q, k]
@@ -323,7 +351,16 @@ def sharded_search_jit(
     template = sindex.local_index_template()
     shapes = PipelineShapes.derive(template, params, num_queries, query_tokens)
 
-    body = _shard_search_fn(shapes, sindex.static, params.top_k, has_subset)
+    mode = params.mode
+    if mode == "auto":
+        mode = (
+            "exact"
+            if template.num_embeddings <= params.exact_max_embeddings
+            else "staged"
+        )
+    body = _shard_search_fn(
+        shapes, sindex.static, params.top_k, has_subset, mode=mode
+    )
     in_specs = (
         [P() if f in _REPLICATED else P(DOC_AXIS) for f in _ARRAY_FIELDS]
         + [P(DOC_AXIS), P(), P(), P(DOC_AXIS)]

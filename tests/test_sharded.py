@@ -89,3 +89,23 @@ def test_lloyd_sharded_matches_single(built):
     single = single / np.maximum(norms, 1e-12)
     sharded = lloyd_sharded(data, init, iters=3)
     np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_staged_mode_matches_exact(built):
+    """Force staged mode on the mesh; must agree with per-shard exact mode."""
+    docs, index, sindex = built
+    queries, _ = make_queries(docs, num_queries=4)
+    exact = search_batch_sharded(
+        sindex, queries, SearchParameters(top_k=5, mode="exact")
+    )
+    staged = search_batch_sharded(
+        sindex, queries,
+        SearchParameters(
+            top_k=5, mode="staged",
+            n_ivf_probe=10_000,  # probe everything
+            centroid_score_threshold=None,
+            n_full_scores=4 * len(docs),
+        ),
+    )
+    for e, s in zip(exact, staged):
+        assert e.passage_ids == s.passage_ids
