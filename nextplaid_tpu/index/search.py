@@ -480,10 +480,24 @@ def search_batch(
         import logging
 
         logging.getLogger(__name__).warning(
-            "candidate buffer overflow: up to %d candidates dropped "
-            "(max_candidates=%d); raise SearchParameters.max_candidates",
+            "candidate union overflow: up to %d candidates dropped "
+            "(max_candidates=%d) — falling back to exhaustive scoring for "
+            "this batch; raise SearchParameters.max_candidates or use "
+            "mode='exact' if this recurs",
             int(overflow.max()),
             shapes.max_candidates,
+        )
+        # Dropping candidates silently biases (or empties) results; the
+        # exhaustive scan is always correct and streams in bounded tiles, so
+        # prefer slow-and-right over fast-and-wrong (reference semantics:
+        # its dynamic Vecs never drop candidates).
+        import dataclasses as _dc
+
+        return search_batch(
+            index,
+            queries,
+            _dc.replace(params, mode="exact"),
+            subset=subset,
         )
 
     results = []

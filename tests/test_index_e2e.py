@@ -293,3 +293,26 @@ def test_multi_chunk_index(tmp_path):
     res = search_batch(index, queries, SearchParameters(top_k=5))
     hits = sum(t in r.passage_ids for t, r in zip(targets, res))
     assert hits >= 3
+
+
+def test_union_overflow_falls_back_to_exact(built, caplog):
+    """A tiny max_candidates forces union overflow; results must come from
+    the exhaustive fallback (correct), never silently truncated."""
+    import logging
+
+    docs, path, meta, index = built
+    queries, _ = make_queries(docs, num_queries=4)
+    oracle = search_batch(index, queries, SearchParameters(top_k=5, mode="exact"))
+    with caplog.at_level(logging.WARNING):
+        got = search_batch(
+            index,
+            queries,
+            SearchParameters(
+                top_k=5, mode="staged", max_candidates=8,
+                n_ivf_probe=index.num_centroids,
+                centroid_score_threshold=None,
+            ),
+        )
+    assert any("overflow" in r.message for r in caplog.records)
+    for o, g in zip(oracle, got):
+        assert o.passage_ids == g.passage_ids
