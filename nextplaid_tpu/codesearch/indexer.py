@@ -219,23 +219,26 @@ class ProjectIndexer:
             pending_units.extend(units)
             stats["units"] += len(units)
 
-        doc_ids: List[int] = []
+        # Encode in bounded batches but ingest ONCE: per-batch ingestion
+        # re-triggered the start-from-scratch rebuild for every batch on
+        # small indexes (O(batches) full rebuilds).
+        embeddings = []
         for start in range(0, len(pending_units), self.batch_size):
             batch = pending_units[start : start + self.batch_size]
             texts = [build_embedding_text(u) for u in batch]
-            embeddings = self.encoder.encode_documents(texts)
-            metadata = [u.to_metadata() for u in batch]
-            ids = update_or_create_with_metadata(
+            embeddings.extend(self.encoder.encode_documents(texts))
+            if progress:
+                progress(min(start + self.batch_size, len(pending_units)),
+                         len(pending_units))
+        doc_ids: List[int] = []
+        if embeddings:
+            doc_ids = update_or_create_with_metadata(
                 embeddings,
                 str(self.index_dir),
                 IndexConfig(fts_tokenizer="identifier_aware"),
                 UpdateConfig(),
-                metadata,
+                [u.to_metadata() for u in pending_units],
             )
-            doc_ids.extend(ids)
-            if progress:
-                progress(min(start + self.batch_size, len(pending_units)),
-                         len(pending_units))
 
         for rel, start, n in pending_files:
             p = self.project / rel
