@@ -103,6 +103,7 @@ class AppState:
         self._load_locks: Dict[str, asyncio.Lock] = {}
         self._ingest_queues: Dict[str, asyncio.Queue] = {}
         self._ingest_workers: Dict[str, asyncio.Task] = {}
+        self._worker_locks: Dict[str, asyncio.Lock] = {}
         self._process_locks: Dict[str, asyncio.Lock] = {}
         self._queue_sems: Dict[str, asyncio.Semaphore] = {}
         self._config_cache: Dict[str, IndexConfigStored] = {}
@@ -215,9 +216,21 @@ class AppState:
         )
         await sem.acquire()
         queue = self._ingest_queues.setdefault(name, asyncio.Queue())
+        worker_lock = self._worker_locks.setdefault(name, asyncio.Lock())
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         fut.add_done_callback(lambda _: sem.release())
-        await queue.put(_PendingAdd(embeddings, metadata, fut))
+        async with worker_lock:
+            # Enqueue + (re)spawn under one lock: a worker deciding to exit
+            # takes the same lock and rechecks the queue, so an item can
+            # never land between its timeout and its exit unseen.
+            await queue.put(_PendingAdd(embeddings, metadata, fut))
+            if (
+                name not in self._ingest_workers
+                or self._ingest_workers[name].done()
+            ):
+                self._ingest_workers[name] = asyncio.create_task(
+                    self._ingest_worker(name)
+                )
         self.set_progress(
             name,
             status="queued",
@@ -227,20 +240,20 @@ class AppState:
             if self.progress.get(name)
             else len(embeddings),
         )
-        if name not in self._ingest_workers or self._ingest_workers[name].done():
-            self._ingest_workers[name] = asyncio.create_task(
-                self._ingest_worker(name)
-            )
         return fut
 
     async def _ingest_worker(self, name: str) -> None:
         """Coalesce queued adds into batches (documents.rs:344-373)."""
         queue = self._ingest_queues[name]
+        worker_lock = self._worker_locks.setdefault(name, asyncio.Lock())
         while True:
             try:
                 first = await asyncio.wait_for(queue.get(), timeout=5.0)
             except asyncio.TimeoutError:
-                return  # idle; a new enqueue restarts the worker
+                async with worker_lock:
+                    if not queue.empty():
+                        continue  # an enqueue raced the timeout
+                    return  # idle; the next enqueue respawns the worker
             batch = [first]
             total = len(first.embeddings)
             deadline = time.monotonic() + BATCH_WINDOW_MS / 1000
