@@ -835,6 +835,96 @@ async def rerank_with_encoding(request: web.Request) -> web.Response:
     return web.json_response({"results": results})
 
 
+
+
+async def openapi_spec(request: web.Request) -> web.Response:
+    """Machine-readable API description (reference serves utoipa's spec at
+    the same path, main.rs swagger-ui)."""
+    from nextplaid_tpu import __version__ as v
+
+    def op(summary, body=None):
+        out = {"summary": summary, "responses": {"200": {"description": "OK"}}}
+        if body:
+            out["requestBody"] = {
+                "content": {"application/json": {"schema": {"$ref": f"#/components/schemas/{body}"}}}
+            }
+        return out
+
+    schemas = {
+        name: {"type": "object"}
+        for name in (
+            "CreateIndexRequest", "AddDocumentsRequest", "UpdateIndexRequest",
+            "UpdateWithEncodingRequest", "DeleteDocumentsRequest",
+            "SearchRequest", "FilteredSearchRequest",
+            "SearchWithEncodingRequest", "FilteredSearchWithEncodingRequest",
+            "CheckMetadataRequest", "GetMetadataRequest",
+            "QueryMetadataRequest", "UpdateMetadataRequest",
+            "UpdateIndexConfigRequest", "EncodeRequest", "RerankRequest",
+            "RerankWithEncodingRequest",
+        )
+    }
+    spec = {
+        "openapi": "3.0.3",
+        "info": {"title": "nextplaid_tpu API", "version": v},
+        "paths": {
+            "/health": {"get": op("Server health + index summaries")},
+            "/indices": {
+                "get": op("List index names"),
+                "post": op("Create an index", "CreateIndexRequest"),
+            },
+            "/indices/{name}": {
+                "get": op("Index info"),
+                "delete": op("Delete the index"),
+            },
+            "/indices/{name}/config": {
+                "put": op("Update index config", "UpdateIndexConfigRequest")
+            },
+            "/indices/{name}/documents": {
+                "post": op("Add documents (async batched)", "AddDocumentsRequest"),
+                "delete": op("Delete documents by filter", "DeleteDocumentsRequest"),
+            },
+            "/indices/{name}/update": {
+                "post": op("Add documents (synchronous)", "UpdateIndexRequest")
+            },
+            "/indices/{name}/update_with_encoding": {
+                "post": op("Add text documents (server-side encoding)", "UpdateWithEncodingRequest")
+            },
+            "/indices/{name}/search": {
+                "post": op("Semantic / keyword / hybrid search", "SearchRequest")
+            },
+            "/indices/{name}/search/filtered": {
+                "post": op("Search with metadata filter", "FilteredSearchRequest")
+            },
+            "/indices/{name}/search_with_encoding": {
+                "post": op("Search text queries (server-side encoding)", "SearchWithEncodingRequest")
+            },
+            "/indices/{name}/search/filtered_with_encoding": {
+                "post": op("Filtered search with encoding", "FilteredSearchWithEncodingRequest")
+            },
+            "/indices/{name}/metadata": {"get": op("All metadata rows")},
+            "/indices/{name}/metadata/count": {"get": op("Metadata row count")},
+            "/indices/{name}/metadata/check": {
+                "post": op("Check which doc ids have metadata", "CheckMetadataRequest")
+            },
+            "/indices/{name}/metadata/query": {
+                "post": op("Doc ids matching a condition", "QueryMetadataRequest")
+            },
+            "/indices/{name}/metadata/get": {
+                "post": op("Metadata by ids or condition", "GetMetadataRequest")
+            },
+            "/indices/{name}/metadata/update": {
+                "post": op("Update metadata columns", "UpdateMetadataRequest")
+            },
+            "/encode": {"post": op("Encode texts to embeddings", "EncodeRequest")},
+            "/rerank": {"post": op("Exact MaxSim rerank", "RerankRequest")},
+            "/rerank_with_encoding": {
+                "post": op("Rerank with server-side encoding", "RerankWithEncodingRequest")
+            },
+        },
+        "components": {"schemas": schemas},
+    }
+    return web.json_response(spec)
+
 # ---------------------------------------------------------------------------
 # App assembly
 # ---------------------------------------------------------------------------
@@ -854,6 +944,7 @@ def build_app(index_dir: str, encoder=None) -> web.Application:
     )
     r = app.router
     r.add_get("/", health)
+    r.add_get("/api-docs/openapi.json", openapi_spec)
     r.add_get("/health", health)
     r.add_get("/indices", list_indices)
     r.add_post("/indices", create_index)

@@ -484,3 +484,12 @@ def test_metadata_failure_rolls_back_index(server):
     )
     assert r.status_code == 200
     assert r.json()["results"][0]["document_ids"][0] == 0
+
+
+def test_openapi_spec(server):
+    r = requests.get(server.url + "/api-docs/openapi.json")
+    assert r.status_code == 200
+    spec = r.json()
+    assert spec["openapi"].startswith("3.")
+    assert "/indices/{name}/search" in spec["paths"]
+    assert "/encode" in spec["paths"]
