@@ -318,6 +318,26 @@ class AppState:
         embeddings: List[np.ndarray],
         metadata: Optional[List[dict]],
     ) -> List[int]:
+        from nextplaid_tpu.utils.progress import with_progress
+
+        def forward(stage, processed=None, total=None):
+            # Engine stages land in the /health progress registry
+            # (reference documents.rs:444-451).
+            self.set_progress(
+                name, stage=stage,
+                processed_documents=processed,
+                queued_documents=total,
+            )
+
+        with with_progress(forward):
+            return self._ingest_sync_inner(name, embeddings, metadata)
+
+    def _ingest_sync_inner(
+        self,
+        name: str,
+        embeddings: List[np.ndarray],
+        metadata: Optional[List[dict]],
+    ) -> List[int]:
         path = str(self.index_path(name))
         self.repair_index_db_sync(name)
         cfg = self.get_config(name)

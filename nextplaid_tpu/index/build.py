@@ -21,6 +21,7 @@ import numpy as np
 from nextplaid_tpu.index.config import IndexConfig, Metadata
 from nextplaid_tpu.ops import codec as codec_ops
 from nextplaid_tpu.ops import kmeans as kmeans_ops
+from nextplaid_tpu.utils.progress import report as _progress
 from nextplaid_tpu.storage.npy import (
     IndexLayout,
     atomic_write_json,
@@ -342,6 +343,7 @@ def create_index(
         np.cumsum([d.shape[0] for d in docs], out=doc_bounds[1:])
 
         if centroids is None:
+            _progress("kmeans")
             centroids = kmeans_ops.compute_kmeans(
                 docs,
                 kmeans_ops.KMeansConfig(
@@ -352,11 +354,13 @@ def create_index(
                 ),
                 flat_device=dev_flat,
             )
+        _progress("codec")
         artifacts = prepare_codec_artifacts(docs, centroids, config)
 
         chunks: List[EncodedChunk] = []
         for start in range(0, len(docs), config.batch_size):
             end = min(start + config.batch_size, len(docs))
+            _progress("encode", processed=start, total=len(docs))
             chunks.append(
                 encode_chunk(
                     docs[start:end],
@@ -369,6 +373,7 @@ def create_index(
                 )
             )
         del dev_flat
+        _progress("write")
         meta = write_index(chunks, artifacts, index_path, config)
 
         if len(docs) <= config.start_from_scratch:

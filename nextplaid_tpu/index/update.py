@@ -38,6 +38,7 @@ from nextplaid_tpu.index.config import (
     default_start_from_scratch,
 )
 from nextplaid_tpu.ops import kmeans as kmeans_ops
+from nextplaid_tpu.utils.progress import report as _progress
 from nextplaid_tpu.storage.npy import (
     IndexLayout,
     atomic_write_json,
@@ -509,6 +510,7 @@ def update(
         total_new = num_new + len(buffer)
 
         if total_new >= config.buffer_size:
+            _progress("centroid_expansion", processed=0, total=total_new)
             num_buffered = load_buffer_info(index_path)
             if num_buffered > 0 and meta.num_documents >= num_buffered:
                 start_del = meta.num_documents - num_buffered
@@ -531,6 +533,7 @@ def update(
                 combined, index_path, config.batch_size, update_threshold=True
             )
         else:
+            _progress("buffer_append", processed=0, total=num_new)
             start_id = meta.num_documents
             save_buffer(index_path, buffer + embeddings)
             update_index(
