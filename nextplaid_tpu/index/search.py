@@ -67,12 +67,12 @@ class PipelineShapes:
     num_queries: int  # Q (padded)
     query_tokens: int  # Tq (padded)
     nprobe: int
-    posting_cap: int  # P_cap: max posting entries gathered per cell
+    posting_budget: int  # B: flat posting entries gathered per query
     max_candidates: int  # Cmax: cap on the batch-wide candidate UNION
     top_k: int
     doc_token_cap: int  # Td: max doc length (padded)
     threshold: Optional[float]
-    cell_chunk: int  # cells scattered per scan step
+    posting_chunk: int  # posting entries scattered per scan step
     cand_tile: int  # union candidates decompressed+scored per scan step
     nbits: int
     # Matmul precision for stage 1 (candidate generation / approx scoring).
@@ -89,9 +89,21 @@ class PipelineShapes:
         query_tokens: int,
     ) -> "PipelineShapes":
         td = max(_round_up(max(index.max_doclen, 1), 8), 8)
-        ncells = query_tokens * params.n_ivf_probe
+        ncells = query_tokens * min(params.n_ivf_probe, index.num_centroids)
         p_cap = max(index.max_posting_len, 1)
         nd = max(index.num_documents, 1)
+        # Flat per-query posting budget: postings are gathered as ONE flat
+        # [Q, B] stream (average-length driven) instead of padding every cell
+        # to the max posting length (skew-driven — a single hot centroid
+        # would inflate every gather; SURVEY.md §7 "IVF gather irregularity").
+        # Small configurations get the exact upper bound (no overflow
+        # possible); large ones are capped at 8x the average with overflow
+        # counted and falling back to exhaustive scoring.
+        nnz = int(index.ivf_doc_ids.shape[0])
+        avg_post = max(1, -(-nnz // max(index.num_centroids, 1)))
+        b_full = ncells * p_cap
+        b = min(b_full, max(1 << 16, 8 * ncells * avg_post))
+        b = max(_round_up(b, 128), 128)
         # Union cap: the batch-wide candidate set. Scales with the query
         # batch (distinct queries probe mostly-disjoint candidates at scale)
         # and the reference's rerank breadth; overflow is counted and logged,
@@ -117,18 +129,19 @@ class PipelineShapes:
         tile_bytes = max(num_queries * query_tokens * td * 4, 1)
         cand_tile = int(np.clip(budget // tile_bytes, 8, 512))
         cand_tile = min(cand_tile, cmax)
-        cell_bytes = max(num_queries * p_cap * 4, 1)
-        cell_chunk = max(1, min(ncells, (64 << 20) // cell_bytes))
+        posting_chunk = max(
+            128, min(b, _round_up((64 << 20) // max(num_queries * 4, 1), 128))
+        )
         return cls(
             num_queries=num_queries,
             query_tokens=query_tokens,
             nprobe=min(params.n_ivf_probe, index.num_centroids),
-            posting_cap=p_cap,
+            posting_budget=b,
             max_candidates=cmax,
             top_k=top_k,
             doc_token_cap=td,
             threshold=params.centroid_score_threshold,
-            cell_chunk=cell_chunk,
+            posting_chunk=posting_chunk,
             cand_tile=cand_tile,
             nbits=index.nbits,
             stage1_precision=params.stage1_precision,
@@ -160,51 +173,76 @@ def _select_cells(
 def _gen_bitmap(
     index: DeviceIndex, cells: jax.Array, shapes: PipelineShapes,
     subset_mask: Optional[jax.Array],
-) -> jax.Array:
-    """Stage 3a: posting gathers -> per-query candidate bitmap [Q, nd_pad].
+) -> Tuple[jax.Array, jax.Array]:
+    """Stage 3a: flat posting gathers -> per-query candidate bitmap.
 
-    Replaces the HashSet union of index.rs:1142-1156; subset filters are
-    fused here as a bitmap AND instead of the post-hoc retain of
+    Selected cells' posting lists are laid out as ONE flat [Q, B] stream
+    (cell-of-slot found by searchsorted over the per-query cumulative
+    lengths), so cost follows the TOTAL posting mass, not ncells x the
+    longest list. Replaces the HashSet union of index.rs:1142-1156; subset
+    filters are fused as a bitmap AND instead of the post-hoc retain of
     search.rs:434-437.
+
+    Returns (bitmap [Q, nd_pad] bool, posting_overflow [] i32 — the worst
+    per-query count of posting entries beyond the budget; callers treat any
+    overflow as "fall back to exhaustive").
     """
     q_n, ncells = cells.shape
     k = index.num_centroids
     nd = index.num_documents
     nd_pad = index.num_docs_padded
     nnz_pad = index.ivf_doc_ids.shape[0]
+    b = shapes.posting_budget
 
-    n_chunks = -(-ncells // shapes.cell_chunk)
-    pad_cells = n_chunks * shapes.cell_chunk - ncells
-    if pad_cells:
-        cells = jnp.concatenate(
-            [cells, jnp.full((q_n, pad_cells), k, jnp.int32)], axis=1
+    safe_cells = jnp.minimum(cells, k)
+    starts = index.ivf_offsets[safe_cells]  # [Q, C]
+    ends = index.ivf_offsets[jnp.minimum(safe_cells + 1, k)]
+    lens = jnp.where(cells < k, ends - starts, 0)
+    cum = jnp.cumsum(lens, axis=1)  # [Q, C]
+    total = cum[:, -1]
+    overflow = jnp.max(jnp.maximum(total - b, 0))
+
+    n_chunks = -(-b // shapes.posting_chunk)
+
+    def scatter_chunk(bitmap, chunk_idx):
+        j = chunk_idx * shapes.posting_chunk + jnp.arange(
+            shapes.posting_chunk, dtype=jnp.int32
+        )  # [Bc] flat slot ids
+        # Which selected cell does each slot fall in?
+        cell_pos = jax.vmap(
+            lambda c: jnp.searchsorted(c, j, side="right")
+        )(cum)  # [Q, Bc]
+        cell_pos_c = jnp.minimum(cell_pos, ncells - 1)
+        before = jnp.where(
+            cell_pos_c > 0,
+            jnp.take_along_axis(cum, jnp.maximum(cell_pos_c - 1, 0), axis=1),
+            0,
         )
-    cell_chunks = cells.reshape(q_n, n_chunks, shapes.cell_chunk).transpose(1, 0, 2)
-
-    p_arange = jnp.arange(shapes.posting_cap, dtype=jnp.int32)
-
-    def scatter_chunk(bitmap, cell_chunk):
-        starts = index.ivf_offsets[jnp.minimum(cell_chunk, k)]
-        ends = index.ivf_offsets[jnp.minimum(cell_chunk + 1, k)]
-        lens = jnp.where(cell_chunk < k, ends - starts, 0)
-        pos = starts[:, :, None] + p_arange[None, None, :]
-        in_list = p_arange[None, None, :] < lens[:, :, None]
+        in_range = j[None, :] < jnp.minimum(total, b)[:, None]
+        pos = (
+            jnp.take_along_axis(starts, cell_pos_c, axis=1)
+            + (j[None, :] - before)
+        )
         ids = index.ivf_doc_ids[jnp.clip(pos, 0, nnz_pad - 1)]
-        ids = jnp.where(in_list, ids, nd)  # sentinel slot (never read back)
-        q_idx = jnp.arange(q_n, dtype=jnp.int32)[:, None, None]
-        bitmap = bitmap.at[
-            jnp.broadcast_to(q_idx, ids.shape), jnp.clip(ids, 0, nd_pad - 1)
-        ].set(True, mode="drop")
+        ids = jnp.where(in_range, ids, nd)  # sentinel slot (never read back)
+        q_idx = jnp.broadcast_to(
+            jnp.arange(q_n, dtype=jnp.int32)[:, None], ids.shape
+        )
+        bitmap = bitmap.at[q_idx, jnp.clip(ids, 0, nd_pad - 1)].set(
+            True, mode="drop"
+        )
         return bitmap, None
 
     bitmap = jnp.zeros((q_n, nd_pad), jnp.bool_)
-    bitmap, _ = jax.lax.scan(scatter_chunk, bitmap, cell_chunks)
+    bitmap, _ = jax.lax.scan(
+        scatter_chunk, bitmap, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
 
     doc_valid = jnp.arange(nd_pad, dtype=jnp.int32)[None, :] < nd
     bitmap &= doc_valid
     if subset_mask is not None:
         bitmap &= subset_mask[None, :]
-    return bitmap
+    return bitmap, overflow
 
 
 def _union_candidates(
@@ -337,8 +375,9 @@ def search_pipeline(
 
     # Stage 3: per-query candidate bitmaps -> batch union.
     subset = subset_mask if has_subset else None
-    bitmap = _gen_bitmap(index, cells, shapes, subset)
-    union_ids, overflow = _union_candidates(index, bitmap, shapes)
+    bitmap, posting_overflow = _gen_bitmap(index, cells, shapes, subset)
+    union_ids, union_overflow = _union_candidates(index, bitmap, shapes)
+    overflow = jnp.maximum(union_overflow, posting_overflow)
 
     # Stage 4: exact MaxSim on the union (decompress once per candidate).
     exact = _exact_on_candidates(index, queries, qmask, union_ids, shapes)

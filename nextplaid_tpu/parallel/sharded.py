@@ -297,8 +297,9 @@ def _shard_search_fn(
             s_masked = jnp.where(qmask[:, :, None], s_raw, NEG_INF)
             cells = _select_cells(s_masked, qmask, shapes, index.num_centroids)
             subset = subset_mask[0] if has_subset else None
-            bitmap = _gen_bitmap(index, cells, shapes, subset)
-            union_ids, overflow = _union_candidates(index, bitmap, shapes)
+            bitmap, posting_overflow = _gen_bitmap(index, cells, shapes, subset)
+            union_ids, union_overflow = _union_candidates(index, bitmap, shapes)
+            overflow = jnp.maximum(union_overflow, posting_overflow)
             exact = _exact_on_candidates(
                 index, queries, qmask, union_ids, shapes
             )
