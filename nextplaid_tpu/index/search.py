@@ -170,29 +170,34 @@ def _select_cells(
     return cells.reshape(cells.shape[0], -1).astype(jnp.int32)
 
 
-def _gen_bitmap(
+def _union_candidates(
     index: DeviceIndex, cells: jax.Array, shapes: PipelineShapes,
-    subset_mask: Optional[jax.Array],
 ) -> Tuple[jax.Array, jax.Array]:
-    """Stage 3a: flat posting gathers -> per-query candidate bitmap.
+    """Stage 3: flat posting gathers -> sort-deduped batch-wide candidates.
 
     Selected cells' posting lists are laid out as ONE flat [Q, B] stream
-    (cell-of-slot found by searchsorted over the per-query cumulative
-    lengths), so cost follows the TOTAL posting mass, not ncells x the
-    longest list. Replaces the HashSet union of index.rs:1142-1156; subset
-    filters are fused as a bitmap AND instead of the post-hoc retain of
-    search.rs:434-437.
+    (cell-of-slot via searchsorted over per-query cumulative lengths), so
+    cost follows the TOTAL posting mass, not ncells x the longest list
+    (SURVEY hard-part "IVF gather irregularity"). The batch union is then
+    built with two device SORTS instead of a bitmap scatter — TPU scatter
+    throughput (~3M updates/s) made the bitmap the staged bottleneck, while
+    sorting the same stream is vectorized.
 
-    Returns (bitmap [Q, nd_pad] bool, posting_overflow [] i32 — the worst
-    per-query count of posting entries beyond the budget; callers treat any
-    overflow as "fall back to exhaustive").
+    Returns (union_ids [Cmax] int32, overflow [] i32 = candidates beyond
+    the union cap / posting budget; any overflow => caller falls back to
+    exhaustive scoring). Sentinel for empty slots is `num_documents`.
+
+    Batch-union semantics: every query is scored against the whole batch
+    union (exactly), not just its own probed docs — a deliberate deviation
+    from the reference's per-query candidate sets that can only raise
+    recall at equal probe parameters.
     """
     q_n, ncells = cells.shape
     k = index.num_centroids
     nd = index.num_documents
-    nd_pad = index.num_docs_padded
     nnz_pad = index.ivf_doc_ids.shape[0]
     b = shapes.posting_budget
+    cmax = shapes.max_candidates
 
     safe_cells = jnp.minimum(cells, k)
     starts = index.ivf_offsets[safe_cells]  # [Q, C]
@@ -200,69 +205,37 @@ def _gen_bitmap(
     lens = jnp.where(cells < k, ends - starts, 0)
     cum = jnp.cumsum(lens, axis=1)  # [Q, C]
     total = cum[:, -1]
-    overflow = jnp.max(jnp.maximum(total - b, 0))
+    posting_overflow = jnp.max(jnp.maximum(total - b, 0))
 
-    n_chunks = -(-b // shapes.posting_chunk)
-
-    def scatter_chunk(bitmap, chunk_idx):
-        j = chunk_idx * shapes.posting_chunk + jnp.arange(
-            shapes.posting_chunk, dtype=jnp.int32
-        )  # [Bc] flat slot ids
-        # Which selected cell does each slot fall in?
-        cell_pos = jax.vmap(
-            lambda c: jnp.searchsorted(c, j, side="right")
-        )(cum)  # [Q, Bc]
-        cell_pos_c = jnp.minimum(cell_pos, ncells - 1)
-        before = jnp.where(
-            cell_pos_c > 0,
-            jnp.take_along_axis(cum, jnp.maximum(cell_pos_c - 1, 0), axis=1),
-            0,
-        )
-        in_range = j[None, :] < jnp.minimum(total, b)[:, None]
-        pos = (
-            jnp.take_along_axis(starts, cell_pos_c, axis=1)
-            + (j[None, :] - before)
-        )
-        ids = index.ivf_doc_ids[jnp.clip(pos, 0, nnz_pad - 1)]
-        ids = jnp.where(in_range, ids, nd)  # sentinel slot (never read back)
-        q_idx = jnp.broadcast_to(
-            jnp.arange(q_n, dtype=jnp.int32)[:, None], ids.shape
-        )
-        bitmap = bitmap.at[q_idx, jnp.clip(ids, 0, nd_pad - 1)].set(
-            True, mode="drop"
-        )
-        return bitmap, None
-
-    bitmap = jnp.zeros((q_n, nd_pad), jnp.bool_)
-    bitmap, _ = jax.lax.scan(
-        scatter_chunk, bitmap, jnp.arange(n_chunks, dtype=jnp.int32)
+    j = jnp.arange(b, dtype=jnp.int32)  # [B] flat slot ids
+    cell_pos = jax.vmap(
+        lambda c: jnp.searchsorted(c, j, side="right")
+    )(cum)  # [Q, B]
+    cell_pos_c = jnp.minimum(cell_pos, ncells - 1)
+    before = jnp.where(
+        cell_pos_c > 0,
+        jnp.take_along_axis(cum, jnp.maximum(cell_pos_c - 1, 0), axis=1),
+        0,
     )
+    in_range = j[None, :] < jnp.minimum(total, b)[:, None]
+    pos = jnp.take_along_axis(starts, cell_pos_c, axis=1) + (j[None, :] - before)
+    ids = index.ivf_doc_ids[jnp.clip(pos, 0, nnz_pad - 1)]
+    ids = jnp.where(in_range, ids, nd)
 
-    doc_valid = jnp.arange(nd_pad, dtype=jnp.int32)[None, :] < nd
-    bitmap &= doc_valid
-    if subset_mask is not None:
-        bitmap &= subset_mask[None, :]
-    return bitmap, overflow
-
-
-def _union_candidates(
-    index: DeviceIndex, bitmap: jax.Array, shapes: PipelineShapes
-) -> Tuple[jax.Array, jax.Array]:
-    """Stage 3b: OR the per-query bitmaps and compact the union into a fixed
-    [Cmax] id buffer (sentinel = num_documents). Returns (union_ids,
-    overflow count)."""
-    nd = index.num_documents
-    nd_pad = index.num_docs_padded
-    cmax = shapes.max_candidates
-
-    union = jnp.any(bitmap, axis=0)  # [nd_pad]
-    positions = jnp.cumsum(union.astype(jnp.int32))
-    overflow = jnp.maximum(positions[-1] - cmax, 0)
-    slots = jnp.where(union, positions - 1, cmax)
-    slots = jnp.minimum(slots, cmax)
-    out = jnp.full(cmax + 1, nd, jnp.int32)
-    out = out.at[slots].set(jnp.arange(nd_pad, dtype=jnp.int32), mode="drop")
-    return out[:cmax], overflow
+    # Sort-dedup: duplicates (and sentinels) move to the tail of a second
+    # sort, leaving unique real doc ids in the first Cmax slots.
+    flat = jnp.sort(ids.reshape(-1))
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), flat[1:] != flat[:-1]]
+    )
+    keyed = jnp.where(first & (flat < nd), flat, nd)
+    unique_sorted = jnp.sort(keyed)
+    n_unique = jnp.sum(keyed < nd)
+    union_overflow = jnp.maximum(n_unique - cmax, 0)
+    return (
+        unique_sorted[:cmax],
+        jnp.maximum(posting_overflow, union_overflow),
+    )
 
 
 def _exact_on_candidates(
@@ -373,26 +346,18 @@ def search_pipeline(
     # Stage 2: cell selection.
     cells = _select_cells(s_masked, qmask, shapes, k)
 
-    # Stage 3: per-query candidate bitmaps -> batch union.
-    subset = subset_mask if has_subset else None
-    bitmap, posting_overflow = _gen_bitmap(index, cells, shapes, subset)
-    union_ids, union_overflow = _union_candidates(index, bitmap, shapes)
-    overflow = jnp.maximum(union_overflow, posting_overflow)
+    # Stage 3: flat posting gathers -> sort-deduped batch union.
+    union_ids, overflow = _union_candidates(index, cells, shapes)
 
     # Stage 4: exact MaxSim on the union (decompress once per candidate).
     exact = _exact_on_candidates(index, queries, qmask, union_ids, shapes)
-    # Each query only ranks ITS OWN candidates (reference semantics).
-    nd_pad = index.num_docs_padded
-    mine = jnp.take_along_axis(
-        bitmap,
-        jnp.broadcast_to(
-            jnp.clip(union_ids, 0, nd_pad - 1)[None, :],
-            (bitmap.shape[0], union_ids.shape[0]),
-        ),
-        axis=1,
-    )
-    exact = jnp.where(mine & (union_ids < index.num_documents)[None, :],
-                      exact, NEG_INF)
+    valid = (union_ids < index.num_documents)[None, :]
+    if has_subset:
+        nd_pad = index.num_docs_padded
+        valid &= jnp.take(
+            subset_mask, jnp.clip(union_ids, 0, nd_pad - 1)
+        )[None, :]
+    exact = jnp.where(valid, exact, NEG_INF)
 
     # Stage 5: final top-k.
     final_scores, final_slots = jax.lax.top_k(exact, shapes.top_k)

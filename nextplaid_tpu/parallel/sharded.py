@@ -35,7 +35,6 @@ from nextplaid_tpu.index.search import (
     PipelineShapes,
     QueryResult,
     _exact_on_candidates,
-    _gen_bitmap,
     _pad_queries,
     _select_cells,
     _union_candidates,
@@ -296,26 +295,17 @@ def _shard_search_fn(
             )
             s_masked = jnp.where(qmask[:, :, None], s_raw, NEG_INF)
             cells = _select_cells(s_masked, qmask, shapes, index.num_centroids)
-            subset = subset_mask[0] if has_subset else None
-            bitmap, posting_overflow = _gen_bitmap(index, cells, shapes, subset)
-            union_ids, union_overflow = _union_candidates(index, bitmap, shapes)
-            overflow = jnp.maximum(union_overflow, posting_overflow)
+            union_ids, overflow = _union_candidates(index, cells, shapes)
             exact = _exact_on_candidates(
                 index, queries, qmask, union_ids, shapes
             )
-            nd_pad = index.num_docs_padded
-            mine = jnp.take_along_axis(
-                bitmap,
-                jnp.broadcast_to(
-                    jnp.clip(union_ids, 0, nd_pad - 1)[None, :],
-                    (bitmap.shape[0], union_ids.shape[0]),
-                ),
-                axis=1,
-            )
-            exact = jnp.where(
-                mine & (union_ids < index.num_documents)[None, :],
-                exact, NEG_INF,
-            )
+            valid = (union_ids < index.num_documents)[None, :]
+            if has_subset:
+                nd_pad = index.num_docs_padded
+                valid &= jnp.take(
+                    subset_mask[0], jnp.clip(union_ids, 0, nd_pad - 1)
+                )[None, :]
+            exact = jnp.where(valid, exact, NEG_INF)
             k_local = min(top_k, shapes.max_candidates)
             local_scores, local_slots = jax.lax.top_k(exact, k_local)
             local_ids = jnp.take_along_axis(
