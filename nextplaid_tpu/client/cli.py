@@ -224,3 +224,27 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+@cli.command()
+@click.argument("texts", nargs=-1, required=True)
+@click.option("--input-type", type=click.Choice(["query", "document"]),
+              default="document")
+@click.option("--pool-factor", type=int, default=None)
+@click.pass_context
+def encode(ctx, texts, input_type, pool_factor):
+    """Encode texts server-side; prints shapes (embeddings via SDK)."""
+    arrays = _client(ctx).encode(
+        list(texts), input_type=input_type, pool_factor=pool_factor
+    )
+    _echo([{"tokens": a.shape[0], "dim": a.shape[1]} for a in arrays])
+
+
+@cli.command()
+@click.argument("query")
+@click.argument("documents", nargs=-1, required=True)
+@click.option("--pool-factor", type=int, default=None)
+@click.pass_context
+def rerank(ctx, query, documents, pool_factor):
+    """Rerank candidate documents against a query (server-side encoding)."""
+    _echo(_client(ctx).rerank(query, list(documents), pool_factor=pool_factor))
