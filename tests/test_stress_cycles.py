@@ -16,7 +16,9 @@ from nextplaid_tpu.index.update import (
 )
 from nextplaid_tpu.storage.npy import IndexLayout, load_json
 
-CYCLES = 12
+import os
+
+CYCLES = int(os.environ.get("STRESS_CYCLES", "12"))
 DIM = 32
 
 
