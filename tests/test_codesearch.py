@@ -469,3 +469,38 @@ def test_install_agent(tmp_path):
 
     snippet = json.loads(hook_snippet_json())
     assert "hooks" in snippet
+
+
+def test_more_language_extraction(tmp_path):
+    cases = {
+        "m.rb": ("class Parser\n  def parse_line(line)\n    line.strip\n  end\nend\n",
+                 {"Parser", "parse_line"}),
+        "A.java": ("public class Handler {\n"
+                   "  public String handleRequest(String req) {\n"
+                   "    return req;\n  }\n}\n",
+                   {"Handler", "handleRequest"}),
+        "k.kt": ("class Store {\n}\nfun loadConfig(path: String): Config {\n"
+                 "    return Config(path)\n}\n",
+                 {"Store", "loadConfig"}),
+        "s.swift": ("struct Point {\n}\nfunc distance(a: Point) -> Double {\n"
+                    "    return 0\n}\n",
+                    {"Point", "distance"}),
+        "p.php": ("<?php\nclass Router {\n"
+                  "  public function dispatch($req) { return $req; }\n}\n",
+                  {"Router", "dispatch"}),
+        "l.lua": ("function compute_sum(a, b)\n  return a + b\nend\n",
+                  {"compute_sum"}),
+        "sh.sh": ("deploy_app() {\n  echo hi\n}\n", {"deploy_app"}),
+        "c.c": ("int add_numbers(int a, int b) {\n  return a + b;\n}\n",
+                {"add_numbers"}),
+        "cs.cs": ("public class Service {\n"
+                  "  public int GetCount() { return 1; }\n}\n",
+                  {"Service", "GetCount"}),
+        "sc.scala": ("object Main {\n  def run(): Unit = {}\n}\n",
+                     {"Main", "run"}),
+    }
+    for fname, (src, expected) in cases.items():
+        f = tmp_path / fname
+        f.write_text(src)
+        names = {u.name for u in extract_units(f)}
+        assert expected <= names, (fname, expected, names)

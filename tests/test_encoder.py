@@ -260,3 +260,65 @@ def test_hf_bert_weight_mapping(tmp_path):
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(out), axis=-1), 1.0, rtol=1e-4
     )
+
+
+def test_do_lower_case_and_prefix_fallback():
+    """do_lower_case normalizes text; a prefix with trailing space resolves
+    via the stripped fallback (reference query_prefix '[Q] ')."""
+    tok, vocab = make_tokenizer()
+    bcfg = BackboneConfig(
+        model_type="bert", vocab_size=len(vocab), hidden_size=32,
+        num_hidden_layers=1, num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, projection_dim=16,
+    )
+    ccfg = ColbertConfig(
+        query_prefix="[Q] ",  # trailing space, not a vocab token verbatim
+        document_prefix="[D] ",
+        query_length=16, document_length=24, embedding_dim=16,
+        mask_token_id=vocab["[MASK]"], pad_token_id=vocab["[PAD]"],
+        do_lower_case=True,
+    )
+    enc = Colbert(
+        config=ccfg, backbone_config=bcfg, tokenizer=tok,
+        params=init_random_params(bcfg, seed=2), batch_size=4,
+    )
+    assert enc._query_prefix_id == vocab["[Q]"]
+    assert enc._document_prefix_id == vocab["[D]"]
+    a = enc.encode_documents(["QUICK FOX"])[0]
+    b = enc.encode_documents(["quick fox"])[0]
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_stream_with_pooling(encoder):
+    docs = ["the quick brown fox jumps over the lazy dog"] * 3
+    chunks = list(
+        encoder.encode_documents_stream(iter(docs), batch_size=2, pool_factor=2)
+    )
+    flat = [e for c in chunks for e in c]
+    direct = encoder.encode_documents(docs, pool_factor=2)
+    assert len(flat) == 3
+    for x, y in zip(flat, direct):
+        np.testing.assert_allclose(x, y, atol=1e-5)
+
+
+def test_explicit_prefix_ids():
+    """query_prefix_id/document_prefix_id override token lookup
+    (PyLate exports set them explicitly)."""
+    tok, vocab = make_tokenizer()
+    bcfg = BackboneConfig(
+        model_type="bert", vocab_size=len(vocab), hidden_size=32,
+        num_hidden_layers=1, num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, projection_dim=16,
+    )
+    ccfg = ColbertConfig(
+        query_prefix="nonexistent-token", document_prefix="also-missing",
+        query_prefix_id=vocab["[Q]"], document_prefix_id=vocab["[D]"],
+        query_length=16, document_length=24, embedding_dim=16,
+        mask_token_id=vocab["[MASK]"], pad_token_id=vocab["[PAD]"],
+    )
+    enc = Colbert(
+        config=ccfg, backbone_config=bcfg, tokenizer=tok,
+        params=init_random_params(bcfg, seed=3), batch_size=4,
+    )
+    ids, attn, rows, lengths = enc._prepare(["quick fox"], is_query=False)
+    assert rows[0][1] == vocab["[D]"]
