@@ -75,6 +75,11 @@ class SearchParameters:
     # "staged"/"exact" force one.
     mode: str = "auto"
     exact_max_embeddings: int = 16_000_000
+    # Candidate scope: "batch" scores every query against the whole batch
+    # union exactly (recall >= reference at equal probes); "per_query"
+    # restores the reference's semantics — each query ranks only documents
+    # its own probes produced (search.rs candidate sets).
+    candidate_scope: str = "batch"
     # Fused MaxSim Pallas kernel over the pinned token grid: "auto" uses it
     # on TPU backends when the grid is pinned; "pallas" forces it (interpret
     # mode off-TPU is for tests only); "off" keeps the XLA scan path.

@@ -75,6 +75,7 @@ class PipelineShapes:
     posting_chunk: int  # posting entries scattered per scan step
     cand_tile: int  # union candidates decompressed+scored per scan step
     nbits: int
+    candidate_scope: str = "batch"  # "batch" | "per_query"
     # Matmul precision for stage 1 (candidate generation / approx scoring).
     # "highest" = full f32 (reference parity); "default" = TPU bf16 passes
     # (faster; only affects which candidates reach the exact re-rank).
@@ -144,6 +145,7 @@ class PipelineShapes:
             posting_chunk=posting_chunk,
             cand_tile=cand_tile,
             nbits=index.nbits,
+            candidate_scope=params.candidate_scope,
             stage1_precision=params.stage1_precision,
         )
 
@@ -185,12 +187,16 @@ def _union_candidates(
 
     Returns (union_ids [Cmax] int32, overflow [] i32 = candidates beyond
     the union cap / posting budget; any overflow => caller falls back to
-    exhaustive scoring). Sentinel for empty slots is `num_documents`.
+    exhaustive scoring, mine [Q, Cmax] bool or None). Sentinel for empty
+    slots is `num_documents`.
 
-    Batch-union semantics: every query is scored against the whole batch
-    union (exactly), not just its own probed docs — a deliberate deviation
-    from the reference's per-query candidate sets that can only raise
-    recall at equal probe parameters.
+    Scope semantics (SearchParameters.candidate_scope):
+      - "batch" (default): every query is scored against the whole batch
+        union (exactly) — a deliberate deviation from the reference's
+        per-query candidate sets that can only raise recall at equal probe
+        parameters; `mine` is None.
+      - "per_query": reference semantics — membership recovered from the
+        per-query sorted posting streams with searchsorted (no scatter).
     """
     q_n, ncells = cells.shape
     k = index.num_centroids
@@ -232,10 +238,23 @@ def _union_candidates(
     unique_sorted = jnp.sort(keyed)
     n_unique = jnp.sum(keyed < nd)
     union_overflow = jnp.maximum(n_unique - cmax, 0)
-    return (
-        unique_sorted[:cmax],
-        jnp.maximum(posting_overflow, union_overflow),
-    )
+    union_ids = unique_sorted[:cmax]
+
+    if shapes.candidate_scope == "per_query":
+        # Reference semantics: each query ranks only its own probed docs.
+        # Membership via per-query sorted posting streams + searchsorted —
+        # no bitmap scatter needed.
+        rows_sorted = jnp.sort(ids, axis=1)  # [Q, B]
+        lo = jax.vmap(
+            lambda row: jnp.searchsorted(row, union_ids, side="left")
+        )(rows_sorted)
+        hi = jax.vmap(
+            lambda row: jnp.searchsorted(row, union_ids, side="right")
+        )(rows_sorted)
+        mine = hi > lo  # [Q, Cmax]
+    else:
+        mine = None
+    return union_ids, jnp.maximum(posting_overflow, union_overflow), mine
 
 
 def _exact_on_candidates(
@@ -347,11 +366,13 @@ def search_pipeline(
     cells = _select_cells(s_masked, qmask, shapes, k)
 
     # Stage 3: flat posting gathers -> sort-deduped batch union.
-    union_ids, overflow = _union_candidates(index, cells, shapes)
+    union_ids, overflow, mine = _union_candidates(index, cells, shapes)
 
     # Stage 4: exact MaxSim on the union (decompress once per candidate).
     exact = _exact_on_candidates(index, queries, qmask, union_ids, shapes)
     valid = (union_ids < index.num_documents)[None, :]
+    if mine is not None:
+        valid = valid & mine
     if has_subset:
         nd_pad = index.num_docs_padded
         valid &= jnp.take(

@@ -295,11 +295,15 @@ def _shard_search_fn(
             )
             s_masked = jnp.where(qmask[:, :, None], s_raw, NEG_INF)
             cells = _select_cells(s_masked, qmask, shapes, index.num_centroids)
-            union_ids, overflow = _union_candidates(index, cells, shapes)
+            union_ids, overflow, mine = _union_candidates(
+                index, cells, shapes
+            )
             exact = _exact_on_candidates(
                 index, queries, qmask, union_ids, shapes
             )
             valid = (union_ids < index.num_documents)[None, :]
+            if mine is not None:
+                valid = valid & mine
             if has_subset:
                 nd_pad = index.num_docs_padded
                 valid &= jnp.take(

