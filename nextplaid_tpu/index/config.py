@@ -80,6 +80,11 @@ class SearchParameters:
     # restores the reference's semantics — each query ranks only documents
     # its own probes produced (search.rs candidate sets).
     candidate_scope: str = "batch"
+    # Union-overflow policy: "exact" (default) re-runs the batch through
+    # exhaustive scoring — always correct, slow at huge scale; "prune" keeps
+    # the max_candidates docs with the MOST probe hits (the spirit of the
+    # reference's approximate prune) and stays fast.
+    overflow_policy: str = "exact"
     # Fused MaxSim Pallas kernel over the pinned token grid: "auto" uses it
     # on TPU backends when the grid is pinned; "pallas" forces it (interpret
     # mode off-TPU is for tests only); "off" keeps the XLA scan path.

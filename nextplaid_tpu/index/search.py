@@ -76,6 +76,7 @@ class PipelineShapes:
     cand_tile: int  # union candidates decompressed+scored per scan step
     nbits: int
     candidate_scope: str = "batch"  # "batch" | "per_query"
+    overflow_policy: str = "exact"  # "exact" fallback | "prune" by hit count
     # Matmul precision for stage 1 (candidate generation / approx scoring).
     # "highest" = full f32 (reference parity); "default" = TPU bf16 passes
     # (faster; only affects which candidates reach the exact re-rank).
@@ -146,6 +147,7 @@ class PipelineShapes:
             cand_tile=cand_tile,
             nbits=index.nbits,
             candidate_scope=params.candidate_scope,
+            overflow_policy=params.overflow_policy,
             stage1_precision=params.stage1_precision,
         )
 
@@ -234,11 +236,34 @@ def _union_candidates(
     first = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), flat[1:] != flat[:-1]]
     )
-    keyed = jnp.where(first & (flat < nd), flat, nd)
-    unique_sorted = jnp.sort(keyed)
-    n_unique = jnp.sum(keyed < nd)
+    n_flat = flat.shape[0]
+    real_first = first & (flat < nd)
+    n_unique = jnp.sum(real_first)
     union_overflow = jnp.maximum(n_unique - cmax, 0)
-    union_ids = unique_sorted[:cmax]
+
+    if shapes.overflow_policy == "prune":
+        # Keep the cmax docs with the MOST probe hits (duplicates in the
+        # sorted stream are adjacent, so a doc's hit count is the distance
+        # to the next first-occurrence). Hit count correlates strongly with
+        # the reference's approximate centroid score, at matmul-free cost.
+        idx = jnp.arange(n_flat, dtype=jnp.int32)
+        # Run boundaries come from EVERY first occurrence (including the
+        # sentinel run's) so the last real doc's count is not inflated.
+        first_pos = jnp.where(first, idx, n_flat)
+        next_first = jax.lax.associative_scan(
+            jnp.minimum, first_pos[::-1]
+        )[::-1]
+        next_next = jnp.concatenate(
+            [next_first[1:], jnp.full((1,), n_flat, jnp.int32)]
+        )
+        counts = jnp.where(real_first, next_next - idx, 0)
+        _, top_pos = jax.lax.top_k(counts, cmax)
+        union_ids = jnp.where(
+            jnp.take(counts, top_pos) > 0, jnp.take(flat, top_pos), nd
+        )
+    else:
+        keyed = jnp.where(real_first, flat, nd)
+        union_ids = jnp.sort(keyed)[:cmax]
 
     if shapes.candidate_scope == "per_query":
         # Reference semantics: each query ranks only its own probed docs.
@@ -501,7 +526,11 @@ def search_batch(
         ids = np.asarray(ids)[:n]
         scores = np.asarray(scores)[:n]
         overflow = np.asarray(overflow)[:n]
-    if not use_exact and overflow.max(initial=0) > 0:
+    if (
+        not use_exact
+        and params.overflow_policy == "exact"
+        and overflow.max(initial=0) > 0
+    ):
         import logging
 
         logging.getLogger(__name__).warning(

@@ -353,3 +353,32 @@ def test_per_query_scope_matches_reference_semantics(built):
         len(set(x.passage_ids) - set(y.passage_ids)) >= 0
         for x, y in zip(batch_scope, per_query)
     )
+
+
+def test_overflow_prune_policy(built):
+    """overflow_policy='prune' keeps the most-probed candidates under a tiny
+    cap — the top result (probed by many cells) must survive, and no
+    exhaustive fallback fires."""
+    import dataclasses
+    import logging
+
+    docs, path, meta, index = built
+    queries, targets = make_queries(docs, num_queries=4)
+    oracle = search_batch(index, queries, SearchParameters(top_k=5, mode="exact"))
+    params = SearchParameters(
+        top_k=5, mode="staged", max_candidates=64,
+        n_ivf_probe=8, centroid_score_threshold=None,
+        overflow_policy="prune",
+    )
+    got = search_batch(index, queries, params)
+    hits = sum(
+        o.passage_ids[0] in g.passage_ids for o, g in zip(oracle, got)
+    )
+    assert hits >= 3, [g.passage_ids for g in got]
+    # Exact policy under the same cap must return oracle-equal results
+    # (via the fallback).
+    exact_policy = search_batch(
+        index, queries, dataclasses.replace(params, overflow_policy="exact")
+    )
+    for o, g in zip(oracle, exact_policy):
+        assert o.passage_ids == g.passage_ids
