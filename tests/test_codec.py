@@ -184,3 +184,33 @@ def test_native_codec_matches_device_codec():
         native.bucketize(vals, cut),
         np.asarray(codec.bucketize(jnp.asarray(vals), jnp.asarray(cut), 4)),
     )
+
+
+def test_atomic_write_failure_preserves_original(tmp_path, monkeypatch):
+    """A crash mid-write must leave the previous file intact
+    (reference utils.rs:320-338 atomic tmp+rename discipline)."""
+    import os
+
+    from nextplaid_tpu.storage import npy as npy_mod
+
+    target = tmp_path / "data.npy"
+    original = np.arange(10, dtype=np.float32)
+    npy_mod.atomic_write_npy(target, original)
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(os, "replace", boom)
+    monkeypatch.setattr(os, "rename", boom, raising=False)
+    try:
+        npy_mod.atomic_write_npy(target, np.zeros(5, np.float32))
+    except OSError:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+    back = np.asarray(npy_mod.load_npy(target, mmap=False))
+    np.testing.assert_array_equal(back, original)
+    # No stray tmp files leak into the directory's namespace forever.
+    leftovers = [p for p in tmp_path.iterdir() if p.name != "data.npy"]
+    assert all(".tmp" in p.name or p.suffix != ".npy" for p in leftovers)
