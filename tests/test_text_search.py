@@ -194,3 +194,34 @@ def test_fts_missing_db(tmp_path):
     with pytest.raises(FilteringError):
         ts.search(str(tmp_path / "none"), "x", 5)
     assert not ts.exists(str(tmp_path / "none"))
+
+
+def test_update_where_resyncs_fts(tmp_path):
+    """filtering.update_where must re-sync FTS rows for affected docs
+    (reference update_where -> text_search::update_rows, filtering.rs:2563)."""
+    path = str(tmp_path / "idx")
+    rows = [
+        {"title": "alpha document", "status": "draft"},
+        {"title": "beta document", "status": "draft"},
+    ]
+    filtering.create(path, rows, [0, 1])
+    ts.index(path, rows, [0, 1])
+    ids, _ = ts.search(path, "alpha", 10)
+    assert ids == [0]
+
+    filtering.update_where(
+        path, "title = ?", ["alpha document"], {"title": "gamma document"}
+    )
+    # Old term gone, new term searchable.
+    assert ts.search(path, "alpha", 10)[0] == []
+    ids, _ = ts.search(path, "gamma", 10)
+    assert ids == [0]
+    # Untouched row unaffected.
+    assert ts.search(path, "beta", 10)[0] == [1]
+
+
+def test_get_with_limit(tmp_path):
+    path = str(tmp_path / "idx")
+    filtering.create(path, [{"n": i} for i in range(6)], list(range(6)))
+    rows = filtering.get(path, condition="n >= ?", parameters=[0])
+    assert len(rows) == 6
