@@ -267,3 +267,17 @@ def test_v0_schema_migrates_on_delete(tmp_path):
     rows = filtering.get(path)
     assert [r["_subset_"] for r in rows] == [0, 1, 2, 3]
     assert [r["name"] for r in rows] == ["n0", "n2", "n4", "n5"]
+
+
+@pytest.mark.parametrize(
+    "cond",
+    [
+        "name NOT LIKE ?",
+        "code NOT REGEXP ?",
+        "score NOT IN (?, ?)",
+        'NOT "name" = ?',
+        "(name = ?) AND (score > ? OR city IS NULL)",
+    ],
+)
+def test_validator_accepts_not_forms(cond):
+    validate_condition(cond, COLS)
