@@ -1,6 +1,14 @@
-"""Per-stage timing of the staged search pipeline on the bench corpus."""
+"""Per-stage timing of the staged search pipeline on the bench corpus.
 
+(Historical note: this script's earlier revision profiled the
+reference-shaped per-query pipeline and produced the numbers in
+docs/BENCHMARKS.md that motivated the union redesign.)
+"""
+
+import functools
+import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -9,26 +17,24 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-import functools
-
 import jax.numpy as jnp
 import numpy as np
 
 from bench import make_clustered_corpus, make_queries
-from nextplaid_tpu.index import DeviceIndex, IndexConfig, SearchParameters, create_index
+from nextplaid_tpu.index import (
+    DeviceIndex,
+    IndexConfig,
+    SearchParameters,
+    create_index,
+)
 from nextplaid_tpu.index import search as S
 
-import os
-import tempfile
-
 path = os.environ.get("BENCH_IDX")
-if not path:
-    docs, topics = make_clustered_corpus()
+docs, topics = make_clustered_corpus()
+if not (path and os.path.exists(path + "/metadata.json")):
     path = tempfile.mkdtemp(prefix="bench_idx_") + "/scifact_scale"
     create_index(docs, path, IndexConfig(nbits=4, seed=42))
     print("built index at", path, flush=True)
-else:
-    docs, topics = make_clustered_corpus()
 
 index = DeviceIndex.load(path)
 print(
@@ -49,15 +55,13 @@ qm = jnp.asarray(q_mask)
 
 
 def timeit(name, fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    out = jax.tree_util.tree_map(np.asarray, fn(*args))  # warm + force
     t0 = time.perf_counter()
     for _ in range(3):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        out = jax.tree_util.tree_map(np.asarray, fn(*args))
     dt = (time.perf_counter() - t0) / 3
-    print(f"{name:24s} {dt*1000:9.1f} ms", flush=True)
-    return out
+    print(f"{name:26s} {dt*1000:9.1f} ms", flush=True)
+    return jax.tree_util.tree_map(jnp.asarray, out)
 
 
 stage1 = jax.jit(
@@ -76,29 +80,19 @@ stage2 = jax.jit(
 )
 cells = timeit("stage2 select cells", stage2, s_masked, qm)
 
-stage3 = jax.jit(
-    lambda cells: S._gen_candidates(index, cells, shapes, None)
+stage3 = jax.jit(lambda c: S._union_candidates(index, c, shapes))
+union_ids, overflow, _mine = timeit("stage3 union candidates", stage3, cells)
+print(
+    "   union size:", int((np.asarray(union_ids) < index.num_documents).sum()),
+    "overflow:", int(np.asarray(overflow)),
+    flush=True,
 )
-cand_ids, overflow = timeit("stage3 candidates", stage3, cells)
-print("   actual candidates:", int(jnp.sum(cand_ids[0] < index.num_documents)),
-      "overflow:", int(overflow.max()), flush=True)
 
 stage4 = jax.jit(
-    lambda s, qm, c: S._approx_scores(index, s, qm, c, shapes)
+    lambda q, qm, u: S._exact_on_candidates(index, q, qm, u, shapes)
 )
-approx = timeit("stage4 approx scores", stage4, s_masked, qm, cand_ids)
+exact = timeit("stage4 exact on union", stage4, q, qm, union_ids)
 
-topk = jax.jit(lambda a: jax.lax.top_k(a, shapes.n_rerank))
-top_approx, top_slots = timeit("stage4b top_k rerank", topk, approx)
-rerank_ids = jnp.take_along_axis(cand_ids, top_slots, axis=1)
-
-stage5 = jax.jit(
-    lambda q, qm, r: S._exact_rerank(index, q, qm, r, shapes)
-)
-exact = timeit("stage5 exact rerank", stage5, q, qm, rerank_ids)
-
-full = jax.jit(
-    functools.partial(S.search_pipeline, shapes=shapes, has_subset=False),
-)
-timeit("FULL pipeline", full, index, q, qm, None)
-print("BENCH_IDX=" + path)
+full = jax.jit(functools.partial(S.search_pipeline, shapes=shapes, has_subset=False))
+timeit("FULL staged pipeline", full, index, q, qm, None)
+print("BENCH_IDX=" + path, flush=True)
