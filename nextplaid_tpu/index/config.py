@@ -36,6 +36,8 @@ class IndexConfig:
     max_points_per_centroid: int = 256
     n_samples_kmeans: Optional[int] = None
     start_from_scratch: int = field(default_factory=default_start_from_scratch)
+    # Accepted for reference-config compatibility (NEXT_PLAID_FORCE_CPU);
+    # device placement is owned by JAX here, so this field is inert.
     force_cpu: bool = False
     fts_tokenizer: str = "unicode61"
 

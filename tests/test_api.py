@@ -493,3 +493,27 @@ def test_openapi_spec(server):
     assert spec["openapi"].startswith("3.")
     assert "/indices/{name}/search" in spec["paths"]
     assert "/encode" in spec["paths"]
+
+
+def test_search_with_request_subset(server):
+    """The raw `subset` request field restricts results (distinct from
+    filter_condition)."""
+    requests.post(server.url + "/indices", json={"name": "subsetidx"})
+    docs = make_docs(12, seed=50)
+    requests.post(
+        server.url + "/indices/subsetidx/update",
+        json={"documents": [doc_payload(d) for d in docs]},
+    )
+    q = docs[5][:4]
+    r = requests.post(
+        server.url + "/indices/subsetidx/search",
+        json={
+            "queries": [doc_payload(q)],
+            "params": {"top_k": 5},
+            "subset": [0, 5, 9],
+        },
+    )
+    assert r.status_code == 200, r.text
+    ids = r.json()["results"][0]["document_ids"]
+    assert set(ids) <= {0, 5, 9}
+    assert ids[0] == 5
