@@ -109,3 +109,17 @@ def test_sharded_staged_mode_matches_exact(built):
     )
     for e, s in zip(exact, staged):
         assert e.passage_ids == s.passage_ids
+
+
+def test_sharded_exact_subset(built):
+    """Subset filtering applies per shard in exact mode on the mesh."""
+    docs, index, sindex = built
+    queries, targets = make_queries(docs, num_queries=4)
+    subset = sorted(set(range(0, len(docs), 2)) | set(targets))
+    res = search_batch_sharded(
+        sindex, queries, SearchParameters(top_k=5, mode="exact"),
+        subset=subset,
+    )
+    for t, r in zip(targets, res):
+        assert set(r.passage_ids) <= set(subset)
+        assert t in r.passage_ids
