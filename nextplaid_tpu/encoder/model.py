@@ -71,7 +71,21 @@ class BackboneConfig:
 
 
 def _act(name: str):
-    return {"gelu": nn.gelu, "relu": nn.relu, "silu": nn.silu}.get(name, nn.gelu)
+    # HF's ACT2FN["gelu"] is the exact erf GELU (torch nn.GELU default);
+    # flax nn.gelu defaults to the tanh approximation, which diverges from
+    # real checkpoints by ~1e-3 per layer. "gelu_pytorch_tanh" is HF's name
+    # for the approximate variant.
+    import functools as _ft
+
+    exact_gelu = _ft.partial(nn.gelu, approximate=False)
+    tanh_gelu = _ft.partial(nn.gelu, approximate=True)
+    return {
+        "gelu": exact_gelu,
+        "gelu_new": tanh_gelu,
+        "gelu_pytorch_tanh": tanh_gelu,
+        "relu": nn.relu,
+        "silu": nn.silu,
+    }.get(name, exact_gelu)
 
 
 # ---------------------------------------------------------------------------
