@@ -82,10 +82,20 @@ class SearchParameters:
     # restores the reference's semantics — each query ranks only documents
     # its own probes produced (search.rs candidate sets).
     candidate_scope: str = "batch"
-    # Union-overflow policy: "exact" (default) re-runs the batch through
-    # exhaustive scoring — always correct, slow at huge scale; "prune" keeps
-    # the max_candidates docs with the MOST probe hits (the spirit of the
-    # reference's approximate prune) and stays fast.
+    # Per-query approximate-prune depth: each query keeps this many docs
+    # (ranked by summed probed-cell scores) for the exact re-rank. 0 = auto
+    # (n_full_scores/4, the reference's exact-rerank breadth, search.rs:468).
+    prune_keep: int = 0
+    # Flat posting-stream budget per query (entries gathered across all
+    # probed cells). 0 = auto (4x the probe fan-out x average posting
+    # length, floor 65536). Overflow is counted, reported, and handled per
+    # overflow_policy.
+    posting_budget: int = 0
+    # Posting-budget overflow policy: "exact" (default) re-runs the batch
+    # through exhaustive scoring — always correct, slow at huge scale;
+    # "prune" drops the lowest-weight probed cells' postings (the tail of
+    # the weight-sorted stream) and stays fast, with the dropped count
+    # reported.
     overflow_policy: str = "exact"
     # Fused MaxSim Pallas kernel over the pinned token grid: "auto" uses it
     # on TPU backends when the grid is pinned; "pallas" forces it (interpret

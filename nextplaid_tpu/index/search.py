@@ -8,31 +8,43 @@ Re-design of the reference's per-query CPU pipeline
                                           per query under rayon, search.rs:345)
   stage 2  per-token top-nprobe cells   — `lax.top_k` over K, + centroid-score
                                           threshold prune (search.rs:388-425)
-  stage 3  IVF candidate generation     — posting-list gathers scattered into a
-                                          per-query doc bitmap, then cumsum
-                                          compaction into a fixed [Q,Cmax]
-                                          buffer (replaces the HashSet union of
-                                          index.rs:1142-1156; subset filters
-                                          are fused here as a bitmap AND
-                                          instead of the post-hoc retain of
-                                          search.rs:434-437)
-  stage 4  union + shared exact scoring — the per-query candidate bitmaps are
-                                          OR-ed into one batch-wide candidate
-                                          set; those documents are
+  stage 3  IVF candidate generation +   — selected cells' posting lists are
+           weighted approximate prune     laid out as ONE flat [Q,B] stream of
+                                          (doc_id, cell_weight) pairs, pair-
+                                          sorted by doc id, and segment-summed
+                                          into a per-document approximate
+                                          score; each query keeps its top
+                                          `prune_keep` documents (replaces the
+                                          reference's per-candidate LUT
+                                          approximate scoring,
+                                          search.rs:448-469, with a
+                                          sort-based, gather-free reduction —
+                                          the TPU answer to the same prune)
+  stage 4  union + shared exact scoring — the per-query survivor lists are
+                                          sort-deduped into one batch-wide
+                                          candidate set; those documents are
                                           decompressed ONCE (fused unpack +
                                           dequantize + renorm) and MaxSim-
                                           scored against the whole query batch
-                                          on the MXU; per-query bitmaps mask
-                                          the final scores
+                                          on the MXU; per-query membership
+                                          masks the final scores
   stage 5  on-device top-k
 
-This replaces the reference's approximate-score prune + per-query decompress
-(search.rs:305-324, 468-493): profiling on TPU showed per-query residual
-gathers dominate (>25s per batch at SciFact scale) while exact MaxSim on the
-MXU is nearly free, so scoring the candidate UNION exactly is both faster and
-higher-recall than approx-pruning to n_full_scores/4 per query. (The
-approx stage would only re-earn its place if the union ever exceeded tens of
-thousands of documents per batch.)
+Approximate-score semantics (deliberate deviation from the reference):
+the reference ranks candidates by sum-over-query-tokens of the max centroid
+score among the candidate's OWN token codes (search.rs:448-457), which needs
+a gather of every candidate's codes. Here a document's approximate score is
+the sum of the selected-cell scores S[q,t,c] over every probed (t,c) pair
+whose posting list contains it — computable from the posting streams alone.
+Both are prune heuristics ahead of the exact re-rank; recall against the f32
+oracle is the arbiter (tests/test_index_e2e.py, bench.py).
+
+At small scale every probed document survives the prune (prune_keep exceeds
+the probe fan-out) and stage 4 degenerates to exact scoring of the full
+probed union — the regime where profiling showed decompress-once + MXU
+MaxSim beats per-query pruning. At MS MARCO scale (>16M embeddings, where
+the pinned grid no longer fits HBM) the prune is what keeps the exact stage
+bounded at Q * prune_keep documents per batch.
 
 Everything between host entry and the final [Q, top_k] results is one jitted
 program over static shapes; padding is masked, never silently dropped —
@@ -75,8 +87,11 @@ class PipelineShapes:
     posting_chunk: int  # posting entries scattered per scan step
     cand_tile: int  # union candidates decompressed+scored per scan step
     nbits: int
+    prune_keep: int = 1024  # M: per-query approx-score survivors
     candidate_scope: str = "batch"  # "batch" | "per_query"
-    overflow_policy: str = "exact"  # "exact" fallback | "prune" by hit count
+    overflow_policy: str = "exact"  # on posting-budget overflow: "exact"
+    # fallback (re-run exhaustively) | "prune" (lowest-weight cells dropped,
+    # overflow counted and reported)
     # Matmul precision for stage 1 (candidate generation / approx scoring).
     # "highest" = full f32 (reference parity); "default" = TPU bf16 passes
     # (faster; only affects which candidates reach the exact re-rank).
@@ -104,21 +119,22 @@ class PipelineShapes:
         nnz = int(index.ivf_doc_ids.shape[0])
         avg_post = max(1, -(-nnz // max(index.num_centroids, 1)))
         b_full = ncells * p_cap
-        b = min(b_full, max(1 << 16, 8 * ncells * avg_post))
+        if params.posting_budget:
+            b = min(b_full, params.posting_budget)
+        else:
+            b = min(b_full, max(1 << 16, 4 * ncells * avg_post))
         b = max(_round_up(b, 128), 128)
-        # Union cap: the batch-wide candidate set. Scales with the query
-        # batch (distinct queries probe mostly-disjoint candidates at scale)
-        # and the reference's rerank breadth; overflow is counted and logged,
-        # never silent.
-        cmax = params.max_candidates or min(
-            nd,
-            max(
-                2 * params.n_full_scores,
-                8192,
-                num_queries * params.n_full_scores // 4,
-            ),
-        )
-        cmax = min(cmax, nd)
+        # Per-query approximate-prune depth: mirrors the reference's exact
+        # re-rank breadth n_full_scores/4 (search.rs:468). Every probed doc
+        # survives when fewer than this are probed.
+        keep = params.prune_keep or max(params.n_full_scores // 4, 16)
+        keep = min(keep, b, max(nd, 1))
+        keep = max(keep, min(params.top_k, nd), 1)
+        # Union cap: per-query survivor lists concatenated then deduped —
+        # Q*keep is an exact upper bound, so the union can never overflow.
+        cmax = min(num_queries * keep, nd)
+        if params.max_candidates:
+            cmax = min(cmax, params.max_candidates)
         cmax = max(_round_up(cmax, 8), 8)
         # Clamp to the corpus: requesting more results than documents exist
         # returns everything (the reference's dynamic Vecs do this naturally;
@@ -146,6 +162,7 @@ class PipelineShapes:
             posting_chunk=posting_chunk,
             cand_tile=cand_tile,
             nbits=index.nbits,
+            prune_keep=keep,
             candidate_scope=params.candidate_scope,
             overflow_policy=params.overflow_policy,
             stage1_precision=params.stage1_precision,
@@ -159,52 +176,111 @@ class PipelineShapes:
 
 def _select_cells(
     scores_masked: jax.Array, qmask: jax.Array, shapes: PipelineShapes, k: int
-) -> jax.Array:
+) -> Tuple[jax.Array, jax.Array]:
     """Stages 1-2: per-token top-nprobe + threshold prune.
 
-    Returns [Q, Tq*nprobe] int32 cell ids, sentinel `k` for pruned slots.
+    Returns ([Q, Tq*nprobe] int32 cell ids with sentinel `k` for pruned
+    slots, [Q, Tq*nprobe] f32 cell scores with 0 for pruned slots).
     """
     top_vals, top_cells = jax.lax.top_k(scores_masked, shapes.nprobe)
     valid = qmask[:, :, None] & jnp.isfinite(top_vals)
     if shapes.threshold is not None:
+        # Reference semantics (search.rs:417-425): drop a selected cell when
+        # its MAX score over all query tokens is below the threshold.
         cell_max = jnp.max(scores_masked, axis=1)  # [Q, K]; -inf-safe
         gathered_max = jax.vmap(lambda cm, tc: cm[tc])(cell_max, top_cells)
         valid &= gathered_max >= shapes.threshold
     cells = jnp.where(valid, top_cells, k)
-    return cells.reshape(cells.shape[0], -1).astype(jnp.int32)
+    weights = jnp.where(valid, top_vals, 0.0).astype(jnp.float32)
+    q_n = cells.shape[0]
+    return (
+        cells.reshape(q_n, -1).astype(jnp.int32),
+        weights.reshape(q_n, -1),
+    )
 
 
-def _union_candidates(
-    index: DeviceIndex, cells: jax.Array, shapes: PipelineShapes,
+def _dedup_cells(
+    cells: jax.Array, weights: jax.Array, k: int
 ) -> Tuple[jax.Array, jax.Array]:
-    """Stage 3: flat posting gathers -> sort-deduped batch-wide candidates.
+    """Merge repeated cells per query (a cell probed by several query tokens
+    contributes the SUM of their scores to every posting-list member), then
+    order by descending weight so posting-budget truncation drops the least
+    promising cells first. Sentinel slots (cell == k) sort to the tail with
+    weight 0."""
+    cells_s, w_s = jax.lax.sort((cells, weights), dimension=1, num_keys=1)
+    first = jnp.concatenate(
+        [
+            jnp.ones((cells.shape[0], 1), jnp.bool_),
+            cells_s[:, 1:] != cells_s[:, :-1],
+        ],
+        axis=1,
+    )
+    csum = jnp.cumsum(w_s, axis=1)
+    idx = jnp.arange(cells.shape[1], dtype=jnp.int32)
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, idx[None, :], 0), axis=1
+    )
+    base = jnp.where(
+        run_start > 0,
+        jnp.take_along_axis(csum, jnp.maximum(run_start - 1, 0), axis=1),
+        0.0,
+    )
+    last = jnp.concatenate(
+        [first[:, 1:], jnp.ones((cells.shape[0], 1), jnp.bool_)], axis=1
+    )
+    keep = last & (cells_s < k)
+    merged_w = jnp.where(keep, csum - base, 0.0)
+    merged_c = jnp.where(keep, cells_s, k)
+    # Descending weight; sentinels (weight 0, cell k) go last.
+    order = jnp.argsort(-merged_w, axis=1)
+    return (
+        jnp.take_along_axis(merged_c, order, axis=1),
+        jnp.take_along_axis(merged_w, order, axis=1),
+    )
+
+
+def _prune_candidates(
+    index: DeviceIndex,
+    cells: jax.Array,
+    weights: jax.Array,
+    shapes: PipelineShapes,
+) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
+    """Stage 3: flat weighted posting gathers -> per-query approximate
+    prune -> batch-wide candidate union.
 
     Selected cells' posting lists are laid out as ONE flat [Q, B] stream
     (cell-of-slot via searchsorted over per-query cumulative lengths), so
     cost follows the TOTAL posting mass, not ncells x the longest list
-    (SURVEY hard-part "IVF gather irregularity"). The batch union is then
-    built with two device SORTS instead of a bitmap scatter — TPU scatter
-    throughput (~3M updates/s) made the bitmap the staged bottleneck, while
-    sorting the same stream is vectorized.
+    (SURVEY hard-part "IVF gather irregularity"). Each slot carries its
+    cell's weight (summed stage-2 scores of the query tokens that probed
+    it); a pair-sort by doc id + segment-sum turns the stream into per-doc
+    approximate scores, and each query keeps its top `prune_keep` docs.
+    Everything is sorts, scans and gathers — no scatter (TPU scatter
+    throughput ~3M updates/s made a bitmap design the staged bottleneck).
 
-    Returns (union_ids [Cmax] int32, overflow [] i32 = candidates beyond
-    the union cap / posting budget; any overflow => caller falls back to
-    exhaustive scoring, mine [Q, Cmax] bool or None). Sentinel for empty
-    slots is `num_documents`.
+    Cells are pre-sorted by descending weight (_dedup_cells), so when the
+    posting mass exceeds the budget B the truncated tail holds the LEAST
+    promising cells; the dropped count is still reported as overflow.
+
+    Returns (union_ids [Cmax] int32 — sentinel `num_documents` for empty
+    slots, overflow [] i32 = posting entries beyond the budget, mine
+    [Q, Cmax] bool or None).
 
     Scope semantics (SearchParameters.candidate_scope):
       - "batch" (default): every query is scored against the whole batch
-        union (exactly) — a deliberate deviation from the reference's
+        union exactly — a deliberate deviation from the reference's
         per-query candidate sets that can only raise recall at equal probe
         parameters; `mine` is None.
-      - "per_query": reference semantics — membership recovered from the
-        per-query sorted posting streams with searchsorted (no scatter).
+      - "per_query": reference semantics — each query ranks only its own
+        prune survivors (membership via searchsorted over its sorted
+        survivor list).
     """
     q_n, ncells = cells.shape
     k = index.num_centroids
     nd = index.num_documents
     nnz_pad = index.ivf_doc_ids.shape[0]
     b = shapes.posting_budget
+    keep = shapes.prune_keep
     cmax = shapes.max_candidates
 
     safe_cells = jnp.minimum(cells, k)
@@ -229,47 +305,73 @@ def _union_candidates(
     pos = jnp.take_along_axis(starts, cell_pos_c, axis=1) + (j[None, :] - before)
     ids = index.ivf_doc_ids[jnp.clip(pos, 0, nnz_pad - 1)]
     ids = jnp.where(in_range, ids, nd)
+    w = jnp.where(
+        in_range, jnp.take_along_axis(weights, cell_pos_c, axis=1), 0.0
+    )
 
-    # Sort-dedup: duplicates (and sentinels) move to the tail of a second
-    # sort, leaving unique real doc ids in the first Cmax slots.
-    flat = jnp.sort(ids.reshape(-1))
+    # Per-doc approximate score: pair-sort by doc id, segment-sum weights
+    # over runs, expose each run's total at its last slot.
+    ids_s, w_s = jax.lax.sort((ids, w), dimension=1, num_keys=1)
     first = jnp.concatenate(
+        [jnp.ones((q_n, 1), jnp.bool_), ids_s[:, 1:] != ids_s[:, :-1]],
+        axis=1,
+    )
+    csum = jnp.cumsum(w_s, axis=1)
+    slot = jnp.arange(b, dtype=jnp.int32)
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, slot[None, :], 0), axis=1
+    )
+    base = jnp.where(
+        run_start > 0,
+        jnp.take_along_axis(csum, jnp.maximum(run_start - 1, 0), axis=1),
+        0.0,
+    )
+    last = jnp.concatenate(
+        [first[:, 1:], jnp.ones((q_n, 1), jnp.bool_)], axis=1
+    )
+    approx = jnp.where(last & (ids_s < nd), csum - base, NEG_INF)
+
+    # Per-query prune: keep the top `keep` docs by approximate score.
+    top_vals, top_slots = jax.lax.top_k(approx, keep)
+    qcand = jnp.take_along_axis(ids_s, top_slots, axis=1)  # [Q, keep]
+    qcand = jnp.where(jnp.isfinite(top_vals), qcand, nd)
+
+    # Batch union: sort-dedup the concatenated survivor lists. Q*keep is an
+    # exact upper bound, so the union itself cannot overflow (cmax only
+    # shrinks when the caller caps max_candidates explicitly).
+    flat = jnp.sort(qcand.reshape(-1))
+    uniq_first = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), flat[1:] != flat[:-1]]
     )
-    n_flat = flat.shape[0]
-    real_first = first & (flat < nd)
-    n_unique = jnp.sum(real_first)
-    union_overflow = jnp.maximum(n_unique - cmax, 0)
-
-    if shapes.overflow_policy == "prune":
-        # Keep the cmax docs with the MOST probe hits (duplicates in the
-        # sorted stream are adjacent, so a doc's hit count is the distance
-        # to the next first-occurrence). Hit count correlates strongly with
-        # the reference's approximate centroid score, at matmul-free cost.
-        idx = jnp.arange(n_flat, dtype=jnp.int32)
-        # Run boundaries come from EVERY first occurrence (including the
-        # sentinel run's) so the last real doc's count is not inflated.
-        first_pos = jnp.where(first, idx, n_flat)
-        next_first = jax.lax.associative_scan(
-            jnp.minimum, first_pos[::-1]
-        )[::-1]
-        next_next = jnp.concatenate(
-            [next_first[1:], jnp.full((1,), n_flat, jnp.int32)]
-        )
-        counts = jnp.where(real_first, next_next - idx, 0)
-        _, top_pos = jax.lax.top_k(counts, cmax)
+    real_first = uniq_first & (flat < nd)
+    if cmax < q_n * keep:
+        # An explicit max_candidates cap truncates the union: keep the docs
+        # with the highest approximate score across queries (run-max over
+        # the id-sorted pair stream), and count the truncation as overflow.
+        vals_flat = jnp.where(
+            jnp.isfinite(top_vals), top_vals, NEG_INF
+        ).reshape(-1)
+        order = jnp.argsort(qcand.reshape(-1))
+        vals_by_id = vals_flat[order]
+        m = flat.shape[0]
+        run_id = jnp.cumsum(uniq_first.astype(jnp.int32)) - 1
+        best = jax.ops.segment_max(vals_by_id, run_id, num_segments=m)
+        best_per_first = jnp.where(real_first, best[run_id], NEG_INF)
+        _, top_pos = jax.lax.top_k(best_per_first, cmax)
         union_ids = jnp.where(
-            jnp.take(counts, top_pos) > 0, jnp.take(flat, top_pos), nd
+            jnp.isfinite(jnp.take(best_per_first, top_pos)),
+            jnp.take(flat, top_pos),
+            nd,
         )
+        union_ids = jnp.sort(union_ids)
+        union_overflow = jnp.maximum(jnp.sum(real_first) - cmax, 0)
+        posting_overflow = jnp.maximum(posting_overflow, union_overflow)
     else:
         keyed = jnp.where(real_first, flat, nd)
         union_ids = jnp.sort(keyed)[:cmax]
 
     if shapes.candidate_scope == "per_query":
-        # Reference semantics: each query ranks only its own probed docs.
-        # Membership via per-query sorted posting streams + searchsorted —
-        # no bitmap scatter needed.
-        rows_sorted = jnp.sort(ids, axis=1)  # [Q, B]
+        rows_sorted = jnp.sort(qcand, axis=1)  # [Q, keep]
         lo = jax.vmap(
             lambda row: jnp.searchsorted(row, union_ids, side="left")
         )(rows_sorted)
@@ -279,7 +381,7 @@ def _union_candidates(
         mine = hi > lo  # [Q, Cmax]
     else:
         mine = None
-    return union_ids, jnp.maximum(posting_overflow, union_overflow), mine
+    return union_ids, posting_overflow, mine
 
 
 def _exact_on_candidates(
@@ -387,11 +489,14 @@ def search_pipeline(
     )
     s_masked = jnp.where(qmask[:, :, None], s_raw, NEG_INF)
 
-    # Stage 2: cell selection.
-    cells = _select_cells(s_masked, qmask, shapes, k)
+    # Stage 2: cell selection + per-query merge of repeated cells.
+    cells, weights = _select_cells(s_masked, qmask, shapes, k)
+    cells, weights = _dedup_cells(cells, weights, k)
 
-    # Stage 3: flat posting gathers -> sort-deduped batch union.
-    union_ids, overflow, mine = _union_candidates(index, cells, shapes)
+    # Stage 3: weighted posting streams -> approximate prune -> batch union.
+    union_ids, overflow, mine = _prune_candidates(
+        index, cells, weights, shapes
+    )
 
     # Stage 4: exact MaxSim on the union (decompress once per candidate).
     exact = _exact_on_candidates(index, queries, qmask, union_ids, shapes)
@@ -534,12 +639,13 @@ def search_batch(
         import logging
 
         logging.getLogger(__name__).warning(
-            "candidate union overflow: up to %d candidates dropped "
-            "(max_candidates=%d) — falling back to exhaustive scoring for "
-            "this batch; raise SearchParameters.max_candidates or use "
-            "mode='exact' if this recurs",
+            "posting-budget overflow: up to %d posting entries dropped "
+            "(posting_budget=%d) — falling back to exhaustive scoring for "
+            "this batch; raise SearchParameters.posting_budget or set "
+            "overflow_policy='prune' (lowest-weight cells dropped) if this "
+            "recurs",
             int(overflow.max()),
-            shapes.max_candidates,
+            shapes.posting_budget,
         )
         # Dropping candidates silently biases (or empties) results; the
         # exhaustive scan is always correct and streams in bounded tiles, so

@@ -36,8 +36,9 @@ from nextplaid_tpu.index.search import (
     QueryResult,
     _exact_on_candidates,
     _pad_queries,
+    _dedup_cells,
+    _prune_candidates,
     _select_cells,
-    _union_candidates,
     NEG_INF,
 )
 from nextplaid_tpu.parallel.mesh import DOC_AXIS, make_mesh
@@ -294,9 +295,12 @@ def _shard_search_fn(
                 ),
             )
             s_masked = jnp.where(qmask[:, :, None], s_raw, NEG_INF)
-            cells = _select_cells(s_masked, qmask, shapes, index.num_centroids)
-            union_ids, overflow, mine = _union_candidates(
-                index, cells, shapes
+            cells, weights = _select_cells(
+                s_masked, qmask, shapes, index.num_centroids
+            )
+            cells, weights = _dedup_cells(cells, weights, index.num_centroids)
+            union_ids, overflow, mine = _prune_candidates(
+                index, cells, weights, shapes
             )
             exact = _exact_on_candidates(
                 index, queries, qmask, union_ids, shapes

@@ -57,13 +57,23 @@ for _ in range(128):
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     queries.append(q)
 
-for mode, prec in (("staged", "default"), ("staged", "highest")):
-    params = SearchParameters(top_k=10, mode=mode, stage1_precision=prec)
+for mode, prec, keep in (
+    ("staged", "default", 0),
+    ("staged", "highest", 0),
+    ("staged", "default", 256),
+):
+    params = SearchParameters(
+        top_k=10, mode=mode, stage1_precision=prec, prune_keep=keep,
+        overflow_policy="prune",
+    )
     search_batch(index, queries[:64], params)  # compile
     t0 = time.perf_counter()
     for s in range(0, 128, 64):
         out = search_batch(index, queries[s : s + 64], params)
     dt = time.perf_counter() - t0
-    print(f"{mode}/{prec}: {128/dt:7.1f} QPS  ({dt/2*1000:.0f} ms/batch64)",
-          flush=True)
+    print(
+        f"{mode}/{prec}/keep={keep}: {128/dt:7.1f} QPS  "
+        f"({dt/2*1000:.0f} ms/batch64)",
+        flush=True,
+    )
 print("top ids:", out[0].passage_ids[:5], flush=True)

@@ -76,12 +76,17 @@ stage1 = jax.jit(
 s_masked = timeit("stage1 centroid scores", stage1, q, qm)
 
 stage2 = jax.jit(
-    functools.partial(S._select_cells, shapes=shapes, k=index.num_centroids)
+    lambda s, m: S._dedup_cells(
+        *S._select_cells(s, m, shapes, index.num_centroids),
+        index.num_centroids,
+    )
 )
-cells = timeit("stage2 select cells", stage2, s_masked, qm)
+cells, weights = timeit("stage2 select+dedup cells", stage2, s_masked, qm)
 
-stage3 = jax.jit(lambda c: S._union_candidates(index, c, shapes))
-union_ids, overflow, _mine = timeit("stage3 union candidates", stage3, cells)
+stage3 = jax.jit(lambda c, w: S._prune_candidates(index, c, w, shapes))
+union_ids, overflow, _mine = timeit(
+    "stage3 weighted prune", stage3, cells, weights
+)
 print(
     "   union size:", int((np.asarray(union_ids) < index.num_documents).sum()),
     "overflow:", int(np.asarray(overflow)),
