@@ -21,6 +21,7 @@ import numpy as np
 from nextplaid_tpu.index.config import IndexConfig, Metadata
 from nextplaid_tpu.ops import codec as codec_ops
 from nextplaid_tpu.ops import kmeans as kmeans_ops
+from nextplaid_tpu.ops import rq as rq_ops
 from nextplaid_tpu.utils.progress import report as _progress
 from nextplaid_tpu.storage.npy import (
     IndexLayout,
@@ -33,7 +34,9 @@ from nextplaid_tpu.storage.npy import (
 @dataclass
 class CodecArtifacts:
     """Trained codec parameters (reference `PreparedCodecArtifacts`,
-    index.rs:174-180)."""
+    index.rs:174-180). `rq` carries the factored codebook when the index
+    uses the RQ centroid structure (ops/rq.py) — assignment then goes
+    through the separable pair search instead of the flat [N, K] argmax."""
 
     centroids: np.ndarray  # [K, d] f32, L2-normalized
     bucket_cutoffs: np.ndarray  # [2^nbits - 1]
@@ -41,34 +44,49 @@ class CodecArtifacts:
     avg_residual: np.ndarray  # [d] mean |residual| per dim
     cluster_threshold: float  # 0.75-quantile of heldout residual norms
     nbits: int
+    rq: Optional["rq_ops.RQCodebook"] = None
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _assign_codes_padded(emb: np.ndarray, centroids: jax.Array) -> np.ndarray:
-    """Device centroid assignment with row padding to a fixed chunk multiple
-    (keeps one compiled program across chunks)."""
-    n = emb.shape[0]
-    if n == 0:
-        return np.zeros(0, np.int32)
-    k = centroids.shape[0]
+def assign_with_artifacts(
+    emb_device: jax.Array, artifacts: CodecArtifacts
+) -> jax.Array:
+    """Nearest-centroid codes for staged device tokens, routed through the
+    RQ pair search when the artifacts carry a factored codebook."""
+    if artifacts.rq is not None:
+        return rq_ops.assign_codes_rq(
+            emb_device,
+            jnp.asarray(artifacts.rq.coarse),
+            jnp.asarray(artifacts.rq.fine),
+            jnp.asarray(artifacts.rq.inv_norms()),
+        )
+    cents_dev = jnp.asarray(artifacts.centroids, jnp.float32)
+    n = emb_device.shape[0]
+    k = cents_dev.shape[0]
     chunk = int(max(1024, min(16384, (256 << 20) // max(k * 4, 1))))
     chunk = 1 << (chunk.bit_length() - 1)
     n_pad = _round_up(n, chunk) if n > chunk else n
     if n_pad != n:
-        emb = np.concatenate([emb, np.zeros((n_pad - n, emb.shape[1]), emb.dtype)])
+        emb_device = jnp.concatenate(
+            [
+                emb_device,
+                jnp.zeros((n_pad - n, emb_device.shape[1]), emb_device.dtype),
+            ]
+        )
     codes = codec_ops.assign_codes(
-        jnp.asarray(emb), centroids, chunk_rows=chunk if n_pad > chunk else 0
+        emb_device, cents_dev, chunk_rows=chunk if n_pad > chunk else 0
     )
-    return np.asarray(codes[:n])
+    return codes[:n]
 
 
 def prepare_codec_artifacts(
     documents_embeddings: Sequence[np.ndarray],
     centroids: np.ndarray,
     config: IndexConfig,
+    rq: Optional["rq_ops.RQCodebook"] = None,
 ) -> CodecArtifacts:
     """Train bucket cutoffs/weights on a held-out sample.
 
@@ -107,24 +125,29 @@ def prepare_codec_artifacts(
     if heldout.shape[0] == 0:
         heldout = np.asarray(documents_embeddings[0], np.float32)
 
-    cents_dev = jnp.asarray(centroids, jnp.float32)
-    codes = _assign_codes_padded(heldout, cents_dev)
+    artifacts = CodecArtifacts(
+        centroids=np.asarray(centroids, np.float32),
+        bucket_cutoffs=np.zeros(0, np.float32),
+        bucket_weights=np.zeros(0, np.float32),
+        avg_residual=np.zeros(dim, np.float32),
+        cluster_threshold=0.0,
+        nbits=config.nbits,
+        rq=rq,
+    )
+    codes = np.asarray(assign_with_artifacts(jnp.asarray(heldout), artifacts))
     residuals = heldout - centroids[codes]
 
     norms = np.linalg.norm(residuals, axis=1)
-    cluster_threshold = float(np.quantile(norms, 0.75)) if norms.size else 0.0
-    avg_residual = np.mean(np.abs(residuals), axis=0).astype(np.float32)
-
-    cutoffs, weights = codec_ops.train_codec_buckets(residuals, config.nbits)
-
-    return CodecArtifacts(
-        centroids=np.asarray(centroids, np.float32),
-        bucket_cutoffs=cutoffs,
-        bucket_weights=weights,
-        avg_residual=avg_residual,
-        cluster_threshold=cluster_threshold,
-        nbits=config.nbits,
+    artifacts.cluster_threshold = (
+        float(np.quantile(norms, 0.75)) if norms.size else 0.0
     )
+    artifacts.avg_residual = np.mean(np.abs(residuals), axis=0).astype(
+        np.float32
+    )
+    cutoffs, weights = codec_ops.train_codec_buckets(residuals, config.nbits)
+    artifacts.bucket_cutoffs = cutoffs
+    artifacts.bucket_weights = weights
+    return artifacts
 
 
 @dataclass
@@ -164,23 +187,9 @@ def encode_chunk(
             ]
         )
         batch_device = jnp.asarray(batch)
-    # Chunk the assignment to bound the [chunk, K] score buffer (~256 MB);
-    # pad rows on device (cheap) so one compiled program covers all chunks.
-    n = batch_device.shape[0]
-    k = cents_dev.shape[0]
-    chunk = int(max(1024, min(16384, (256 << 20) // max(k * 4, 1))))
-    chunk = 1 << (chunk.bit_length() - 1)
-    n_pad = _round_up(n, chunk) if n > chunk else n
-    padded = (
-        jnp.concatenate(
-            [batch_device, jnp.zeros((n_pad - n, dim), batch_device.dtype)]
-        )
-        if n_pad != n
-        else batch_device
-    )
-    codes_dev = codec_ops.assign_codes(
-        padded, cents_dev, chunk_rows=chunk if n_pad > chunk else 0
-    )[:n]
+    # Assignment bounds its own [chunk, K] (flat) or pair-search (RQ)
+    # buffers; one compiled program covers all chunks.
+    codes_dev = assign_with_artifacts(batch_device, artifacts)
     # Residual + quantize in bounded token tiles: full-corpus f32 residual /
     # int32 bucket temporaries would each duplicate the staged corpus in HBM.
     packed = _residual_quantize_tiled(
@@ -238,6 +247,16 @@ def write_index(
     avg_doclen = total_embeddings / num_documents if num_documents else 0.0
 
     atomic_write_npy(layout.centroids, artifacts.centroids)
+    if artifacts.rq is not None:
+        atomic_write_npy(layout.rq_coarse, artifacts.rq.coarse)
+        atomic_write_npy(layout.rq_fine, artifacts.rq.fine)
+    else:
+        # A rewrite with flat centroids (e.g. a start-from-scratch rebuild
+        # of a formerly-RQ index) must not leave stale sidecars behind —
+        # probing with factors inconsistent with the codes makes documents
+        # unfindable.
+        layout.rq_coarse.unlink(missing_ok=True)
+        layout.rq_fine.unlink(missing_ok=True)
     atomic_write_npy(layout.bucket_cutoffs, artifacts.bucket_cutoffs)
     atomic_write_npy(layout.bucket_weights, artifacts.bucket_weights)
     atomic_write_npy(layout.avg_residual, artifacts.avg_residual)
@@ -342,20 +361,32 @@ def create_index(
         doc_bounds = np.zeros(len(docs) + 1, np.int64)
         np.cumsum([d.shape[0] for d in docs], out=doc_bounds[1:])
 
+        rq_book = None
         if centroids is None:
             _progress("kmeans")
-            centroids = kmeans_ops.compute_kmeans(
-                docs,
-                kmeans_ops.KMeansConfig(
-                    kmeans_niters=config.kmeans_niters,
-                    max_points_per_centroid=config.max_points_per_centroid,
-                    n_samples_kmeans=config.n_samples_kmeans,
-                    seed=config.seed if config.seed is not None else 42,
-                ),
-                flat_device=dev_flat,
+            kcfg = kmeans_ops.KMeansConfig(
+                kmeans_niters=config.kmeans_niters,
+                max_points_per_centroid=config.max_points_per_centroid,
+                n_samples_kmeans=config.n_samples_kmeans,
+                seed=config.seed if config.seed is not None else 42,
             )
+            structure = config.centroid_structure
+            if structure == "auto":
+                est_k = kmeans_ops.num_partitions_heuristic(
+                    float(flat.shape[0])
+                )
+                structure = "rq" if est_k >= rq_ops.RQ_MIN_K else "flat"
+            if structure == "rq":
+                rq_book = rq_ops.compute_rq_kmeans(
+                    docs, kcfg, flat_device=dev_flat
+                )
+                centroids = rq_book.flat_centroids()
+            else:
+                centroids = kmeans_ops.compute_kmeans(
+                    docs, kcfg, flat_device=dev_flat
+                )
         _progress("codec")
-        artifacts = prepare_codec_artifacts(docs, centroids, config)
+        artifacts = prepare_codec_artifacts(docs, centroids, config, rq=rq_book)
 
         chunks: List[EncodedChunk] = []
         for start in range(0, len(docs), config.batch_size):

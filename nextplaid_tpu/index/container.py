@@ -56,6 +56,14 @@ class DeviceIndex:
     # Built at load when it fits the HBM budget; lets exhaustive search skip
     # the per-batch decompress entirely (pure dynamic-slice + MXU einsum).
     token_grid: Optional[jax.Array] = None
+    # Optional RQ factored centroid structure (ops/rq.py): present when the
+    # index was built with centroid_structure="rq" (huge-K regime). The flat
+    # `centroids` table above is always materialized — decompression and
+    # format compatibility never see RQ; only stage 1-2 of staged search
+    # uses the factors.
+    rq_coarse: Optional[jax.Array] = None  # [C, d] f32
+    rq_fine: Optional[jax.Array] = None  # [F, d] f32
+    rq_inv_norms: Optional[jax.Array] = None  # [C, F] f32, 0 = degenerate
     # --- static metadata (aux fields: not traced) ---
     nbits: int = dataclasses.field(metadata=dict(static=True), default=4)
     num_documents: int = dataclasses.field(metadata=dict(static=True), default=0)
@@ -121,6 +129,8 @@ class DeviceIndex:
         nbits: int,
         pad_docs: int = 8,
         pad_tokens: int = 128,
+        rq_coarse: Optional[np.ndarray] = None,
+        rq_fine: Optional[np.ndarray] = None,
     ) -> "DeviceIndex":
         ndocs = int(doclens.shape[0])
         nvec = int(codes.shape[0])
@@ -156,6 +166,15 @@ class DeviceIndex:
         max_posting = int(np.max(ivf_lengths)) if len(ivf_lengths) else 0
         max_doclen = int(np.max(doclens)) if ndocs else 0
 
+        rq_inv = None
+        if rq_coarse is not None and rq_fine is not None:
+            from nextplaid_tpu.ops.rq import RQCodebook
+
+            rq_inv = RQCodebook(
+                coarse=np.asarray(rq_coarse, np.float32),
+                fine=np.asarray(rq_fine, np.float32),
+            ).inv_norms()
+
         return cls(
             centroids=jnp.asarray(centroids, jnp.float32),
             codes=jnp.asarray(codes_p),
@@ -167,6 +186,19 @@ class DeviceIndex:
             bucket_cutoffs=jnp.asarray(bucket_cutoffs, jnp.float32),
             bucket_weights=jnp.asarray(bucket_weights, jnp.float32),
             avg_residual=jnp.asarray(avg_residual, jnp.float32),
+            rq_coarse=(
+                jnp.asarray(rq_coarse, jnp.float32)
+                if rq_coarse is not None
+                else None
+            ),
+            rq_fine=(
+                jnp.asarray(rq_fine, jnp.float32)
+                if rq_fine is not None
+                else None
+            ),
+            rq_inv_norms=(
+                jnp.asarray(rq_inv) if rq_inv is not None else None
+            ),
             nbits=nbits,
             num_documents=ndocs,
             num_embeddings=nvec,
@@ -240,7 +272,18 @@ class DeviceIndex:
         ivf = np.asarray(load_npy(layout.ivf), np.int32)
         ivf_lengths = np.asarray(load_npy(layout.ivf_lengths), np.int64)
 
+        rq_coarse = rq_fine = None
+        if layout.rq_coarse.exists() and layout.rq_fine.exists():
+            rq_coarse = np.asarray(load_npy(layout.rq_coarse), np.float32)
+            rq_fine = np.asarray(load_npy(layout.rq_fine), np.float32)
+            if rq_coarse.shape[0] * rq_fine.shape[0] != centroids.shape[0]:
+                # Stale sidecars from a previous build generation; the flat
+                # table is authoritative.
+                rq_coarse = rq_fine = None
+
         return cls.from_host(
+            rq_coarse=rq_coarse,
+            rq_fine=rq_fine,
             centroids=centroids,
             codes=codes,
             residuals=residuals,

@@ -200,23 +200,34 @@ def _select_cells(
 
 
 def _dedup_cells(
-    cells: jax.Array, weights: jax.Array, k: int
+    cells: jax.Array,
+    weights: jax.Array,
+    k: int,
+    threshold: Optional[float] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Merge repeated cells per query (a cell probed by several query tokens
     contributes the SUM of their scores to every posting-list member), then
     order by descending weight so posting-budget truncation drops the least
     promising cells first. Sentinel slots (cell == k) sort to the tail with
-    weight 0."""
+    weight 0.
+
+    `threshold` (RQ stage-1 path only) drops merged cells whose MAX
+    single-token score is below it — the reference's centroid_score_threshold
+    (search.rs:417-425) evaluated over the tokens that selected the cell
+    rather than all tokens (the full [Q, K] score table is never
+    materialized under RQ); a cell's overall max is almost always achieved
+    by a token that selected it, so the proxy matches in practice."""
+    q_n, ncells = cells.shape
     cells_s, w_s = jax.lax.sort((cells, weights), dimension=1, num_keys=1)
     first = jnp.concatenate(
         [
-            jnp.ones((cells.shape[0], 1), jnp.bool_),
+            jnp.ones((q_n, 1), jnp.bool_),
             cells_s[:, 1:] != cells_s[:, :-1],
         ],
         axis=1,
     )
     csum = jnp.cumsum(w_s, axis=1)
-    idx = jnp.arange(cells.shape[1], dtype=jnp.int32)
+    idx = jnp.arange(ncells, dtype=jnp.int32)
     run_start = jax.lax.associative_scan(
         jnp.maximum, jnp.where(first, idx[None, :], 0), axis=1
     )
@@ -226,16 +237,80 @@ def _dedup_cells(
         0.0,
     )
     last = jnp.concatenate(
-        [first[:, 1:], jnp.ones((cells.shape[0], 1), jnp.bool_)], axis=1
+        [first[:, 1:], jnp.ones((q_n, 1), jnp.bool_)], axis=1
     )
     keep = last & (cells_s < k)
     merged_w = jnp.where(keep, csum - base, 0.0)
+    if threshold is not None:
+        # Segmented running max (resets at run starts), read at run ends.
+        def seg_max(a, b):
+            va, fa = a
+            vb, fb = b
+            return jnp.where(fb, vb, jnp.maximum(va, vb)), fa | fb
+
+        run_max, _ = jax.lax.associative_scan(
+            seg_max, (w_s, first), axis=1
+        )
+        merged_w = jnp.where(run_max >= threshold, merged_w, 0.0)
+        keep &= run_max >= threshold
     merged_c = jnp.where(keep, cells_s, k)
     # Descending weight; sentinels (weight 0, cell k) go last.
     order = jnp.argsort(-merged_w, axis=1)
     return (
         jnp.take_along_axis(merged_c, order, axis=1),
         jnp.take_along_axis(merged_w, order, axis=1),
+    )
+
+
+def _select_cells_rq(
+    queries: jax.Array,
+    qmask: jax.Array,
+    index: DeviceIndex,
+    shapes: PipelineShapes,
+) -> Tuple[jax.Array, jax.Array]:
+    """Stages 1-2 over the factored RQ codebook (ops/rq.py): two small
+    matmuls + separable pair top-k instead of the [Q, Tq, K] table (69
+    TFLOP/batch at K=131072). Threshold pruning happens in _dedup_cells.
+
+    Returns ([Q, Tq*nprobe] cells with sentinel K, [Q, Tq*nprobe] scores)."""
+    from nextplaid_tpu.ops import rq as rq_ops
+
+    k = index.num_centroids
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if shapes.stage1_precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    xc = jnp.einsum(
+        "qtd,cd->qtc",
+        queries,
+        index.rq_coarse,
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    xf = jnp.einsum(
+        "qtd,fd->qtf",
+        queries,
+        index.rq_fine,
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )
+    margin = max(32, 2 * shapes.nprobe)
+    vals, cells = rq_ops.pair_scores_topk(
+        xc,
+        xf,
+        index.rq_inv_norms,
+        k=shapes.nprobe,
+        a=min(margin, index.rq_coarse.shape[0]),
+        b=min(margin, index.rq_fine.shape[0]),
+    )
+    valid = qmask[:, :, None] & jnp.isfinite(vals)
+    cells = jnp.where(valid, cells, k)
+    weights = jnp.where(valid, vals, 0.0).astype(jnp.float32)
+    q_n = cells.shape[0]
+    return (
+        cells.reshape(q_n, -1).astype(jnp.int32),
+        weights.reshape(q_n, -1),
     )
 
 
@@ -475,23 +550,31 @@ def search_pipeline(
     overflow [Q] i32)."""
     k = index.num_centroids
 
-    # Stage 1: batched centroid scores.
-    s_raw = jnp.einsum(
-        "qtd,kd->qtk",
-        queries,
-        index.centroids,
-        preferred_element_type=jnp.float32,
-        precision=(
-            jax.lax.Precision.HIGHEST
-            if shapes.stage1_precision == "highest"
-            else jax.lax.Precision.DEFAULT
-        ),
-    )
-    s_masked = jnp.where(qmask[:, :, None], s_raw, NEG_INF)
+    if index.rq_coarse is not None:
+        # Stages 1-2 via the factored codebook; threshold applied during
+        # the merge (see _dedup_cells docstring for the proxy semantics).
+        cells, weights = _select_cells_rq(queries, qmask, index, shapes)
+        cells, weights = _dedup_cells(
+            cells, weights, k, threshold=shapes.threshold
+        )
+    else:
+        # Stage 1: batched centroid scores.
+        s_raw = jnp.einsum(
+            "qtd,kd->qtk",
+            queries,
+            index.centroids,
+            preferred_element_type=jnp.float32,
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if shapes.stage1_precision == "highest"
+                else jax.lax.Precision.DEFAULT
+            ),
+        )
+        s_masked = jnp.where(qmask[:, :, None], s_raw, NEG_INF)
 
-    # Stage 2: cell selection + per-query merge of repeated cells.
-    cells, weights = _select_cells(s_masked, qmask, shapes, k)
-    cells, weights = _dedup_cells(cells, weights, k)
+        # Stage 2: cell selection + per-query merge of repeated cells.
+        cells, weights = _select_cells(s_masked, qmask, shapes, k)
+        cells, weights = _dedup_cells(cells, weights, k)
 
     # Stage 3: weighted posting streams -> approximate prune -> batch union.
     union_ids, overflow, mine = _prune_candidates(

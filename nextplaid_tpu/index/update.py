@@ -266,6 +266,20 @@ def update_centroids(
     final = np.concatenate([existing, new_centroids])
     atomic_write_npy(layout.centroids, final)
 
+    # Appending centroids breaks the RQ factorization (the new rows are not
+    # coarse+fine pairs); drop the sidecars so search and future updates
+    # fall back to the flat path — correct, just slower at huge K.
+    if layout.rq_coarse.exists() or layout.rq_fine.exists():
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "centroid expansion on an RQ index: dropping rq_coarse/rq_fine "
+            "sidecars (stage 1 falls back to the flat centroid table); "
+            "rebuild the index to restore the factored structure"
+        )
+        layout.rq_coarse.unlink(missing_ok=True)
+        layout.rq_fine.unlink(missing_ok=True)
+
     if layout.ivf_lengths.exists():
         old_lengths = np.asarray(load_npy(layout.ivf_lengths, mmap=False))
         new_lengths = np.zeros(final.shape[0], np.int32)
@@ -305,6 +319,17 @@ def update_index(
     cutoffs = np.asarray(load_npy(layout.bucket_cutoffs, mmap=False), np.float32)
     weights = np.asarray(load_npy(layout.bucket_weights, mmap=False), np.float32)
     avg_res = np.asarray(load_npy(layout.avg_residual, mmap=False), np.float32)
+    # RQ indexes must assign through the factored codebook: the flat argmax
+    # could pick a degenerate pair cell that queries never probe
+    # (inv_norm == 0), making the document unfindable in staged mode.
+    rq_book = None
+    if layout.rq_coarse.exists() and layout.rq_fine.exists():
+        from nextplaid_tpu.ops.rq import RQCodebook
+
+        rq_book = RQCodebook(
+            coarse=np.asarray(load_npy(layout.rq_coarse, mmap=False), np.float32),
+            fine=np.asarray(load_npy(layout.rq_fine, mmap=False), np.float32),
+        )
     artifacts = build_mod.CodecArtifacts(
         centroids=centroids,
         bucket_cutoffs=cutoffs,
@@ -312,6 +337,7 @@ def update_index(
         avg_residual=avg_res,
         cluster_threshold=0.0,
         nbits=meta.nbits,
+        rq=rq_book,
     )
 
     num_new = len(embeddings)
@@ -496,6 +522,14 @@ def update(
                     max_points_per_centroid=config.max_points_per_centroid,
                     n_samples_kmeans=config.n_samples_kmeans,
                     start_from_scratch=config.start_from_scratch,
+                    # Preserve the index's centroid structure across the
+                    # rebuild (sidecars present => it was built with RQ).
+                    centroid_structure=(
+                        "rq"
+                        if layout.rq_coarse.exists()
+                        and layout.rq_fine.exists()
+                        else "auto"
+                    ),
                 )
                 build_mod.create_index(combined, index_path, index_config)
                 if (

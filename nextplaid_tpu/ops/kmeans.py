@@ -122,17 +122,15 @@ def lloyd(
     return centroids.astype(jnp.float32)
 
 
-def compute_kmeans(
+def prepare_training_sample(
     documents_embeddings: Sequence[np.ndarray],
     config: KMeansConfig = KMeansConfig(),
     flat_device: Optional[jax.Array] = None,
-) -> np.ndarray:
-    """Train centroids from per-document embedding arrays.
+):
+    """Shared sampling/sizing front half of centroid training (reference
+    kmeans.rs:261-330): sample docs, derive K, cap points per centroid.
 
-    Host-side orchestration identical in shape to the reference
-    `compute_kmeans` (kmeans.rs:261-422); the Lloyd loop itself runs on device.
-
-    Returns [K, d] float32 L2-normalized centroids.
+    Returns (data_dev [N, d] device array, k, rng).
     """
     if len(documents_embeddings) == 0:
         raise ValueError("No documents provided")
@@ -164,9 +162,6 @@ def compute_kmeans(
         keep = rng.permutation(samples.shape[0])[:max_points]
         samples = samples[keep]
 
-    init_idx = rng.permutation(samples.shape[0])[:k]
-    init = samples[init_idx]
-
     # When sampling selected the whole corpus (common below ~12K docs) and a
     # staged device copy exists, train on it directly — host->device
     # transfers dominate index build otherwise.
@@ -179,6 +174,26 @@ def compute_kmeans(
         data_dev = flat_device
     else:
         data_dev = jnp.asarray(samples)
+    return data_dev, k, rng
+
+
+def compute_kmeans(
+    documents_embeddings: Sequence[np.ndarray],
+    config: KMeansConfig = KMeansConfig(),
+    flat_device: Optional[jax.Array] = None,
+) -> np.ndarray:
+    """Train centroids from per-document embedding arrays.
+
+    Host-side orchestration identical in shape to the reference
+    `compute_kmeans` (kmeans.rs:261-422); the Lloyd loop itself runs on device.
+
+    Returns [K, d] float32 L2-normalized centroids.
+    """
+    data_dev, k, rng = prepare_training_sample(
+        documents_embeddings, config, flat_device
+    )
+    init_idx = rng.permutation(int(data_dev.shape[0]))[:k]
+    init = np.asarray(data_dev[jnp.asarray(init_idx)])
 
     # Bound the [chunk, K] assignment score buffer to ~256 MB so large-K
     # configs (e.g. 32K+ centroids at LoTTE/MS MARCO scale) fit HBM next to

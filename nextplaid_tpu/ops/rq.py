@@ -55,6 +55,16 @@ NEG_INF = jnp.float32(-jnp.inf)
 # and query probing by zeroing their inv_norm (=> score -inf).
 MIN_PAIR_NORM = 0.25
 
+# Indexes whose centroid count reaches this use the factored structure under
+# IndexConfig.centroid_structure="auto" (the flat [N, K] assignment GEMM and
+# the [Q, Tq, K] stage-1 matmul stop being viable around here).
+RQ_MIN_K = 65536
+
+# Training-sample cap for RQ: C and F are each <= ~1024 centers, so a few
+# hundred points per center suffice — far below the flat path's K*256 cap
+# (which would be 33M tokens at K=131072).
+RQ_MAX_TRAIN_TOKENS = 1 << 21
+
 
 def rq_split(k: int) -> Tuple[int, int]:
     """Balanced C*F factorization of a power-of-two K (C >= F)."""
@@ -230,6 +240,33 @@ def _refine_rq(
 
     (coarse, fine), _ = jax.lax.scan(step, (coarse, fine), None, length=iters)
     return coarse, fine
+
+
+def compute_rq_kmeans(
+    documents_embeddings,
+    config=None,
+    flat_device=None,
+) -> RQCodebook:
+    """RQ counterpart of ops.kmeans.compute_kmeans: same document sampling
+    and K heuristics (kmeans.rs:261-330), factored training instead of flat
+    Lloyd. K is rounded down to a power of two (the heuristic already
+    produces one unless clamped by a tiny sample)."""
+    from nextplaid_tpu.ops.kmeans import KMeansConfig, prepare_training_sample
+
+    config = config or KMeansConfig()
+    data_dev, k, _rng = prepare_training_sample(
+        documents_embeddings, config, flat_device
+    )
+    if k & (k - 1):
+        k = 1 << (k.bit_length() - 1)
+    c, f = rq_split(k)
+    n = int(data_dev.shape[0])
+    if n > RQ_MAX_TRAIN_TOKENS:
+        stride = -(-n // RQ_MAX_TRAIN_TOKENS)
+        data_dev = data_dev[::stride]
+    return train_rq(
+        data_dev, c, f, iters=config.kmeans_niters, seed=config.seed
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

@@ -166,6 +166,16 @@ class IndexLayout:
     def config(self) -> Path:
         return self.root / "config.json"
 
+    # Optional RQ sidecars (TPU-only factored centroid structure; the flat
+    # centroids.npy remains authoritative and reference-compatible).
+    @property
+    def rq_coarse(self) -> Path:
+        return self.root / "rq_coarse.npy"
+
+    @property
+    def rq_fine(self) -> Path:
+        return self.root / "rq_fine.npy"
+
     @property
     def metadata_db(self) -> Path:
         return self.root / "metadata.db"

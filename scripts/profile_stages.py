@@ -65,15 +65,15 @@ def timeit(name, fn, *args):
 
 
 stage1 = jax.jit(
-    lambda q, qm: jnp.where(
+    lambda q, qm, cents: jnp.where(
         qm[:, :, None],
-        jnp.einsum("qtd,kd->qtk", q, index.centroids,
+        jnp.einsum("qtd,kd->qtk", q, cents,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST),
         S.NEG_INF,
     )
 )
-s_masked = timeit("stage1 centroid scores", stage1, q, qm)
+s_masked = timeit("stage1 centroid scores", stage1, q, qm, index.centroids)
 
 stage2 = jax.jit(
     lambda s, m: S._dedup_cells(
@@ -83,9 +83,11 @@ stage2 = jax.jit(
 )
 cells, weights = timeit("stage2 select+dedup cells", stage2, s_masked, qm)
 
-stage3 = jax.jit(lambda c, w: S._prune_candidates(index, c, w, shapes))
+# Pass the index as a jit ARGUMENT — closing over it bakes the multi-GB
+# tables into the HLO as constants (the remote-compile tunnel rejects it).
+stage3 = jax.jit(lambda ix, c, w: S._prune_candidates(ix, c, w, shapes))
 union_ids, overflow, _mine = timeit(
-    "stage3 weighted prune", stage3, cells, weights
+    "stage3 weighted prune", stage3, index, cells, weights
 )
 print(
     "   union size:", int((np.asarray(union_ids) < index.num_documents).sum()),
@@ -94,9 +96,9 @@ print(
 )
 
 stage4 = jax.jit(
-    lambda q, qm, u: S._exact_on_candidates(index, q, qm, u, shapes)
+    lambda ix, q, qm, u: S._exact_on_candidates(ix, q, qm, u, shapes)
 )
-exact = timeit("stage4 exact on union", stage4, q, qm, union_ids)
+exact = timeit("stage4 exact on union", stage4, index, q, qm, union_ids)
 
 full = jax.jit(functools.partial(S.search_pipeline, shapes=shapes, has_subset=False))
 timeit("FULL staged pipeline", full, index, q, qm, None)
