@@ -412,6 +412,234 @@ def create_index(
     return meta
 
 
+# ---------------------------------------------------------------------------
+# Streamed build (MS MARCO-class corpora that never fit host memory at once)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DeviceChunk:
+    """One corpus chunk staged on device: [n_tokens, d] f32 token matrix
+    plus per-document lengths (sum(doclens) == n_tokens)."""
+
+    tokens: jax.Array
+    doclens: np.ndarray
+
+
+def _ivf_from_codes_device(
+    codes: jax.Array, doclens_all: np.ndarray, num_centroids: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Doc-deduplicated posting lists built ON DEVICE (the host lexsort of
+    build_ivf takes minutes at 64M tokens on one core; a stable two-key
+    device sort takes seconds). Returns (ivf_doc_ids i64, ivf_lengths i32).
+    """
+    ndocs = len(doclens_all)
+    doc_ids = jnp.asarray(
+        np.repeat(np.arange(ndocs, dtype=np.int32), doclens_all)
+    )
+    sc, sd = jax.lax.sort((codes, doc_ids), num_keys=2, is_stable=False)
+    keep = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1]),
+        ]
+    )
+    # Compact survivors to the front by sorting on the drop flag (stable
+    # keeps (code, doc) order within the kept block).
+    order_key = jnp.where(keep, 0, 1).astype(jnp.int32)
+    _, sc_k, sd_k = jax.lax.sort(
+        (order_key, sc, sd), num_keys=1, is_stable=True
+    )
+    n_unique = int(jnp.sum(keep))
+    sc_k = sc_k[:n_unique]
+    sd_k = sd_k[:n_unique]
+    offsets = jnp.searchsorted(
+        sc_k, jnp.arange(num_centroids + 1, dtype=jnp.int32)
+    )
+    lengths = np.asarray(offsets[1:] - offsets[:-1], np.int32)
+    return np.asarray(sd_k, np.int64), lengths
+
+
+def create_index_streamed(
+    chunks,
+    index_path: str,
+    config: Optional[IndexConfig] = None,
+    sample_tokens: Optional[jax.Array] = None,
+    est_total_tokens: Optional[int] = None,
+) -> Metadata:
+    """Index a corpus streamed as DeviceChunks (never materialized on host).
+
+    The in-memory `create_index` stages the whole corpus on device — fine up
+    to a few million tokens. MS MARCO-class corpora (SURVEY §7: 262K
+    centroids x 600M tokens) need this streamed path: the caller generates /
+    loads one chunk at a time; only the packed residuals and codes ever
+    reach the host (32 bytes/token at nbits=2 vs 512 for f32).
+
+    Args:
+      chunks: iterable of DeviceChunk (consumed once).
+      sample_tokens: [n, d] device array used for centroid + codec training
+        (required; callers sample it while producing chunks).
+      est_total_tokens: drives the reference K heuristic
+        (kmeans.rs:304-309). Required.
+    """
+    config = config or IndexConfig()
+    if sample_tokens is None or est_total_tokens is None:
+        raise ValueError(
+            "streamed build needs sample_tokens and est_total_tokens"
+        )
+
+    with file_lock(IndexLayout(index_path).lock):
+        _progress("kmeans")
+        k = kmeans_ops.num_partitions_heuristic(float(est_total_tokens))
+        structure = config.centroid_structure
+        if structure == "auto":
+            structure = "rq" if k >= rq_ops.RQ_MIN_K else "flat"
+        rq_book = None
+        if structure == "rq":
+            if k & (k - 1):
+                k = 1 << (k.bit_length() - 1)
+            c, f = rq_ops.rq_split(k)
+            n_s = int(sample_tokens.shape[0])
+            if n_s > rq_ops.RQ_MAX_TRAIN_TOKENS:
+                stride = -(-n_s // rq_ops.RQ_MAX_TRAIN_TOKENS)
+                sample_tokens = sample_tokens[::stride]
+            rq_book = rq_ops.train_rq(
+                sample_tokens, c, f,
+                iters=config.kmeans_niters,
+                seed=config.seed if config.seed is not None else 42,
+            )
+            centroids = rq_book.flat_centroids()
+        else:
+            rng = np.random.default_rng(
+                config.seed if config.seed is not None else 42
+            )
+            n_s = int(sample_tokens.shape[0])
+            k = min(k, n_s)
+            init = np.asarray(sample_tokens)[rng.permutation(n_s)[:k]]
+            cents = kmeans_ops.lloyd(
+                sample_tokens, jnp.asarray(init),
+                iters=config.kmeans_niters,
+            )
+            cents = np.asarray(cents)
+            cents = cents / np.maximum(
+                np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+            )
+            centroids = cents.astype(np.float32)
+
+        _progress("codec")
+        dim = centroids.shape[1]
+        artifacts = CodecArtifacts(
+            centroids=centroids,
+            bucket_cutoffs=np.zeros(0, np.float32),
+            bucket_weights=np.zeros(0, np.float32),
+            avg_residual=np.zeros(dim, np.float32),
+            cluster_threshold=0.0,
+            nbits=config.nbits,
+            rq=rq_book,
+        )
+        heldout_n = min(int(sample_tokens.shape[0]), 50_000)
+        heldout = sample_tokens[:heldout_n]
+        h_codes = assign_with_artifacts(heldout, artifacts)
+        residuals = np.asarray(heldout) - centroids[np.asarray(h_codes)]
+        norms = np.linalg.norm(residuals, axis=1)
+        artifacts.cluster_threshold = (
+            float(np.quantile(norms, 0.75)) if norms.size else 0.0
+        )
+        artifacts.avg_residual = np.mean(np.abs(residuals), axis=0).astype(
+            np.float32
+        )
+        cutoffs, weights = codec_ops.train_codec_buckets(
+            residuals, config.nbits
+        )
+        artifacts.bucket_cutoffs = cutoffs
+        artifacts.bucket_weights = weights
+
+        # Encode chunk-by-chunk, write chunk files incrementally, keep codes
+        # ON DEVICE for the IVF build (i32: 256 MB at 64M tokens).
+        layout = IndexLayout(index_path)
+        layout.root.mkdir(parents=True, exist_ok=True)
+        all_codes_dev: List[jax.Array] = []
+        all_doclens: List[np.ndarray] = []
+        offset = 0
+        i = -1
+        for i, chunk in enumerate(chunks):
+            _progress("encode", processed=offset)
+            codes_dev = assign_with_artifacts(chunk.tokens, artifacts)
+            packed = _residual_quantize_tiled(
+                chunk.tokens,
+                codes_dev,
+                jnp.asarray(artifacts.centroids),
+                jnp.asarray(artifacts.bucket_cutoffs),
+                config.nbits,
+            )
+            doclens = np.asarray(chunk.doclens, np.int64)
+            atomic_write_json(
+                layout.chunk_metadata(i),
+                {
+                    "num_documents": int(doclens.shape[0]),
+                    "num_embeddings": int(codes_dev.shape[0]),
+                    "embedding_offset": offset,
+                },
+            )
+            offset += int(codes_dev.shape[0])
+            atomic_write_json(
+                layout.chunk_doclens(i), [int(x) for x in doclens], indent=0
+            )
+            atomic_write_npy(
+                layout.chunk_codes(i),
+                np.asarray(codes_dev).astype(np.int64),
+            )
+            atomic_write_npy(layout.chunk_residuals(i), np.asarray(packed))
+            all_codes_dev.append(codes_dev)
+            all_doclens.append(doclens)
+        num_chunks = i + 1
+        if num_chunks == 0:
+            raise ValueError("No chunks provided")
+
+        atomic_write_npy(layout.centroids, artifacts.centroids)
+        if artifacts.rq is not None:
+            atomic_write_npy(layout.rq_coarse, artifacts.rq.coarse)
+            atomic_write_npy(layout.rq_fine, artifacts.rq.fine)
+        else:
+            layout.rq_coarse.unlink(missing_ok=True)
+            layout.rq_fine.unlink(missing_ok=True)
+        atomic_write_npy(layout.bucket_cutoffs, artifacts.bucket_cutoffs)
+        atomic_write_npy(layout.bucket_weights, artifacts.bucket_weights)
+        atomic_write_npy(layout.avg_residual, artifacts.avg_residual)
+        atomic_write_npy(
+            layout.cluster_threshold,
+            np.asarray([artifacts.cluster_threshold], np.float32),
+        )
+        atomic_write_json(
+            layout.plan, {"nbits": config.nbits, "num_chunks": num_chunks}
+        )
+
+        _progress("ivf")
+        doclens_all = np.concatenate(all_doclens)
+        ivf_data, ivf_lengths = _ivf_from_codes_device(
+            jnp.concatenate(all_codes_dev),
+            doclens_all,
+            centroids.shape[0],
+        )
+        atomic_write_npy(layout.ivf, ivf_data)
+        atomic_write_npy(layout.ivf_lengths, ivf_lengths.astype(np.int32))
+
+        _progress("write")
+        num_documents = int(doclens_all.shape[0])
+        meta = Metadata(
+            num_chunks=num_chunks,
+            nbits=config.nbits,
+            num_partitions=int(centroids.shape[0]),
+            num_embeddings=offset,
+            avg_doclen=offset / num_documents if num_documents else 0.0,
+            num_documents=num_documents,
+            embedding_dim=dim,
+            next_plaid_compatible=True,
+        )
+        atomic_write_json(layout.metadata, meta.to_dict())
+    return meta
+
+
 @functools.partial(jax.jit, static_argnames=("nbits", "tile"))
 def _residual_quantize_tiled_jit(emb, codes, centroids, cutoffs, nbits, tile):
     n, d = emb.shape

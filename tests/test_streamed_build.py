@@ -1,0 +1,129 @@
+"""Streamed build (create_index_streamed): the MS MARCO-class path where
+the corpus arrives as device chunks and only packed bytes reach the host.
+Verify the written index loads, matches metadata, and searches correctly
+against the in-memory build of the same corpus."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nextplaid_tpu.index import (
+    DeviceIndex,
+    IndexConfig,
+    SearchParameters,
+    create_index,
+    search_batch,
+)
+from nextplaid_tpu.index.build import DeviceChunk, create_index_streamed
+
+
+def _unit(x):
+    return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(0)
+    topics = _unit(rng.standard_normal((30, 24)).astype(np.float32))
+    docs = []
+    for _ in range(150):
+        n = int(rng.integers(5, 12))
+        t = topics[rng.integers(0, 30, size=n)]
+        docs.append(_unit(t + 0.2 * rng.standard_normal((n, 24))).astype(np.float32))
+    return docs, topics
+
+
+def _chunks(docs, chunk_docs=40):
+    for s in range(0, len(docs), chunk_docs):
+        batch = docs[s : s + chunk_docs]
+        yield DeviceChunk(
+            tokens=jnp.asarray(np.concatenate(batch)),
+            doclens=np.asarray([d.shape[0] for d in batch], np.int64),
+        )
+
+
+def test_streamed_build_matches_memory_build(corpus, tmp_path):
+    docs, topics = corpus
+    total = sum(d.shape[0] for d in docs)
+    sample = jnp.asarray(np.concatenate(docs))
+
+    p_stream = str(tmp_path / "streamed")
+    meta = create_index_streamed(
+        _chunks(docs),
+        p_stream,
+        IndexConfig(nbits=4, seed=42),
+        sample_tokens=sample,
+        est_total_tokens=total,
+    )
+    assert meta.num_documents == len(docs)
+    assert meta.num_embeddings == total
+    assert meta.num_chunks == 4
+
+    idx = DeviceIndex.load(p_stream)
+    assert idx.num_documents == len(docs)
+
+    # IVF invariants: every doc appears in at least one posting list; ids
+    # sorted and deduped within each cell.
+    offs = np.asarray(idx.ivf_offsets)
+    ivf = np.asarray(idx.ivf_doc_ids)[: offs[-1]]
+    assert set(ivf.tolist()) == set(range(len(docs)))
+    for c in range(idx.num_centroids):
+        cell = ivf[offs[c] : offs[c + 1]]
+        assert (np.diff(cell) > 0).all()
+
+    # Retrieval parity with the in-memory build on topic queries.
+    p_mem = str(tmp_path / "memory")
+    create_index(docs, p_mem, IndexConfig(nbits=4, seed=42))
+    idx_mem = DeviceIndex.load(p_mem)
+
+    rng = np.random.default_rng(1)
+    queries = []
+    for _ in range(6):
+        t = topics[rng.integers(0, len(topics), size=6)]
+        queries.append(_unit(t + 0.15 * rng.standard_normal((6, 24))).astype(np.float32))
+    params = SearchParameters(top_k=5, mode="exact")
+    a = search_batch(idx, queries, params)
+    b = search_batch(idx_mem, queries, params)
+
+    # Both builds must recover the f32 ground-truth top-1 in their top-5
+    # (absolute quality), and mostly agree with each other.
+    def maxsim(q, d):
+        return (q @ d.T).max(axis=1).sum()
+
+    truth = [
+        int(np.argmax([maxsim(q, d) for d in docs])) for q in queries
+    ]
+    assert sum(t in r.passage_ids for t, r in zip(truth, a)) >= 5
+    assert sum(t in r.passage_ids for t, r in zip(truth, b)) >= 5
+    agree = sum(
+        len(set(x.passage_ids) & set(y.passage_ids)) for x, y in zip(a, b)
+    )
+    assert agree >= 0.6 * 6 * 5, agree
+
+
+def test_streamed_build_rq_structure(corpus, tmp_path):
+    docs, _ = corpus
+    total = sum(d.shape[0] for d in docs)
+    sample = jnp.asarray(np.concatenate(docs[::2]))
+    path = str(tmp_path / "rq")
+    create_index_streamed(
+        _chunks(docs),
+        path,
+        IndexConfig(nbits=2, seed=42, centroid_structure="rq"),
+        sample_tokens=sample,
+        est_total_tokens=total,
+    )
+    idx = DeviceIndex.load(path)
+    assert idx.rq_coarse is not None
+    res = search_batch(
+        idx,
+        [docs[7]],
+        SearchParameters(top_k=3, mode="staged", overflow_policy="prune"),
+    )[0]
+    assert 7 in res.passage_ids
+
+
+def test_streamed_build_requires_sample():
+    with pytest.raises(ValueError):
+        create_index_streamed(iter(()), "/tmp/nope", IndexConfig())
