@@ -6,15 +6,20 @@ Replaces the reference's tree-sitter 5-layer parser
   - Python: full 5-layer extraction via the stdlib `ast` module (signature,
     docstring, params, returns, inheritance, per-function call lists,
     control-flow complexity, assigned variables, imports);
-  - brace/indent languages (JS/TS, Go, Rust, Java, C/C++, C#, Ruby, PHP,
-    Swift, Kotlin, Scala, Lua, ...): regex-anchored definitions with
-    block-scoped source capture and regex call/variable extraction — layers
+  - JS/TS, Go, Rust, Java, C/C++, C#, Ruby: token-level structural parser
+    (structparse.py) — a language-aware lexer (comments/strings as single
+    tokens) + per-language definition recognizers with brace/`end`-matched
+    block extents, bracket-matched parameter lists, adjacent-comment
+    docstrings, and token-stream call/control-flow/variable analysis
+    (layers 1-4 for real, not regex-approximated);
+  - other brace/indent languages (PHP, Swift, Kotlin, Scala, Lua, shell):
+    regex-anchored definitions with block-scoped source capture — layers
     1-4 approximated, layer 5 via import-line scans;
   - markdown/text: heading-delimited Section units;
   - anything else: fixed-size RawCode chunks so every file is searchable.
 
-tree-sitter grammars are not available in this image; the regex layer keeps
-the *unit boundaries and metadata schema* identical so the index format,
+tree-sitter grammars are not available in this image; both layers keep the
+*unit boundaries and metadata schema* identical so the index format,
 ranking and display paths match the reference. Call-graph `called_by` edges
 are resolved across units per file, as in parser/call_graph.rs.
 """
@@ -524,4 +529,18 @@ def extract_units(path, content: Optional[str] = None) -> List[CodeUnit]:
                     "cmake", "html", "css", "sql", "qml", "vue", "svelte",
                     "powershell"):
         return _parse_raw(path, content, language)
+    # Token-level structural parser for the top languages (JS/TS, Go, Rust,
+    # Java, C/C++, C#, Ruby) — layers 1-4 from the token stream; see
+    # structparse.py. Unsupported languages keep the regex layer below.
+    from nextplaid_tpu.codesearch.structparse import parse_structured
+
+    structured = parse_structured(path, content, language)
+    if structured is not None:
+        units, covered = structured
+        lines = content.splitlines()
+        if len(covered) < len(lines):
+            covered = covered + [False] * (len(lines) - len(covered))
+        units.extend(_raw_chunks(path, lines, language, covered))
+        _resolve_called_by(units)
+        return units or _parse_raw(path, content, language)
     return _parse_generic(path, content, language)

@@ -1,0 +1,434 @@
+"""Per-language extraction tests for the token-level structural parser
+(codesearch/structparse.py), mirroring the reference's per-language parser
+tests (colgrep/src/parser). Each fixture checks layers 1-4: definitions +
+signatures + docstrings + params, call graph (calls/called_by), control
+flow (complexity/loops/branches/errors), variables — and the property regex
+parsing cannot have: braces inside strings/comments don't break extents."""
+
+from nextplaid_tpu.codesearch.parser import extract_units
+from nextplaid_tpu.codesearch.types import UnitType
+
+
+def _by_name(units):
+    return {u.name: u for u in units}
+
+
+def test_go_extraction():
+    src = '''package main
+
+import (
+\t"fmt"
+\t"strings"
+)
+
+// Greet builds a greeting.
+// It upper-cases the name.
+func Greet(name string, times int) string {
+\tout := ""
+\tfor i := 0; i < times; i++ {
+\t\tif i > 0 {
+\t\t\tout += " "
+\t\t}
+\t\tout += fmt.Sprintf("hi {not a brace} %s", strings.ToUpper(name))
+\t}
+\treturn out
+}
+
+type Server struct {
+\taddr string
+}
+
+func (s *Server) Handle(path string) error {
+\tdefer recover()
+\treturn validate(path)
+}
+'''
+    units = _by_name(extract_units("main.go", src))
+    g = units["Greet"]
+    assert g.unit_type == UnitType.FUNCTION
+    assert g.parameters == ["name", "times"]
+    assert "Greet builds a greeting" in g.docstring
+    assert "upper-cases" in g.docstring
+    assert g.has_loops and g.has_branches
+    assert g.complexity >= 3
+    assert "Sprintf" in g.calls and "ToUpper" in g.calls
+    assert "out" in g.variables  # := declaration
+    assert "fmt" in g.imports and "strings" in g.imports
+
+    s = units["Server"]
+    assert s.unit_type == UnitType.CLASS
+
+    h = units["Handle"]
+    assert h.unit_type == UnitType.METHOD
+    assert h.parent_class == "Server"
+    assert h.has_error_handling  # defer/recover
+    assert "validate" in h.calls
+
+
+def test_rust_extraction():
+    src = '''use std::collections::HashMap;
+
+/// Scores a query against documents.
+/// Returns the best ids.
+pub fn score_all(query: &[f32], docs: &HashMap<u32, Vec<f32>>) -> Vec<u32> {
+    let mut best = Vec::new();
+    for (id, d) in docs.iter() {
+        // brace in comment: }
+        let s = dot(query, d);
+        if s > 0.5 {
+            best.push(*id);
+        }
+    }
+    best
+}
+
+struct Index {
+    dim: usize,
+}
+
+impl Index {
+    pub fn new(dim: usize) -> Self {
+        Self { dim }
+    }
+
+    fn validate(&self) -> Result<(), String> {
+        if self.dim == 0 {
+            return Err("empty {".to_string());
+        }
+        Ok(())
+    }
+}
+'''
+    units = _by_name(extract_units("lib.rs", src))
+    f = units["score_all"]
+    assert f.unit_type == UnitType.FUNCTION
+    assert "Scores a query" in f.docstring
+    assert f.parameters == ["query", "docs"]
+    assert "Vec < u32 >" in (f.return_type or "") or "Vec" in (f.return_type or "")
+    assert "dot" in f.calls and "push" in f.calls
+    assert f.has_loops and f.has_branches
+    assert "best" in f.variables and "s" in f.variables
+    assert "std" in f.imports
+
+    assert units["Index"].unit_type == UnitType.CLASS
+    new = units["new"]
+    assert new.unit_type == UnitType.METHOD
+    assert new.parent_class == "Index"
+    v = units["validate"]
+    assert v.parent_class == "Index"
+    assert v.has_error_handling  # Err
+    # called_by: score_all calls dot (external), validate not called here.
+
+
+def test_java_extraction():
+    src = '''package demo;
+
+import java.util.List;
+
+/** A thing that processes. */
+public class Processor extends Base {
+    private int count = 0;
+
+    /** Runs the batch. */
+    public List<String> process(List<String> items, int limit) throws Exception {
+        for (String it : items) {
+            if (it.isEmpty()) {
+                throw new Exception("bad {");
+            }
+            count = count + transform(it).length();
+        }
+        return items;
+    }
+
+    private String transform(String s) {
+        return s.trim();
+    }
+}
+'''
+    units = _by_name(extract_units("Processor.java", src))
+    c = units["Processor"]
+    assert c.unit_type == UnitType.CLASS
+    assert c.extends == "Base"
+    assert "processes" in (c.docstring or "")
+
+    p = units["process"]
+    assert p.unit_type == UnitType.METHOD
+    assert p.parent_class == "Processor"
+    assert p.parameters == ["items", "limit"]
+    assert "Runs the batch" in p.docstring
+    assert p.has_loops and p.has_branches and p.has_error_handling
+    assert "transform" in p.calls and "isEmpty" in p.calls
+
+    t = units["transform"]
+    assert "process" in t.called_by
+    assert "java" in p.imports
+
+
+def test_javascript_extraction():
+    src = '''import { fetch } from "node-fetch";
+
+// Loads a page and counts links.
+async function countLinks(url) {
+  const res = await fetch(url);
+  let n = 0;
+  for (const m of res.body.matchAll(/<a /g)) {
+    n += 1;
+  }
+  return n;
+}
+
+const double = (x) => x * 2;
+
+class Store {
+  constructor(db) {
+    this.db = db;
+  }
+
+  // Saves one record.
+  save(record) {
+    if (!record) {
+      throw new Error("empty { record");
+    }
+    return this.db.put(`key {interp}`, record);
+  }
+}
+'''
+    units = _by_name(extract_units("store.js", src))
+    f = units["countLinks"]
+    assert f.unit_type == UnitType.FUNCTION
+    assert f.parameters == ["url"]
+    assert "counts links" in f.docstring
+    assert "fetch" in f.calls
+    assert f.has_loops
+    assert "n" in f.variables and "res" in f.variables
+
+    assert units["double"].unit_type == UnitType.FUNCTION
+    assert units["Store"].unit_type == UnitType.CLASS
+    s = units["save"]
+    assert s.unit_type == UnitType.METHOD
+    assert s.parent_class == "Store"
+    assert "Saves one record" in s.docstring
+    assert s.has_branches and s.has_error_handling
+    assert "put" in s.calls
+
+
+def test_typescript_extraction():
+    src = '''export interface Shape {
+  area(): number;
+}
+
+export class Circle implements Shape {
+  constructor(private r: number) {}
+
+  area(): number {
+    return Math.PI * this.r * this.r;
+  }
+}
+
+export const make = (r: number): Circle => new Circle(r);
+'''
+    units = _by_name(extract_units("shape.ts", src))
+    assert units["Shape"].unit_type == UnitType.CLASS
+    assert units["Circle"].unit_type == UnitType.CLASS
+    a = units["area"]
+    assert a.parent_class == "Circle"
+    m = units["make"]
+    assert m.unit_type == UnitType.FUNCTION
+    assert m.parameters == ["r"]
+    assert "Circle" in m.calls  # new Circle(
+
+
+def test_c_extraction():
+    src = '''#include <stdio.h>
+#include "util.h"
+
+/* Sums an array.
+ * Skips negatives. */
+static int sum_positive(const int *xs, int n) {
+    int total = 0;
+    for (int i = 0; i < n; i++) {
+        if (xs[i] > 0) {
+            total += xs[i];
+        }
+    }
+    printf("done {%d}\\n", total);
+    return total;
+}
+
+int main(void) {
+    int data[3] = {1, -2, 3};
+    return sum_positive(data, 3);
+}
+'''
+    units = _by_name(extract_units("sum.c", src))
+    f = units["sum_positive"]
+    assert f.unit_type == UnitType.FUNCTION
+    assert f.parameters == ["xs", "n"]
+    assert "Sums an array" in f.docstring
+    assert f.has_loops and f.has_branches
+    assert "printf" in f.calls
+    m = units["main"]
+    assert "sum_positive" in m.calls
+    assert "main" in f.called_by
+    assert "stdio" in f.imports and "util" in f.imports
+
+
+def test_cpp_extraction():
+    src = '''#include <vector>
+
+class Stack {
+ public:
+  void push(int v);
+  bool empty() const { return data_.empty(); }
+
+ private:
+  std::vector<int> data_;
+};
+
+void Stack::push(int v) {
+  data_.push_back(v);
+}
+
+int top_level(std::vector<int>& xs) {
+  int best = 0;
+  for (auto x : xs) {
+    if (x > best) best = x;
+  }
+  return best;
+}
+'''
+    units = _by_name(extract_units("stack.cpp", src))
+    assert units["Stack"].unit_type == UnitType.CLASS
+    p = units["push"]
+    assert p.unit_type == UnitType.METHOD
+    assert p.parent_class == "Stack"
+    assert "push_back" in p.calls
+    t = units["top_level"]
+    assert t.unit_type == UnitType.FUNCTION
+    assert t.has_loops and t.has_branches
+
+
+def test_csharp_extraction():
+    src = '''using System;
+
+namespace Demo {
+    public class Worker {
+        /// <summary>Processes all items.</summary>
+        public int Run(string[] items) {
+            int done = 0;
+            foreach (var it in items) {
+                try {
+                    done += Handle(it);
+                } catch (Exception e) {
+                    Console.WriteLine("err {0}", e);
+                }
+            }
+            return done;
+        }
+
+        private int Handle(string s) => s.Length;
+    }
+}
+'''
+    units = _by_name(extract_units("worker.cs", src))
+    w = units["Worker"]
+    assert w.unit_type == UnitType.CLASS
+    r = units["Run"]
+    assert r.parent_class == "Worker"
+    assert r.has_error_handling
+    assert "Handle" in r.calls and "WriteLine" in r.calls
+    assert "Processes all items" in (r.docstring or "")
+
+
+def test_ruby_extraction():
+    src = '''require "json"
+
+# Tracks totals.
+class Counter
+  def initialize(limit)
+    @limit = limit
+    @n = 0
+  end
+
+  # Adds when allowed.
+  # Returns the new count.
+  def add!(x)
+    return @n if x.nil?
+    @n += 1 while x > 0 and @n < @limit
+    validate
+    @n
+  end
+
+  def valid?
+    @n <= @limit
+  end
+
+  private
+
+  def validate
+    raise "too many {" unless valid?
+  end
+end
+
+def helper(a, b)
+  [a, b].each do |v|
+    puts v if v
+  end
+end
+'''
+    units = _by_name(extract_units("counter.rb", src))
+    c = units["Counter"]
+    assert c.unit_type == UnitType.CLASS
+    assert "Tracks totals" in (c.docstring or "")
+
+    add = units["add!"]
+    assert add.unit_type == UnitType.METHOD
+    assert add.parent_class == "Counter"
+    assert add.parameters == ["x"]
+    assert "Adds when allowed" in add.docstring
+    assert "validate" in add.calls
+
+    v = units["validate"]
+    assert v.parent_class == "Counter"
+    assert v.has_error_handling
+    assert "add!" in v.called_by
+
+    assert units["valid?"].unit_type == UnitType.METHOD
+    h = units["helper"]
+    assert h.unit_type == UnitType.FUNCTION
+    assert h.parameters == ["a", "b"]
+    # the modifier `if v` and the `do |v|` block must not desync `end`
+    # matching: helper's extent ends at the last line.
+    assert h.end_line >= src.count("\n") - 1
+    assert "json" in h.imports
+
+
+def test_braces_in_strings_do_not_break_extents():
+    src = '''function tricky() {
+  const s = "}}}{{{";
+  const t = `template ${"}"} more`;
+  // }}} comment braces
+  return s + t;
+}
+
+function after() {
+  return 1;
+}
+'''
+    units = _by_name(extract_units("tricky.js", src))
+    assert "tricky" in units and "after" in units
+    t = units["tricky"]
+    assert t.end_line == 6
+    assert units["after"].line == 8
+
+
+def test_unsupported_language_falls_back_to_regex():
+    src = (
+        "defmodule MyModule do\n"
+        "  def compute_total(items) do\n"
+        "    Enum.reduce(items, 0, fn x, acc -> acc + x end)\n"
+        "  end\n"
+        "end\n"
+    )
+    units = extract_units("m.ex", src)
+    assert units  # elixir -> regex/raw fallback still indexes the file
