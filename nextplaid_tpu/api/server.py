@@ -8,7 +8,7 @@ Endpoints:
   GET  /indices/{name}                  index info
   DELETE /indices/{name}                delete index
   POST /indices/{name}/documents        add documents (async batched)
-  DELETE /indices/{name}/documents      delete by filter condition
+  DELETE /indices/{name}/documents      delete by filter (202; batched worker)
   POST /indices/{name}/update           synchronous add (returns when indexed)
   POST /indices/{name}/update_with_encoding
   PUT  /indices/{name}/config
@@ -22,6 +22,9 @@ Endpoints:
   POST /indices/{name}/metadata/query
   POST /indices/{name}/metadata/get
   POST /indices/{name}/metadata/update
+  POST /indices/{name}/metadata/distinct
+  GET  /swagger-ui                      self-contained interactive docs
+  GET  /api-docs/openapi.json
   POST /encode
   POST /rerank
   POST /rerank_with_encoding
@@ -131,6 +134,41 @@ async def limits_middleware(request: web.Request, handler):
     sem: asyncio.Semaphore = app["concurrency_sem"]
     async with sem:
         return await handler(request)
+
+
+# Per-request timeouts (reference main.rs:327-330, 466-469: 30 s for
+# health/info, 300 s for the API routes).
+HEALTH_TIMEOUT_S = float(os.environ.get("HEALTH_TIMEOUT_SECS", "30"))
+REQUEST_TIMEOUT_S = float(os.environ.get("REQUEST_TIMEOUT_SECS", "300"))
+_SHORT_TIMEOUT_PREFIXES = ("/health", "/indices",)
+
+_CORS_HEADERS = {
+    # Permissive CORS, matching the reference's CorsLayer::new()
+    # .allow_origin(Any).allow_methods(Any).allow_headers(Any) (main.rs:470).
+    "Access-Control-Allow-Origin": "*",
+    "Access-Control-Allow-Methods": "*",
+    "Access-Control-Allow-Headers": "*",
+}
+
+
+@web.middleware
+async def cors_timeout_middleware(request: web.Request, handler):
+    if request.method == "OPTIONS":
+        return web.Response(status=204, headers=_CORS_HEADERS)
+    timeout = (
+        HEALTH_TIMEOUT_S
+        if request.method == "GET"
+        and request.path.startswith(_SHORT_TIMEOUT_PREFIXES)
+        and request.path.count("/") <= 2
+        else REQUEST_TIMEOUT_S
+    )
+    try:
+        resp = await asyncio.wait_for(handler(request), timeout=timeout)
+    except asyncio.TimeoutError:
+        resp = _json_error(408, "request timed out")
+    for k, v in _CORS_HEADERS.items():
+        resp.headers.setdefault(k, v)
+    return resp
 
 
 @web.middleware
@@ -419,32 +457,24 @@ async def update_index_with_encoding(request: web.Request) -> web.Response:
 
 
 async def delete_documents(request: web.Request) -> web.Response:
-    """Delete by metadata filter condition (reference documents.rs:1352)."""
+    """Queue a delete-by-condition for batched processing (reference
+    documents.rs:1352-1405): conditions coalesce in a per-index worker
+    (DELETE_BATCH_MIN_WAIT/MAX_WAIT windows) and are resolved to ids
+    sequentially under the index lock. Responds 202 Accepted immediately."""
     state = _state(request)
     name = request.match_info["name"]
     if not state.index_exists(name):
         return _json_error(404, f"Index '{name}' not found")
     req = await _parse(request, dto.DeleteDocumentsRequest)
-    path = str(state.index_path(name))
-    loop = asyncio.get_running_loop()
-
-    def _delete() -> int:
-        from nextplaid_tpu.index.delete import delete_with_options
-
-        ids = filtering.where_condition(path, req.condition, req.parameters)
-        if not ids:
-            return 0
-        n = delete_with_options(ids, path)
-        return n
-
-    deleted = await loop.run_in_executor(None, _delete)
-    state.invalidate(name)
-    meta = load_json(IndexLayout(path).metadata)
+    if not req.condition:
+        return _json_error(400, "Delete condition cannot be empty")
+    try:
+        state.enqueue_delete(name, req.condition, req.parameters)
+    except NextPlaidError as e:
+        return _json_error(503, str(e))
     return web.json_response(
-        {
-            "deleted": deleted,
-            "remaining": meta.get("num_documents", 0),
-        }
+        {"status": "queued", "message": "Delete condition queued for batch processing"},
+        status=202,
     )
 
 
@@ -881,7 +911,10 @@ async def openapi_spec(request: web.Request) -> web.Response:
             },
             "/indices/{name}/documents": {
                 "post": op("Add documents (async batched)", "AddDocumentsRequest"),
-                "delete": op("Delete documents by filter", "DeleteDocumentsRequest"),
+                "delete": op(
+                    "Queue delete-by-filter (202; batched worker)",
+                    "DeleteDocumentsRequest",
+                ),
             },
             "/indices/{name}/update": {
                 "post": op("Add documents (synchronous)", "UpdateIndexRequest")
@@ -915,6 +948,9 @@ async def openapi_spec(request: web.Request) -> web.Response:
             "/indices/{name}/metadata/update": {
                 "post": op("Update metadata columns", "UpdateMetadataRequest")
             },
+            "/indices/{name}/metadata/distinct": {
+                "post": op("Distinct string values of a column")
+            },
             "/encode": {"post": op("Encode texts to embeddings", "EncodeRequest")},
             "/rerank": {"post": op("Exact MaxSim rerank", "RerankRequest")},
             "/rerank_with_encoding": {
@@ -925,6 +961,84 @@ async def openapi_spec(request: web.Request) -> web.Response:
     }
     return web.json_response(spec)
 
+
+_SWAGGER_HTML = """<!DOCTYPE html>
+<html>
+<head>
+  <meta charset="utf-8">
+  <title>nextplaid_tpu API</title>
+  <style>
+    body { font-family: sans-serif; margin: 2rem; max-width: 60rem; }
+    .op { border: 1px solid #ccc; border-radius: 6px; margin: .5rem 0;
+          padding: .5rem .8rem; }
+    .m { display: inline-block; min-width: 4.5rem; font-weight: bold; }
+    .get { color: #1a7f37; } .post { color: #0550ae; }
+    .put { color: #9a6700; } .delete { color: #cf222e; }
+    code { background: #f5f5f5; padding: 0 .3rem; }
+    pre { background: #f8f8f8; padding: .5rem; overflow-x: auto; }
+  </style>
+</head>
+<body>
+  <h1>nextplaid_tpu API</h1>
+  <p>Interactive spec rendered from
+     <a href="/api-docs/openapi.json">/api-docs/openapi.json</a>
+     (self-contained; no CDN assets — this image has no network).</p>
+  <div id="ops">loading…</div>
+  <script>
+    fetch('/api-docs/openapi.json').then(r => r.json()).then(spec => {
+      const el = document.getElementById('ops');
+      el.innerHTML = '';
+      for (const [path, methods] of Object.entries(spec.paths)) {
+        for (const [method, op] of Object.entries(methods)) {
+          const div = document.createElement('div');
+          div.className = 'op';
+          let body = '';
+          const ref = op.requestBody?.content?.['application/json']
+            ?.schema?.['$ref'];
+          if (ref) {
+            const name = ref.split('/').pop();
+            const schema = spec.components.schemas[name];
+            body = '<pre>' + name + ' = ' +
+              JSON.stringify(schema, null, 1) + '</pre>';
+          }
+          div.innerHTML = '<span class="m ' + method + '">' +
+            method.toUpperCase() + '</span> <code>' + path + '</code> — ' +
+            (op.summary || '') + body;
+          el.appendChild(div);
+        }
+      }
+    });
+  </script>
+</body>
+</html>"""
+
+
+async def swagger_ui(request: web.Request) -> web.Response:
+    """Interactive API docs (reference serves swagger-ui at /swagger-ui,
+    main.rs:426; this build renders the spec with a self-contained page
+    because CDN assets are unreachable offline)."""
+    return web.Response(text=_SWAGGER_HTML, content_type="text/html")
+
+
+async def get_distinct_metadata(request: web.Request) -> web.Response:
+    """Distinct string values of a metadata column
+    (engine filtering.get_distinct_strings, reference filtering.rs:2078)."""
+    state = _state(request)
+    name = request.match_info["name"]
+    if not state.index_exists(name):
+        return _json_error(404, f"Index '{name}' not found")
+    body = await request.json()
+    column = body.get("column")
+    if not column:
+        return _json_error(400, "missing 'column'")
+    path = str(state.index_path(name))
+    loop = asyncio.get_running_loop()
+    values = await loop.run_in_executor(
+        None, filtering.get_distinct_strings, path, column
+    )
+    return web.json_response({"column": column, "values": values})
+
+
 # ---------------------------------------------------------------------------
 # App assembly
 # ---------------------------------------------------------------------------
@@ -932,7 +1046,11 @@ async def openapi_spec(request: web.Request) -> web.Response:
 
 def build_app(index_dir: str, encoder=None) -> web.Application:
     app = web.Application(
-        middlewares=[trace_middleware, limits_middleware],
+        middlewares=[
+            cors_timeout_middleware,
+            trace_middleware,
+            limits_middleware,
+        ],
         client_max_size=MAX_BODY_BYTES,
     )
     app["state"] = AppState(index_dir, encoder=encoder)
@@ -945,6 +1063,8 @@ def build_app(index_dir: str, encoder=None) -> web.Application:
     r = app.router
     r.add_get("/", health)
     r.add_get("/api-docs/openapi.json", openapi_spec)
+    r.add_get("/swagger-ui", swagger_ui)
+    r.add_get("/swagger-ui/", swagger_ui)
     r.add_get("/health", health)
     r.add_get("/indices", list_indices)
     r.add_post("/indices", create_index)
@@ -970,6 +1090,7 @@ def build_app(index_dir: str, encoder=None) -> web.Application:
     r.add_post("/indices/{name}/metadata/query", query_metadata)
     r.add_post("/indices/{name}/metadata/get", get_metadata)
     r.add_post("/indices/{name}/metadata/update", update_metadata)
+    r.add_post("/indices/{name}/metadata/distinct", get_distinct_metadata)
     r.add_post("/encode", encode)
     r.add_post("/rerank", rerank)
     r.add_post("/rerank_with_encoding", rerank_with_encoding)

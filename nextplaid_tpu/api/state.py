@@ -52,6 +52,16 @@ MAX_QUEUED_TASKS_PER_INDEX = int(
 )
 BATCH_WINDOW_MS = 100
 PROGRESS_TTL_S = 600.0
+# Delete batching (reference documents.rs:661-703, same env names/defaults):
+# wait at least MIN after the first condition, keep collecting until MAX or
+# the condition cap, then resolve ids per condition sequentially (id
+# shifting) under the per-index lock.
+DELETE_BATCH_MIN_WAIT_MS = int(os.environ.get("DELETE_BATCH_MIN_WAIT", "500"))
+DELETE_BATCH_MAX_WAIT_MS = int(os.environ.get("DELETE_BATCH_MAX_WAIT", "2000"))
+MAX_DELETE_BATCH_CONDITIONS = int(
+    os.environ.get("MAX_DELETE_BATCH_CONDITIONS", "200")
+)
+BATCH_CHANNEL_SIZE = int(os.environ.get("BATCH_CHANNEL_SIZE", "100"))
 
 
 @dataclass
@@ -91,6 +101,12 @@ class _PendingAdd:
     future: asyncio.Future
 
 
+@dataclass
+class _PendingDelete:
+    condition: str
+    parameters: List[Any]
+
+
 class AppState:
     def __init__(self, index_dir: str, encoder=None):
         self.index_dir = Path(index_dir)
@@ -106,6 +122,8 @@ class AppState:
         self._worker_locks: Dict[str, asyncio.Lock] = {}
         self._process_locks: Dict[str, asyncio.Lock] = {}
         self._queue_sems: Dict[str, asyncio.Semaphore] = {}
+        self._delete_queues: Dict[str, asyncio.Queue] = {}
+        self._delete_workers: Dict[str, asyncio.Task] = {}
         self._config_cache: Dict[str, IndexConfigStored] = {}
         self.progress: Dict[str, UpdateProgress] = {}
 
@@ -311,6 +329,100 @@ class AppState:
                         item.future.set_exception(
                             e if len(batch) == 1 else NextPlaidError(str(e))
                         )
+
+    # -- delete pipeline --------------------------------------------------------
+
+    def enqueue_delete(
+        self, name: str, condition: str, parameters: List[Any]
+    ) -> None:
+        """Queue a delete-by-condition for batched processing (reference
+        documents.rs:658-860). Raises NextPlaidError when the queue is full
+        (the handler maps it to 503). Returns immediately — the caller
+        responds 202 Accepted."""
+        queue = self._delete_queues.setdefault(
+            name, asyncio.Queue(maxsize=BATCH_CHANNEL_SIZE)
+        )
+        try:
+            queue.put_nowait(_PendingDelete(condition, list(parameters)))
+        except asyncio.QueueFull:
+            raise NextPlaidError(
+                f"Delete queue full for index '{name}'. Max "
+                f"{BATCH_CHANNEL_SIZE} pending items. Retry later."
+            )
+        worker = self._delete_workers.get(name)
+        if worker is None or worker.done():
+            self._delete_workers[name] = asyncio.create_task(
+                self._delete_worker(name)
+            )
+
+    async def _delete_worker(self, name: str) -> None:
+        """Collect delete conditions: wait >= MIN after the first, keep
+        collecting until MAX elapsed or the condition cap, then process."""
+        queue = self._delete_queues[name]
+        while True:
+            try:
+                first = await asyncio.wait_for(queue.get(), timeout=5.0)
+            except asyncio.TimeoutError:
+                if not queue.empty():
+                    continue
+                return  # idle; next enqueue respawns
+            batch = [first]
+            now = time.monotonic()
+            min_deadline = now + DELETE_BATCH_MIN_WAIT_MS / 1000
+            max_deadline = now + DELETE_BATCH_MAX_WAIT_MS / 1000
+            for deadline in (min_deadline, max_deadline):
+                while len(batch) < MAX_DELETE_BATCH_CONDITIONS:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    try:
+                        batch.append(
+                            await asyncio.wait_for(
+                                queue.get(), timeout=remaining
+                            )
+                        )
+                    except asyncio.TimeoutError:
+                        break
+            await self._process_delete_batch(name, batch)
+
+    async def _process_delete_batch(
+        self, name: str, batch: List[_PendingDelete]
+    ) -> None:
+        lock = self._process_locks.setdefault(name, asyncio.Lock())
+        async with lock:
+            loop = asyncio.get_running_loop()
+            try:
+                deleted = await loop.run_in_executor(
+                    None, self._delete_sync, name, batch
+                )
+                self.set_progress(
+                    name,
+                    status="completed",
+                    stage="delete_done",
+                    message=f"deleted {deleted} documents "
+                    f"({len(batch)} conditions)",
+                )
+            except BaseException as e:
+                self.set_progress(
+                    name, status="failed", stage="delete_error", error=str(e)
+                )
+            self.invalidate(name)
+
+    def _delete_sync(self, name: str, batch: List[_PendingDelete]) -> int:
+        """Resolve each condition against the CURRENT db state and delete
+        sequentially — deletions shift ids, so conditions must be resolved
+        after all prior deletions applied (documents.rs:826-860)."""
+        path = str(self.index_path(name))
+        self.repair_index_db_sync(name)
+        total = 0
+        for item in batch:
+            ids = filtering.where_condition(
+                path, item.condition, item.parameters
+            )
+            if not ids:
+                continue
+            total += delete_with_options(ids, path)
+        return total
 
     def _ingest_sync(
         self,

@@ -189,10 +189,20 @@ def metadata_get(ctx, index_name, ids, limit):
 @click.argument("index_name")
 @click.argument("condition")
 @click.option("-p", "--param", "params", multiple=True)
+@click.option(
+    "--wait/--no-wait",
+    default=True,
+    help="Poll until the batched server-side delete lands (server returns "
+    "202 Accepted immediately).",
+)
 @click.pass_context
-def delete(ctx, index_name, condition, params):
+def delete(ctx, index_name, condition, params, wait):
     """Delete documents matching a filter condition."""
-    _echo(_client(ctx).delete(index_name, condition, list(params) or None))
+    _echo(
+        _client(ctx).delete(
+            index_name, condition, list(params) or None, wait=wait
+        )
+    )
 
 
 @cli.command()

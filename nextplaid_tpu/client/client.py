@@ -153,13 +153,45 @@ class NextPlaidClient:
         index_name: str,
         condition: str,
         parameters: Optional[List[Any]] = None,
+        wait: bool = False,
+        timeout: float = 60.0,
     ) -> Dict[str, Any]:
+        """Delete documents matching a metadata filter condition.
+
+        Asynchronous on the server (202 Accepted; conditions are batched in
+        a per-index worker). With ``wait=True``, polls the index until the
+        document count stops changing (convenience the reference SDK leaves
+        to the caller)."""
         payload: Dict[str, Any] = {"condition": condition}
         if parameters:
             payload["parameters"] = parameters
-        return self._request(
+        before = None
+        if wait:
+            before = self.get_index(index_name).get("num_documents")
+        resp = self._request(
             "DELETE", f"/indices/{index_name}/documents", json=payload
         )
+        if not wait:
+            return resp
+        import time as _time
+
+        deadline = _time.time() + timeout
+        last = before
+        stable_since = None
+        while _time.time() < deadline:
+            _time.sleep(0.25)
+            now = self.get_index(index_name).get("num_documents")
+            if now != before:
+                if now == last:
+                    if stable_since is None:
+                        stable_since = _time.time()
+                    elif _time.time() - stable_since > 1.0:
+                        break
+                else:
+                    stable_since = None
+            last = now
+        resp["num_documents"] = last
+        return resp
 
     # -- search --------------------------------------------------------------------
 

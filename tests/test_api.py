@@ -203,15 +203,21 @@ def test_index_lifecycle(server):
         json={"condition": "group = ?; DROP TABLE METADATA", "parameters": [1]},
     )
     assert r.status_code == 400
-    # delete by filter
+    # delete by filter: queues into the batched delete worker (reference
+    # documents.rs:1352-1405 returns 202 Accepted); poll for convergence.
     r = requests.delete(
         server.url + "/indices/lifecycle/documents",
         json={"condition": "\"group\" = ?", "parameters": [2]},
     )
-    assert r.status_code == 200, r.text
-    assert r.json()["deleted"] == 10
-    assert r.json()["remaining"] == 20
-    info = requests.get(server.url + "/indices/lifecycle").json()
+    assert r.status_code == 202, r.text
+    assert r.json()["status"] == "queued"
+    deadline = time.time() + 30
+    info = {}
+    while time.time() < deadline:
+        info = requests.get(server.url + "/indices/lifecycle").json()
+        if info.get("num_documents") == 20:
+            break
+        time.sleep(0.25)
     assert info["num_documents"] == 20
     assert info["metadata_count"] == 20
     # search still works post-delete
@@ -517,3 +523,82 @@ def test_search_with_request_subset(server):
     ids = r.json()["results"][0]["document_ids"]
     assert set(ids) <= {0, 5, 9}
     assert ids[0] == 5
+
+
+def test_swagger_ui_and_cors(server):
+    """Reference serves swagger-ui (main.rs:426) and a permissive CORS
+    layer + request timeouts (main.rs:466-470)."""
+    r = requests.get(server.url + "/swagger-ui")
+    assert r.status_code == 200
+    assert "text/html" in r.headers["Content-Type"]
+    assert "/api-docs/openapi.json" in r.text
+    assert r.headers["Access-Control-Allow-Origin"] == "*"
+    # CORS preflight
+    r = requests.options(server.url + "/indices")
+    assert r.status_code == 204
+    assert r.headers["Access-Control-Allow-Methods"] == "*"
+
+
+def test_metadata_distinct(server):
+    requests.post(server.url + "/indices", json={"name": "distinctidx"})
+    docs = make_docs(6, seed=60)
+    requests.post(
+        server.url + "/indices/distinctidx/update",
+        json={
+            "documents": [doc_payload(d) for d in docs],
+            "metadata": [
+                {"category": c} for c in ["a", "b", "a", "c", "b", "a"]
+            ],
+        },
+    )
+    r = requests.post(
+        server.url + "/indices/distinctidx/metadata/distinct",
+        json={"column": "category"},
+    )
+    assert r.status_code == 200, r.text
+    assert sorted(r.json()["values"]) == ["a", "b", "c"]
+    # missing column -> 400
+    r = requests.post(
+        server.url + "/indices/distinctidx/metadata/distinct", json={}
+    )
+    assert r.status_code == 400
+
+
+def test_delete_batching_coalesces(server):
+    """Multiple queued delete conditions resolve sequentially in one batch
+    (id shifting handled per condition, documents.rs:826-860)."""
+    requests.post(server.url + "/indices", json={"name": "delbatch"})
+    docs = make_docs(12, seed=61)
+    requests.post(
+        server.url + "/indices/delbatch/update",
+        json={
+            "documents": [doc_payload(d) for d in docs],
+            "metadata": [{"k": i} for i in range(12)],
+        },
+    )
+    # Two conditions that overlap in pre-delete id space: k<3 deletes ids
+    # 0-2; k in (3,4) must then resolve against the SHIFTED db state.
+    r1 = requests.delete(
+        server.url + "/indices/delbatch/documents",
+        json={"condition": "k < ?", "parameters": [3]},
+    )
+    r2 = requests.delete(
+        server.url + "/indices/delbatch/documents",
+        json={"condition": "k = ? OR k = ?", "parameters": [3, 4]},
+    )
+    assert r1.status_code == 202 and r2.status_code == 202
+    deadline = time.time() + 30
+    info = {}
+    while time.time() < deadline:
+        info = requests.get(server.url + "/indices/delbatch").json()
+        if info.get("num_documents") == 7:
+            break
+        time.sleep(0.25)
+    assert info["num_documents"] == 7
+    assert info["metadata_count"] == 7
+    # Surviving metadata is exactly k in 5..11.
+    r = requests.post(
+        server.url + "/indices/delbatch/metadata/query",
+        json={"condition": "k >= ?", "parameters": [0]},
+    )
+    assert r.json()["count"] == 7

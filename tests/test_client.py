@@ -74,8 +74,9 @@ def test_sdk_full_flow(client):
     with pytest.raises(ValidationError):
         client.query_metadata("sdk", "title = ?; DROP TABLE x", ["a"])
 
-    deleted = client.delete("sdk", "even = ?", [1])
-    assert deleted["deleted"] == 13
+    deleted = client.delete("sdk", "even = ?", [1], wait=True)
+    assert deleted["status"] == "queued"
+    assert deleted["num_documents"] == 12
     assert client.get_index("sdk")["num_documents"] == 12
     client.delete_index("sdk")
     assert "sdk" not in client.list_indices()
@@ -134,5 +135,6 @@ def test_cli(server, tmp_path):
     out = json.loads(run("metadata", "get", "cliidx", "--ids", "1,3"))
     assert [m["name"] for m in out["metadata"]] == ["n1", "n3"]
     out = json.loads(run("delete", "cliidx", "name = ?", "-p", "n0"))
-    assert out["deleted"] == 1
+    assert out["status"] == "queued"
+    assert out["num_documents"] == 5  # --wait default polls to convergence
     run("indices", "delete", "cliidx")
