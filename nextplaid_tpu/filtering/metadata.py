@@ -666,7 +666,6 @@ def get(
         if condition is not None:
             validate_condition(condition, schema_columns(conn))
         base, cols = _select_all_query(conn)
-        where_prefix = " AND " if " JOIN " in base else " WHERE "
 
         def rows_to_dicts(rows) -> List[Dict[str, Any]]:
             return [
@@ -695,8 +694,7 @@ def get(
             else f' ORDER BY "{SUBSET_COLUMN}"'
         )
         if condition is not None:
-            where = (" AND " if False else " WHERE ") + f"({condition})"
-            query = base + where + order
+            query = base + f" WHERE ({condition})" + order
             rows = conn.execute(query, [_to_sql(p) for p in parameters])
         else:
             rows = conn.execute(base + order)
@@ -756,12 +754,11 @@ def update_where(
                 qs = ", ".join(["?"] * len(chunk))
                 if thin_updates:
                     set_sql = ", ".join(f'"{c}" = ?' for c in thin_updates)
-                    cur = conn.execute(
+                    conn.execute(
                         f"UPDATE METADATA SET {set_sql} "
                         f'WHERE "{SUBSET_COLUMN}" IN ({qs})',
                         [_to_sql(v) for v in thin_updates.values()] + chunk,
                     )
-                    updated = max(updated, updated + cur.rowcount - updated)
                 if fat_updates:
                     set_sql = ", ".join(f'"{c}" = ?' for c in fat_updates)
                     conn.execute(

@@ -104,6 +104,30 @@ def test_lloyd_empty_cluster_keeps_centroid():
     np.testing.assert_allclose(out[1], [-100, 0, 0, 0])
 
 
+def test_pad_queries_zero_fill_contract():
+    """Pin the cross-module contract _exact_search_kernel relies on.
+
+    index/exact.py scores the pinned grid WITHOUT a query mask: a padded
+    query-token row must be the zero vector so its per-token max over any
+    document is 0 and it contributes nothing to the MaxSim sum. The producer
+    is _pad_queries (index/search.py); if this test fails, the kernel path
+    silently returns wrong scores for ragged query batches.
+    """
+    from nextplaid_tpu.index.search import _pad_queries
+
+    rng = np.random.default_rng(0)
+    queries = [
+        rng.standard_normal((n, 16)).astype(np.float32) + 1.0
+        for n in (3, 7, 1)
+    ]
+    q_arr, mask = _pad_queries(queries, 16)
+    assert mask.sum(axis=1).tolist() == [3, 7, 1]
+    # Every padded row is EXACTLY zero — not merely masked.
+    np.testing.assert_array_equal(q_arr[~mask], 0.0)
+    # Real rows survive untouched.
+    np.testing.assert_array_equal(q_arr[0, :3], queries[0])
+
+
 def test_pallas_maxsim_kernel_interpret():
     """Fused MaxSim kernel (interpret mode) == plain masked MaxSim math."""
     import jax.numpy as jnp
