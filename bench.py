@@ -77,6 +77,7 @@ def main():
         SearchParameters,
         create_index,
         search_batch,
+        search_batch_async,
     )
 
     import os
@@ -118,15 +119,40 @@ def main():
     # Warmup / compile.
     search_batch(index, queries[:batch], params)
 
-    t0 = time.perf_counter()
-    n_done = 0
+    # Pipelined dispatch: all batches of a pass go in flight before the
+    # first result is materialized — host prep + h2d of batch i+1 overlaps
+    # device compute of batch i, hiding per-dispatch tunnel latency. p50/p95
+    # over >=10 passes so tunnel variance is visible in the record.
+    n_passes = 12
+    pass_qps = []
     results = []
-    for start in range(0, len(queries), batch):
-        res = search_batch(index, queries[start : start + batch], params)
-        results.extend(res)
-        n_done += len(res)
-    elapsed = time.perf_counter() - t0
-    qps = n_done / elapsed
+    n_done = 0
+    for p in range(n_passes):
+        t0 = time.perf_counter()
+        pending = [
+            search_batch_async(index, queries[s : s + batch], params)
+            for s in range(0, len(queries), batch)
+        ]
+        out = [r for pend in pending for r in pend.result()]
+        elapsed = time.perf_counter() - t0
+        pass_qps.append(len(out) / elapsed)
+        if p == 0:
+            results = out
+            n_done = len(out)
+    pass_qps.sort()
+    qps = float(np.median(pass_qps))
+    qps_worst = pass_qps[0]
+    qps_best = pass_qps[-1]
+
+    # MFU estimate for the exact-kernel operating point: the dominant FLOPs
+    # are the [Q*Tq, d] x [d, grid_tokens] similarity contraction per batch.
+    if index.token_grid is not None:
+        ndg, tdg, dg = index.token_grid.shape
+        tq = int(queries[0].shape[0])
+        flops_per_batch = 2.0 * batch * tq * dg * ndg * tdg
+        mfu = (qps / batch) * flops_per_batch / 197e12  # v5e bf16 peak
+    else:
+        mfu = float("nan")
 
     # Quality: recall@10 of the fast config vs the f32 exhaustive oracle on a
     # query subsample.
@@ -156,6 +182,12 @@ def main():
                     "nbits": index.nbits,
                     "queries": n_done,
                     "batch": batch,
+                    "passes": n_passes,
+                    "qps_p50": round(qps, 2),
+                    "qps_worst": round(qps_worst, 2),
+                    "qps_best": round(qps_best, 2),
+                    "mfu_pct": round(100 * mfu, 2),
+                    "pipelined_dispatch": True,
                     "index_build_s": round(build_s, 1),
                     "indexing_docs_per_s": round(index.num_documents / build_s, 1),
                     "recall_at_10_vs_f32_oracle": round(recall, 4),

@@ -8,7 +8,9 @@ from nextplaid_tpu.index.config import (  # noqa: F401
 )
 from nextplaid_tpu.index.container import DeviceIndex  # noqa: F401
 from nextplaid_tpu.index.search import (  # noqa: F401
+    PendingSearch,
     QueryResult,
     search_batch,
+    search_batch_async,
     search_one,
 )

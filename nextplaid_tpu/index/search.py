@@ -631,20 +631,103 @@ def _pad_queries(
     return q_arr, mask
 
 
-def search_batch(
+class PendingSearch:
+    """A dispatched-but-not-materialized search batch.
+
+    JAX dispatch is asynchronous: the jitted pipeline call returns device
+    futures immediately, and only `np.asarray` blocks. Holding the device
+    arrays here lets callers keep several batches in flight (the next batch's
+    host prep + h2d transfer overlaps the previous batch's device compute —
+    the recipe that hides per-dispatch tunnel latency). `result()` blocks,
+    applies the overflow fallback if needed, and converts to QueryResults.
+    """
+
+    __slots__ = (
+        "_index", "_queries", "_params", "_subset",
+        "_n", "_ids", "_scores", "_overflow", "_shapes",
+    )
+
+    def __init__(self, index, queries, params, subset, n, ids, scores,
+                 overflow, shapes):
+        self._index = index
+        self._queries = queries
+        self._params = params
+        self._subset = subset
+        self._n = n
+        self._ids = ids
+        self._scores = scores
+        self._overflow = overflow
+        self._shapes = shapes
+
+    def result(self) -> List["QueryResult"]:
+        n = self._n
+        if n == 0:
+            return []
+        ids = np.asarray(self._ids)[:n]
+        scores = np.asarray(self._scores)[:n]
+        if self._overflow is None:
+            overflow = np.zeros(n, np.int32)
+        else:
+            overflow = np.asarray(self._overflow)[:n]
+        if (
+            self._shapes is not None
+            and self._params.overflow_policy == "exact"
+            and overflow.max(initial=0) > 0
+        ):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "posting-budget overflow: up to %d posting entries dropped "
+                "(posting_budget=%d) — falling back to exhaustive scoring "
+                "for this batch; raise SearchParameters.posting_budget or "
+                "set overflow_policy='prune' (lowest-weight cells dropped) "
+                "if this recurs",
+                int(overflow.max()),
+                self._shapes.posting_budget,
+            )
+            # Dropping candidates silently biases (or empties) results; the
+            # exhaustive scan is always correct and streams in bounded tiles,
+            # so prefer slow-and-right over fast-and-wrong (reference
+            # semantics: its dynamic Vecs never drop candidates).
+            import dataclasses as _dc
+
+            return search_batch(
+                self._index,
+                self._queries,
+                _dc.replace(self._params, mode="exact"),
+                subset=self._subset,
+            )
+        results = []
+        for i in range(n):
+            valid = ids[i] >= 0
+            results.append(
+                QueryResult(
+                    query_id=i,
+                    passage_ids=[int(x) for x in ids[i][valid]],
+                    scores=[float(s) for s in scores[i][valid]],
+                )
+            )
+        return results
+
+
+def search_batch_async(
     index: DeviceIndex,
     queries: Sequence[np.ndarray],
     params: Optional[SearchParameters] = None,
     subset: Optional[Sequence[int]] = None,
-) -> List[QueryResult]:
-    """Search a batch of queries (reference `search_many_mmap`, search.rs:643).
+) -> PendingSearch:
+    """Dispatch a search batch without blocking on the device.
 
-    Queries are padded to a shared [Q, Tq, d] buffer; Q is bucketed to powers of
-    two to bound the number of compiled variants.
+    Queries are padded to a shared [Q, Tq, d] buffer; Q is bucketed to powers
+    of two to bound the number of compiled variants. Returns a PendingSearch;
+    call `.result()` to materialize (reference `search_many_mmap`,
+    search.rs:643 — its rayon fan-out becomes async XLA dispatch here).
     """
     params = params or SearchParameters()
     if not queries:
-        return []
+        return PendingSearch(
+            index, queries, params, subset, 0, None, None, None, None
+        )
     n = len(queries)
     q_bucket = max(8, 1 << (n - 1).bit_length())
     q_arr, q_mask = _pad_queries(queries, index.dim)
@@ -698,62 +781,32 @@ def search_batch(
             has_subset=subset is not None,
             use_kernel=use_kernel,
         )
-        ids = np.asarray(ids)[:n]
-        scores = np.asarray(scores)[:n]
-        overflow = np.zeros(n, np.int32)
-    else:
-        shapes = PipelineShapes.derive(index, params, q_bucket, q_arr.shape[1])
-        ids, scores, overflow = search_pipeline(
-            index,
-            jnp.asarray(q_arr),
-            jnp.asarray(q_mask),
-            subset_arr,
-            shapes,
-            subset is not None,
+        return PendingSearch(
+            index, queries, params, subset, n, ids, scores, None, None
         )
-        ids = np.asarray(ids)[:n]
-        scores = np.asarray(scores)[:n]
-        overflow = np.asarray(overflow)[:n]
-    if (
-        not use_exact
-        and params.overflow_policy == "exact"
-        and overflow.max(initial=0) > 0
-    ):
-        import logging
+    shapes = PipelineShapes.derive(index, params, q_bucket, q_arr.shape[1])
+    ids, scores, overflow = search_pipeline(
+        index,
+        jnp.asarray(q_arr),
+        jnp.asarray(q_mask),
+        subset_arr,
+        shapes,
+        subset is not None,
+    )
+    return PendingSearch(
+        index, queries, params, subset, n, ids, scores, overflow, shapes
+    )
 
-        logging.getLogger(__name__).warning(
-            "posting-budget overflow: up to %d posting entries dropped "
-            "(posting_budget=%d) — falling back to exhaustive scoring for "
-            "this batch; raise SearchParameters.posting_budget or set "
-            "overflow_policy='prune' (lowest-weight cells dropped) if this "
-            "recurs",
-            int(overflow.max()),
-            shapes.posting_budget,
-        )
-        # Dropping candidates silently biases (or empties) results; the
-        # exhaustive scan is always correct and streams in bounded tiles, so
-        # prefer slow-and-right over fast-and-wrong (reference semantics:
-        # its dynamic Vecs never drop candidates).
-        import dataclasses as _dc
 
-        return search_batch(
-            index,
-            queries,
-            _dc.replace(params, mode="exact"),
-            subset=subset,
-        )
-
-    results = []
-    for i in range(n):
-        valid = ids[i] >= 0
-        results.append(
-            QueryResult(
-                query_id=i,
-                passage_ids=[int(x) for x in ids[i][valid]],
-                scores=[float(s) for s in scores[i][valid]],
-            )
-        )
-    return results
+def search_batch(
+    index: DeviceIndex,
+    queries: Sequence[np.ndarray],
+    params: Optional[SearchParameters] = None,
+    subset: Optional[Sequence[int]] = None,
+) -> List[QueryResult]:
+    """Search a batch of queries and block for the results (reference
+    `search_many_mmap`, search.rs:643)."""
+    return search_batch_async(index, queries, params, subset).result()
 
 
 def search_one(

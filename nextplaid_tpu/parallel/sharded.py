@@ -16,6 +16,28 @@ Each shard runs the union-candidate pipeline (stages 1-4 of
 nextplaid_tpu.index.search) against its local docs and produces an exact
 local top-k; the merge is then exact — unlike approximate-prune-then-merge
 designs there is no cross-shard recall loss at equal probe parameters.
+
+Mutation semantics (update / delete / build)
+--------------------------------------------
+`ShardedIndex.shard()` is LOAD-TIME sharding: it partitions a host-resident
+index snapshot into per-device shards. Mutations follow the reference's
+storage-is-the-truth model (SURVEY.md §5 checkpoint/resume): `update_*` and
+`delete_*` run against the on-disk index (host-side, single-controller),
+after which the serving process re-loads and re-shards:
+
+    update_or_create(new_docs, path)          # host mutation, atomic files
+    index = DeviceIndex.load(path)            # fresh snapshot
+    sindex = ShardedIndex.shard(HostIndexData.from_device_index(index), mesh)
+
+Re-sharding 1M docs is seconds of host slicing + h2d; mutations are orders of
+magnitude rarer than queries in this system (the API layer coalesces them
+into batches already), so in-place per-shard append is deliberately NOT
+implemented — it would complicate the uniform-capacity invariant (every
+shard padded to the same doc capacity so ONE compiled program serves all
+shards) for no measured win. The API server's swap-slot pattern
+(api/state.py, reference state.rs ArcSwap) means readers never observe a
+half-resharded index: searches drain on the old ShardedIndex while the new
+one loads, then the slot swaps atomically.
 """
 
 from __future__ import annotations

@@ -211,7 +211,9 @@ def test_index_lifecycle(server):
     )
     assert r.status_code == 202, r.text
     assert r.json()["status"] == "queued"
-    deadline = time.time() + 30
+    # Generous deadline: the first delete compiles the chunk-rewrite programs,
+    # which can take >30 s when the full suite shares the host.
+    deadline = time.time() + 120
     info = {}
     while time.time() < deadline:
         info = requests.get(server.url + "/indices/lifecycle").json()

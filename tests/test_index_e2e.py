@@ -382,3 +382,29 @@ def test_overflow_prune_policy(built):
     )
     for o, g in zip(oracle, exact_policy):
         assert o.passage_ids == g.passage_ids
+
+
+def test_async_pipelined_dispatch_matches_sync(built):
+    """search_batch_async keeps several batches in flight; resolved results
+    must equal synchronous per-batch search in both exact and staged modes."""
+    from nextplaid_tpu.index import search_batch_async
+
+    docs, path, meta, index = built
+    queries, _ = make_queries(docs, num_queries=12)
+    for params in (
+        SearchParameters(top_k=5, mode="exact"),
+        SearchParameters(top_k=5, mode="staged"),
+    ):
+        pending = [
+            search_batch_async(index, queries[s : s + 4], params)
+            for s in range(0, 12, 4)
+        ]
+        got = [r for p in pending for r in p.result()]
+        want = [
+            r
+            for s in range(0, 12, 4)
+            for r in search_batch(index, queries[s : s + 4], params)
+        ]
+        assert [r.passage_ids for r in got] == [r.passage_ids for r in want]
+    # Empty batch resolves to [].
+    assert search_batch_async(index, [], SearchParameters()).result() == []

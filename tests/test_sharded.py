@@ -123,3 +123,111 @@ def test_sharded_exact_subset(built):
     for t, r in zip(targets, res):
         assert set(r.passage_ids) <= set(subset)
         assert t in r.passage_ids
+
+
+# ---------------------------------------------------------------------------
+# Realism: skewed corpus large enough that per-shard padding, posting skew,
+# and the cross-shard top-k merge bound actually bite (VERDICT round-1 #6).
+# ---------------------------------------------------------------------------
+def make_skewed_corpus(num_docs=5000, dim=32, seed=13):
+    """Zipf-skewed topic popularity: a handful of hot topics own most docs,
+    so a few centroids carry giant posting lists while most are near-empty."""
+    rng = np.random.default_rng(seed)
+    n_topics = 64
+    topics = rng.standard_normal((n_topics, dim)).astype(np.float32)
+    topics /= np.linalg.norm(topics, axis=1, keepdims=True)
+    # Zipf over topics: topic t gets weight 1/(t+1).
+    w = 1.0 / np.arange(1, n_topics + 1)
+    w /= w.sum()
+    doc_topics = rng.choice(n_topics, size=num_docs, p=w)
+    docs = []
+    for t in doc_topics:
+        n = int(rng.integers(4, 14))
+        v = topics[t] + 0.12 * rng.standard_normal((n, dim)).astype(np.float32)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        docs.append(v.astype(np.float32))
+    return docs, topics, doc_topics
+
+
+@pytest.fixture(scope="module")
+def skewed(tmp_path_factory):
+    docs, topics, doc_topics = make_skewed_corpus()
+    path = str(tmp_path_factory.mktemp("skewidx") / "corpus")
+    create_index(docs, path, IndexConfig(nbits=4, seed=42))
+    index = DeviceIndex.load(path)
+    mesh = make_mesh()
+    sindex = ShardedIndex.shard(HostIndexData.from_device_index(index), mesh)
+    return docs, topics, doc_topics, index, sindex
+
+
+def _skewed_queries(topics, doc_topics, num=6, tokens=6, seed=3, dim=32):
+    """Half the queries hit the hottest topic (max posting skew), half hit
+    cold tail topics (near-empty postings on most shards)."""
+    rng = np.random.default_rng(seed)
+    picks = [0, 0, 0, 40, 50, 60][:num]
+    out = []
+    for t in picks:
+        q = topics[t] + 0.1 * rng.standard_normal((tokens, dim))
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        out.append(q.astype(np.float32))
+    return out, picks
+
+
+def test_skewed_sharded_exact_equals_single(skewed):
+    """5K docs, hot centroids, top_k=64 spanning all 8 shards: the sharded
+    exact pipeline must reproduce the single-device exact results EXACTLY
+    (ids and scores) — padding, posting skew, and the k_local merge bound
+    must not change anything."""
+    docs, topics, doc_topics, index, sindex = skewed
+    queries, _ = _skewed_queries(topics, doc_topics)
+    params = SearchParameters(top_k=64, mode="exact")
+    single = search_batch(index, queries, params)
+    sharded = search_batch_sharded(sindex, queries, params)
+    for s1, s2 in zip(single, sharded):
+        # Scores must match exactly; ids may permute only within score ties.
+        np.testing.assert_allclose(
+            s1.scores, s2.scores, rtol=1e-4, atol=1e-4
+        )
+        mismatch = [
+            (a, b)
+            for a, b, sa, sb in zip(
+                s1.passage_ids, s2.passage_ids, s1.scores, s2.scores
+            )
+            if a != b and abs(sa - sb) > 1e-4
+        ]
+        assert not mismatch, mismatch[:5]
+
+
+def test_skewed_sharded_staged_recall(skewed):
+    """Staged mode at default probe params on the skewed corpus: recall@10
+    per query vs the exact oracle must match the single-device staged
+    pipeline's recall (the shard merge must not lose candidates)."""
+    docs, topics, doc_topics, index, sindex = skewed
+    queries, _ = _skewed_queries(topics, doc_topics)
+    oracle = search_batch(
+        index, queries, SearchParameters(top_k=10, mode="exact")
+    )
+    params = SearchParameters(top_k=10, mode="staged")
+    single = search_batch(index, queries, params)
+    sharded = search_batch_sharded(sindex, queries, params)
+
+    def recall(res):
+        return np.mean([
+            len(set(r.passage_ids) & set(o.passage_ids)) / 10
+            for r, o in zip(res, oracle)
+        ])
+
+    r_single, r_sharded = recall(single), recall(sharded)
+    assert r_sharded >= r_single - 1e-9, (r_sharded, r_single)
+    assert r_sharded >= 0.9, r_sharded
+
+
+def test_skewed_shard_doc_distribution(skewed):
+    """Sanity: every shard holds ~1/8 of the docs; the hot topic's documents
+    span every shard (contiguous range partitioning, zipf assignment)."""
+    docs, topics, doc_topics, index, sindex = skewed
+    assert sindex.n_shards == 8
+    assert sindex.shard_capacity == -(-len(docs) // 8)
+    hot_docs = np.where(doc_topics == 0)[0]
+    shard_of = hot_docs // sindex.shard_capacity
+    assert len(set(shard_of.tolist())) == 8
