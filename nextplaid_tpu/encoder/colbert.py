@@ -229,25 +229,35 @@ class Colbert:
 
         return fwd
 
+    def _dispatch_batch(self, input_ids: np.ndarray, attention: np.ndarray):
+        """Dispatch one jitted forward (batch dim bucket-padded) WITHOUT
+        blocking; returns (device array, true batch size). JAX dispatch is
+        async — the caller can prepare the next batch on the host while the
+        device runs this one (the TPU answer to the reference's work-queue +
+        pooling-thread overlap, onnx lib.rs:1383-1489)."""
+        n = len(input_ids)
+        b = _batch_bucket(n, self.batch_size)
+        if b != n:
+            pad = b - n
+            input_ids = np.concatenate([input_ids, np.repeat(input_ids[-1:], pad, 0)])
+            attention = np.concatenate([attention, np.repeat(attention[-1:], pad, 0)])
+        return self._forward(self.params, input_ids, attention), n
+
     def _run_batches(
         self, input_ids: np.ndarray, attention: np.ndarray
     ) -> np.ndarray:
         """Pad the batch dim to a power-of-two bucket and run the jitted
-        forward; returns [N, L, dim] float32."""
-        outs = []
+        forward; returns [N, L, dim] float32. All sub-batches are dispatched
+        before any is materialized, so they pipeline on the device."""
         n = len(input_ids)
+        pending = []
         for start in range(0, n, self.batch_size):
-            ii = input_ids[start : start + self.batch_size]
-            aa = attention[start : start + self.batch_size]
-            b = _batch_bucket(len(ii), self.batch_size)
-            if b != len(ii):
-                pad = b - len(ii)
-                ii = np.concatenate([ii, np.repeat(ii[-1:], pad, 0)])
-                aa = np.concatenate([aa, np.repeat(aa[-1:], pad, 0)])
-                out = self._forward(self.params, ii, aa)[: len(input_ids[start:])]
-            else:
-                out = self._forward(self.params, ii, aa)
-            outs.append(np.asarray(out[: min(self.batch_size, n - start)]))
+            emb_dev, n_real = self._dispatch_batch(
+                input_ids[start : start + self.batch_size],
+                attention[start : start + self.batch_size],
+            )
+            pending.append((emb_dev, n_real))
+        outs = [np.asarray(emb)[:n_real] for emb, n_real in pending]
         return np.concatenate(outs) if outs else np.zeros((0, 0, 0), np.float32)
 
     # -- public encode API ----------------------------------------------------
@@ -283,13 +293,9 @@ class Colbert:
             range(len(documents)), key=lambda i: len(documents[i])
         )
         out: List[Optional[np.ndarray]] = [None] * len(documents)
-        for start in range(0, len(order), self.batch_size):
-            idxs = order[start : start + self.batch_size]
-            batch_docs = [documents[i] for i in idxs]
-            input_ids, attention, rows, lengths = self._prepare(
-                batch_docs, is_query=False
-            )
-            emb = self._run_batches(input_ids, attention)
+
+        def postprocess(emb_dev, idxs, rows, lengths):
+            emb = np.asarray(emb_dev)  # blocks on THIS batch only
             for bi, orig in enumerate(idxs):
                 L = min(lengths[bi], emb.shape[1])
                 row = rows[bi]
@@ -300,6 +306,24 @@ class Colbert:
                     out[orig] = emb[bi, keep]
                 else:
                     out[orig] = emb[bi, :L]
+
+        # Two-deep pipeline: while the device runs batch i, the host
+        # tokenizes batch i+1 and skiplist-filters batch i-1.
+        from collections import deque
+
+        pending = deque()
+        for start in range(0, len(order), self.batch_size):
+            idxs = order[start : start + self.batch_size]
+            batch_docs = [documents[i] for i in idxs]
+            input_ids, attention, rows, lengths = self._prepare(
+                batch_docs, is_query=False
+            )
+            emb_dev, n_real = self._dispatch_batch(input_ids, attention)
+            pending.append((emb_dev[:n_real], idxs, rows, lengths))
+            if len(pending) > 2:
+                postprocess(*pending.popleft())
+        while pending:
+            postprocess(*pending.popleft())
         result = [e for e in out]  # order restored
         if pool_factor > 1:
             result = pool_document_embeddings(result, pool_factor)
@@ -312,7 +336,13 @@ class Colbert:
         pool_factor: int = 1,
     ) -> Iterator[List[np.ndarray]]:
         """Generator over encoded batches (reference streaming path,
-        lib.rs:1383-1499); keeps host memory bounded for large corpora."""
+        lib.rs:1383-1499); keeps host memory bounded for large corpora.
+
+        Within each yielded chunk, tokenization / device forward / skiplist
+        filtering are pipelined (see encode_documents); across chunks the
+        generator hands control back to the consumer, so indexing work (the
+        reference's "pooling thread") naturally overlaps the NEXT chunk's
+        encode when the consumer uses the streamed-build path."""
         batch_size = batch_size or self.batch_size
         buf: List[str] = []
         for doc in documents:

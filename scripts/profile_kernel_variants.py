@@ -31,20 +31,28 @@ Q, TQ = 64, 32
 QF = Q * TQ
 
 rng = np.random.default_rng(0)
-grid_np = rng.standard_normal((ND, TD, D)).astype(np.float32)
 lens_np = rng.integers(64, TD, size=ND).astype(np.int32)
 for i in range(0, ND, 7):
     lens_np[i] = 0
 mask_rows = np.arange(TD)[None, :] >= lens_np[:, None]
-grid_np[mask_rows] = 0.0
-q_np = rng.standard_normal((QF, D)).astype(np.float32)
 
-grid = jnp.asarray(grid_np, jnp.bfloat16)
+# Generate everything ON DEVICE — a 509 MB grid h2d through the tunnel can
+# take many minutes; only the tiny [ND] lens vector is uploaded.
 lens = jnp.asarray(lens_np[:, None])
-qflat = jnp.asarray(q_np, jnp.bfloat16)
-# Additive mask: 0 valid, NEG invalid. bf16 holds 1e30 fine... use f32 rows.
-maskcol_np = np.where(mask_rows, np.float32(NEG), np.float32(0.0))
-maskcol = jnp.asarray(maskcol_np)  # [ND, TD] f32
+
+
+@jax.jit
+def _gen():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    g = jax.random.normal(k1, (ND, TD, D), jnp.float32)
+    valid = jnp.arange(TD)[None, :] < lens  # [ND, TD]
+    g = jnp.where(valid[:, :, None], g, 0.0).astype(jnp.bfloat16)
+    q = jax.random.normal(k2, (QF, D), jnp.float32).astype(jnp.bfloat16)
+    mc = jnp.where(valid, jnp.float32(0.0), jnp.float32(NEG))
+    return g, q, mc
+
+
+grid, qflat, maskcol = _gen()
 
 
 @jax.jit
@@ -71,8 +79,9 @@ def oracle_device():
 
 
 def oracle_cpu_check(nd_check=96):
-    g = grid_np[:nd_check].astype(np.float32)
-    sim = np.einsum("qd,ntd->qnt", q_np, g)
+    g = np.asarray(grid[:nd_check], np.float32)  # 9 MB d2h only
+    q_np = np.asarray(qflat, np.float32)
+    sim = np.einsum("qd,ntd->qnt", q_np, g, optimize=True)
     sim[:, mask_rows[:nd_check]] = -np.inf
     m = sim.reshape(Q, TQ, nd_check, TD).max(-1)
     m = np.where(np.isfinite(m), m, 0.0)
