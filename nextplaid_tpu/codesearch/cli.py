@@ -15,17 +15,21 @@ import os
 
 import click
 
+from nextplaid_tpu.codesearch.config import CgrepConfig
 from nextplaid_tpu.codesearch.indexer import ProjectIndexer
 from nextplaid_tpu.codesearch.searcher import Searcher, SearchOptions
 
 
-def _load_encoder(model: str | None, batch_size: int = 16):
-    model = model or os.environ.get("CGREP_MODEL")
+def _load_encoder(model: str | None, batch_size: int | None = None):
+    """Model resolution order (reference commands/search.rs): --model flag,
+    CGREP_MODEL env, then the persisted config's default_model."""
+    cfg = CgrepConfig.load()
+    model = model or os.environ.get("CGREP_MODEL") or cfg.default_model
     if not model:
         return None
     from nextplaid_tpu.encoder import Colbert
 
-    return Colbert(model, batch_size=batch_size)
+    return Colbert(model, batch_size=batch_size or cfg.batch_size or 16)
 
 
 def _indexer(project, model, index_dir=None) -> ProjectIndexer:
@@ -70,12 +74,26 @@ def _print_hits(hits, json_out, files_only, count_only, line_numbers):
     print_hits(hits, line_numbers=line_numbers)
 
 
-@click.group(invoke_without_command=True)
+class _CgrepGroup(click.Group):
+    """Group whose optional QUERY argument would otherwise swallow the
+    subcommand token (`cgrep settings --set k v` parsed QUERY="settings" and
+    then died on --set). When the FIRST token names a subcommand, shim an
+    empty QUERY so click resolves the subcommand and its own options."""
+
+    def parse_args(self, ctx, args):
+        if args and args[0] in self.commands:
+            args = ["", *args]
+        return super().parse_args(ctx, args)
+
+
+@click.group(cls=_CgrepGroup, invoke_without_command=True)
 @click.argument("query", required=False)
 @click.option("--path", "path_", default=".", help="project root")
 @click.option("--model", default=None, envvar="CGREP_MODEL")
 @click.option("--index-dir", default=None)
-@click.option("--top-k", "-k", type=int, default=10)
+@click.option("--top-k", "-k", type=int, default=None)
+@click.option("--session-hook", is_flag=True,
+              help="print agent session-start context and exit")
 @click.option("-e", "--regexp", default=None, help="filter by code regex")
 @click.option("-F", "--fixed-strings", is_flag=True,
               help="treat -e PATTERN as a literal string")
@@ -92,14 +110,17 @@ def _print_hits(hits, json_out, files_only, count_only, line_numbers):
 @click.option("--no-rank-boosts", is_flag=True)
 @click.option("--no-update", is_flag=True, help="skip auto index update")
 @click.pass_context
-def cli(ctx, query, path_, model, index_dir, top_k, regexp, fixed_strings,
-        word_regexp, ignore_case, files_only, count_only, line_numbers,
-        includes, excludes, exclude_dirs, json_out, no_rank_boosts,
-        no_update):
+def cli(ctx, query, path_, model, index_dir, top_k, session_hook, regexp,
+        fixed_strings, word_regexp, ignore_case, files_only, count_only,
+        line_numbers, includes, excludes, exclude_dirs, json_out,
+        no_rank_boosts, no_update):
     """Semantic code search. QUERY searches; subcommands manage the index."""
     ctx.ensure_object(dict)
     ctx.obj.update(path=path_, model=model, index_dir=index_dir)
     if ctx.invoked_subcommand is not None:
+        return
+    if session_hook:
+        _session_hook(path_, model, index_dir)
         return
     # The optional QUERY argument consumes the first bare token before click
     # resolves subcommands; re-dispatch when it names one (colgrep's
@@ -110,6 +131,8 @@ def cli(ctx, query, path_, model, index_dir, top_k, regexp, fixed_strings,
     if not query:
         click.echo(ctx.get_help())
         return
+    if top_k is None:
+        top_k = CgrepConfig.load().default_k or 10
     if regexp is not None:
         import re as _re
 
@@ -205,25 +228,137 @@ def stats(ctx):
     )
 
 
+def _session_hook(path_, model, index_dir):
+    """Agent session-start context (reference --session-hook, cli.rs /
+    install/hook.json SessionStart): a short status blurb the agent can
+    inject into its context. Never fails — agents call this on every start."""
+    try:
+        indexer = _indexer(path_, model, index_dir)
+        st = indexer.status()
+        click.echo(
+            "cgrep semantic code search is available for this project "
+            f"({st.get('files', '?')} files / {st.get('units', '?')} units "
+            "indexed). Use `cgrep \"natural language query\"` to search by "
+            "meaning instead of grep."
+        )
+    except Exception:
+        click.echo(
+            "cgrep semantic code search is available. Use `cgrep init` to "
+            "build the index, then `cgrep \"query\"` to search by meaning."
+        )
+
+
+@cli.command("set-model")
+@click.argument("model")
+def set_model(model):
+    """Persist MODEL (a local checkpoint dir) as the default encoder
+    (reference commands/config.rs:22 cmd_set_model)."""
+    if not os.path.isdir(model):
+        raise click.ClickException(
+            f"{model!r} is not a directory (offline image: models must be "
+            "local checkpoint dirs; HF hub ids need network access)"
+        )
+    cfg = CgrepConfig.load()
+    cfg.default_model = os.path.abspath(model)
+    p = cfg.save()
+    click.echo(f"default_model = {cfg.default_model}\nwrote {p}")
+
+
+@cli.command("settings")
+@click.option("--set", "set_kv", nargs=2, multiple=True,
+              metavar="KEY VALUE", help="set a config key")
+@click.option("--unset", "unset_keys", multiple=True, metavar="KEY")
+def settings(set_kv, unset_keys):
+    """Show or edit persisted settings (reference commands/config.rs:97).
+
+    Keys: default_model, default_k, pool_factor, batch_size, verbose,
+    relative_paths, hybrid_search, hybrid_alpha, extra_ignore,
+    force_include (lists are comma-separated).
+    """
+    cfg = CgrepConfig.load()
+    changed = False
+    for key, value in set_kv:
+        try:
+            cfg.set_value(key, value)
+        except (KeyError, ValueError) as e:
+            raise click.ClickException(str(e))
+        changed = True
+    for key in unset_keys:
+        try:
+            cfg.unset(key)
+        except KeyError as e:
+            raise click.ClickException(str(e))
+        changed = True
+    if changed:
+        cfg.save()
+    from nextplaid_tpu.codesearch.config import config_path
+
+    click.echo(jsonlib.dumps(cfg.as_display_dict(), indent=2))
+    click.echo(f"# {config_path()}")
+
+
+@cli.command("update")
+def self_update():
+    """Self-update (reference commands/update.rs downloads a new binary).
+
+    This build is a Python package: upgrading means `pip install --upgrade
+    nextplaid-tpu`, which needs network access this image doesn't have.
+    """
+    import importlib.metadata
+
+    try:
+        ver = importlib.metadata.version("nextplaid-tpu")
+    except importlib.metadata.PackageNotFoundError:
+        ver = "unknown (not installed as a package)"
+    click.echo(f"current version: {ver}")
+    raise click.ClickException(
+        "self-update needs network access (pip install --upgrade "
+        "nextplaid-tpu); this environment has no egress"
+    )
+
+
+@cli.command("install-agent")
+@click.option(
+    "--agent",
+    type=click.Choice(["claude-code", "opencode", "codex", "hermes"]),
+    default="claude-code",
+)
+@click.pass_context
+def install_agent(ctx, agent):
+    """Install cgrep integration for an agent CLI (reference
+    colgrep/src/install/*.rs: Claude Code plugin; AGENTS.md section for
+    OpenCode / Codex / Hermes)."""
+    from nextplaid_tpu.codesearch import install as inst
+
+    if agent == "claude-code":
+        path = inst.install_claude_code(ctx.obj["path"])
+        click.echo(f"wrote {path}")
+        click.echo("optional settings.json hook snippet:")
+        click.echo(inst.hook_snippet_json())
+    else:
+        path = inst.install_agents_md(agent)
+        click.echo(f"wrote cgrep section to {path}")
+
+
+@cli.command("uninstall-agent")
+@click.option(
+    "--agent",
+    type=click.Choice(["opencode", "codex", "hermes"]),
+    required=True,
+)
+def uninstall_agent(agent):
+    """Remove the cgrep AGENTS.md section for an agent CLI."""
+    from nextplaid_tpu.codesearch import install as inst
+
+    if inst.uninstall_agents_md(agent):
+        click.echo("removed")
+    else:
+        click.echo("nothing to remove")
+
+
 def main():
     cli(obj={})
 
 
 if __name__ == "__main__":
     main()
-
-
-@cli.command("install-agent")
-@click.option("--agent", type=click.Choice(["claude-code"]), default="claude-code")
-@click.pass_context
-def install_agent(ctx, agent):
-    """Install the cgrep skill into the project for an agent CLI."""
-    from nextplaid_tpu.codesearch.install import (
-        hook_snippet_json,
-        install_claude_code,
-    )
-
-    path = install_claude_code(ctx.obj["path"])
-    click.echo(f"wrote {path}")
-    click.echo("optional settings.json hook snippet:")
-    click.echo(hook_snippet_json())

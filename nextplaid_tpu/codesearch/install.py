@@ -9,6 +9,7 @@ for the user's settings; nothing outside the target project is touched.
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 
 SKILL_TEMPLATE = """---
@@ -69,3 +70,82 @@ def install_claude_code(project: str, cgrep_cmd: str = "python -m nextplaid_tpu.
 
 def hook_snippet_json() -> str:
     return json.dumps(HOOK_SNIPPET, indent=2)
+
+
+# ---------------------------------------------------------------------------
+# AGENTS.md-based installers (reference colgrep/src/install/{opencode,codex,
+# hermes}.rs): append a marker-delimited cgrep section to the agent's
+# user-level AGENTS.md, idempotently; uninstall removes exactly that section.
+# ---------------------------------------------------------------------------
+
+MARKER_BEGIN = "<!-- cgrep:begin -->"
+MARKER_END = "<!-- cgrep:end -->"
+
+AGENTS_SECTION = """{begin}
+## cgrep — semantic code search
+
+This machine has `cgrep`, a semantic code-search CLI (ColBERT
+late-interaction + BM25 hybrid). Prefer it over plain grep when searching
+by meaning, concept, or natural-language description:
+
+```bash
+{cgrep_cmd} "where is the retry logic" --path <project>
+{cgrep_cmd} "function that validates auth tokens" --json --path <project>
+{cgrep_cmd} -e "def\\s+retry" "retry wrapper" --path <project>
+```
+
+Plain-string / exact-regex lookups are still faster with grep/rg.
+{end}"""
+
+
+def _agent_dir(agent: str, base: Path | None = None) -> Path:
+    home = base or Path(os.environ.get("CGREP_AGENT_HOME", Path.home()))
+    return {
+        "opencode": home / ".config" / "opencode",
+        "codex": home / ".codex",
+        "hermes": home / ".hermes",
+    }[agent]
+
+
+def install_agents_md(
+    agent: str,
+    cgrep_cmd: str = "cgrep",
+    base: Path | None = None,
+) -> Path:
+    """Idempotently add (or refresh) the cgrep section in the agent's
+    user-level AGENTS.md; returns the file path."""
+    path = _agent_dir(agent, base) / "AGENTS.md"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    section = AGENTS_SECTION.format(
+        begin=MARKER_BEGIN, end=MARKER_END, cgrep_cmd=cgrep_cmd
+    )
+    content = path.read_text() if path.exists() else ""
+    cleaned = _strip_section(content)
+    new = (cleaned.rstrip() + "\n\n" if cleaned.strip() else "") + section + "\n"
+    path.write_text(new)
+    return path
+
+
+def uninstall_agents_md(agent: str, base: Path | None = None) -> bool:
+    """Remove the cgrep section; deletes the file if nothing else remains.
+    Returns True if anything changed."""
+    path = _agent_dir(agent, base) / "AGENTS.md"
+    if not path.exists():
+        return False
+    content = path.read_text()
+    if MARKER_BEGIN not in content:
+        return False
+    cleaned = _strip_section(content)
+    if cleaned.strip():
+        path.write_text(cleaned.rstrip() + "\n")
+    else:
+        path.unlink()
+    return True
+
+
+def _strip_section(content: str) -> str:
+    while MARKER_BEGIN in content and MARKER_END in content:
+        lo = content.index(MARKER_BEGIN)
+        hi = content.index(MARKER_END) + len(MARKER_END)
+        content = content[:lo] + content[hi:]
+    return content

@@ -27,7 +27,7 @@ NEG = -1e30
 
 # Bench shape: 5184 docs x Td 384 x d 128, 64 queries x 32 tokens.
 ND, TD, D = 5184, 384, 128
-Q, TQ = 64, 32
+Q, TQ = int(os.environ.get("SWEEP_Q", "64")), 32
 QF = Q * TQ
 
 rng = np.random.default_rng(0)
@@ -53,12 +53,17 @@ def _gen():
 
 
 grid, qflat, maskcol = _gen()
+# Flat [ND*TD, 1] additive-mask layout: block rows line up with the reshaped
+# [dblk*td, d] sim rows, so no lane->sublane relayout inside the kernel.
+maskflat = maskcol.reshape(ND * TD, 1)
 
 
 @jax.jit
-def oracle_device():
+def oracle_device(grid, qflat, lens):
     """Masked-einsum oracle computed on device in doc tiles (bf16 inputs,
-    f32 accumulation — same precision class as the kernels)."""
+    f32 accumulation — same precision class as the kernels). All big arrays
+    are ARGUMENTS — a jit-closed-over 509 MB constant gets serialized into
+    the remote-compile request (HTTP 413)."""
     tile = 64
     starts = jnp.arange(ND // tile, dtype=jnp.int32) * tile
 
@@ -142,37 +147,170 @@ def kernel_addmask(qt_ref, grid_ref, mask_ref, out_ref, *, tq, sub):
     )
 
 
-def build(kernel, dblk, sub, use_mask, vmem_mb=None):
-    grid_spec = pl.GridSpec(
+def kernel_addflat(qt_ref, grid_ref, mask_ref, out_ref, *, tq, sub):
+    """Additive mask as a flat [dblk*td, 1] column (relayout-free)."""
+    dblk, td, d = grid_ref.shape
+    qf = qt_ref.shape[1]
+    q_n = qf // tq
+    qt = qt_ref[:]
+    doc_rows = []
+    for s in range(dblk // sub):
+        block = grid_ref[s * sub : (s + 1) * sub].reshape(sub * td, d)
+        mcol = mask_ref[s * sub * td : (s + 1) * sub * td]
+        sim = jnp.dot(block, qt, preferred_element_type=jnp.float32)
+        sim = sim + mcol
+        for k in range(sub):
+            m = jnp.max(sim[k * td : (k + 1) * td], axis=0, keepdims=True)
+            doc_rows.append(jnp.where(m > NEG / 2, m, 0.0))
+    scores_t = jnp.concatenate(doc_rows, axis=0)
+    g = (
+        jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 0) // tq
+        == jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 1)
+    ).astype(jnp.float32)
+    out_ref[:] = jnp.dot(
+        scores_t, g, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def kernel_iota_scratch(qt_ref, grid_ref, lens_ref, out_ref, scratch,
+                        *, tq, sub):
+    """iota mask + per-doc rows stored into VMEM scratch (no concatenate)."""
+    dblk, td, d = grid_ref.shape
+    qf = qt_ref.shape[1]
+    q_n = qf // tq
+    qt = qt_ref[:]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (td, 1), 0)
+    for s in range(dblk // sub):
+        block = grid_ref[s * sub : (s + 1) * sub].reshape(sub * td, d)
+        sim = jnp.dot(block, qt, preferred_element_type=jnp.float32)
+        for k in range(sub):
+            doc_len = lens_ref[s * sub + k, 0]
+            doc_sim = sim[k * td : (k + 1) * td]
+            masked = jnp.where(row_iota < doc_len, doc_sim, jnp.float32(NEG))
+            m = jnp.max(masked, axis=0, keepdims=True)
+            scratch[s * sub + k : s * sub + k + 1, :] = jnp.where(
+                m > NEG / 2, m, 0.0
+            )
+    g = (
+        jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 0) // tq
+        == jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 1)
+    ).astype(jnp.float32)
+    out_ref[:] = jnp.dot(
+        scratch[:], g, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def kernel_addflat_fold(qt_ref, grid_ref, mask_ref, out_ref, *, tq, sub):
+    """Additive flat mask + log-depth pairwise-fold max across each doc's
+    token rows (jnp.maximum of strided halves instead of a [td]->1 axis
+    reduction per doc)."""
+    dblk, td, d = grid_ref.shape
+    qf = qt_ref.shape[1]
+    q_n = qf // tq
+    qt = qt_ref[:]
+    doc_rows = []
+    for s in range(dblk // sub):
+        block = grid_ref[s * sub : (s + 1) * sub].reshape(sub * td, d)
+        mcol = mask_ref[s * sub * td : (s + 1) * sub * td]
+        sim = jnp.dot(block, qt, preferred_element_type=jnp.float32)
+        sim = sim + mcol
+        # Fold whole sub-block: rows are doc-major [sub*td, qf]; halving the
+        # PER-DOC period keeps doc groups aligned at every step.
+        rows = td
+        cur = sim
+        while rows > 1:
+            half = rows // 2
+            lo = cur.reshape(-1, qf)
+            top = lo[: lo.shape[0] // 2] if sub == 1 else None
+            if sub == 1:
+                cur = jnp.maximum(lo[:half], lo[half : 2 * half])
+                rows = half
+            else:
+                break
+        if sub == 1:
+            m = jnp.max(cur, axis=0, keepdims=True)
+            doc_rows.append(jnp.where(m > NEG / 2, m, 0.0))
+        else:
+            for k in range(sub):
+                m = jnp.max(
+                    sim[k * td : (k + 1) * td], axis=0, keepdims=True
+                )
+                doc_rows.append(jnp.where(m > NEG / 2, m, 0.0))
+    scores_t = jnp.concatenate(doc_rows, axis=0)
+    g = (
+        jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 0) // tq
+        == jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 1)
+    ).astype(jnp.float32)
+    out_ref[:] = jnp.dot(
+        scores_t, g, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def kernel_dotsonly(qt_ref, grid_ref, lens_ref, out_ref, *, tq, sub):
+    """MXU work only: sim dots + a SUM over doc tokens via a ones-matmul in
+    place of the max (wrong results by design — isolates the VPU max +
+    concatenate overhead of the real kernel)."""
+    dblk, td, d = grid_ref.shape
+    qf = qt_ref.shape[1]
+    q_n = qf // tq
+    qt = qt_ref[:]
+    acc = None
+    for s in range(dblk // sub):
+        block = grid_ref[s * sub : (s + 1) * sub].reshape(sub * td, d)
+        sim = jnp.dot(block, qt, preferred_element_type=jnp.float32)
+        # Sum over all rows (cheap stand-in reduction, MXU-free): one
+        # max-free reduction comparable in shape to the real one.
+        r = jnp.sum(sim, axis=0, keepdims=True)  # [1, qf]
+        acc = r if acc is None else acc + r
+    g = (
+        jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 0) // tq
+        == jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 1)
+    ).astype(jnp.float32)
+    out_ref[:] = jnp.broadcast_to(
+        jnp.dot(acc, g, preferred_element_type=jnp.float32), out_ref.shape
+    )
+
+
+def build(kernel, dblk, sub, mask_mode, vmem_mb=None, scratch=False):
+    if mask_mode == "flat":
+        third_spec = pl.BlockSpec(
+            (dblk * TD, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        third = maskflat
+    elif mask_mode == "grid2d":
+        third_spec = pl.BlockSpec(
+            (dblk, TD), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        third = maskcol
+    else:
+        third_spec = pl.BlockSpec(
+            (dblk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        third = lens
+    kw = {}
+    if vmem_mb:
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb << 20
+        )
+    if scratch:
+        kw["scratch_shapes"] = [pltpu.VMEM((dblk, QF), jnp.float32)]
+    fn = pl.pallas_call(
+        functools.partial(kernel, tq=TQ, sub=sub),
+        out_shape=jax.ShapeDtypeStruct((ND, Q), jnp.float32),
         grid=(ND // dblk,),
         in_specs=[
             pl.BlockSpec((D, QF), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (dblk, TD, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            (
-                pl.BlockSpec(
-                    (dblk, TD), lambda i: (i, 0), memory_space=pltpu.VMEM
-                )
-                if use_mask
-                else pl.BlockSpec(
-                    (dblk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
-                )
-            ),
+            third_spec,
         ],
         out_specs=pl.BlockSpec(
             (dblk, Q), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-    )
-    kw = {}
-    if vmem_mb:
-        kw["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_mb << 20
-        )
-    fn = pl.pallas_call(
-        functools.partial(kernel, tq=TQ, sub=sub),
-        out_shape=jax.ShapeDtypeStruct((ND, Q), jnp.float32),
-        grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * QF * D * ND * TD,
             bytes_accessed=ND * TD * D * 2 + QF * D * 2 + Q * ND * 4,
@@ -180,13 +318,12 @@ def build(kernel, dblk, sub, use_mask, vmem_mb=None):
         ),
         **kw,
     )
-    third = maskcol if use_mask else lens
 
     @jax.jit
-    def run(qf_arr):
-        return fn(qf_arr.T, grid, third)
+    def run(qf_arr, grid_arr, third_arr):
+        return fn(qf_arr.T, grid_arr, third_arr)
 
-    return run
+    return lambda q: run(q, grid, third)
 
 
 def timeit(fn, reps=6):
@@ -201,46 +338,47 @@ def timeit(fn, reps=6):
 
 def main():
     t0 = time.perf_counter()
-    want = np.asarray(oracle_device())
+    want = np.asarray(oracle_device(grid, qflat, lens))
     t_or = time.perf_counter() - t0
     chk = oracle_cpu_check()
     rel0 = np.abs(want[:96] - chk).max() / max(np.abs(chk).max(), 1e-9)
     print(f"device oracle: {t_or:.1f}s (compile+run), cpu-check relerr={rel0:.2e}", flush=True)
     t0 = time.perf_counter()
-    np.asarray(oracle_device())
+    np.asarray(oracle_device(grid, qflat, lens))
     print(f"XLA masked-einsum scan path:    {(time.perf_counter()-t0)*1e3:7.1f} ms", flush=True)
 
     # Pure-MXU floor: same contraction, no masking/max, XLA einsum into a
     # per-doc SUM (a matmul-only reduction) — measures achievable dot time.
     @jax.jit
-    def floor_fn(qf_arr):
+    def floor_fn(qf_arr, grid):
         g2 = grid.reshape(ND * TD, D)
         s = jnp.dot(
             g2, qf_arr.T, preferred_element_type=jnp.float32
         )  # [ND*TD, QF]
         return jnp.sum(s.reshape(ND, TD * QF), axis=1)
 
-    _, tmin, tmed = timeit(floor_fn)
+    _, tmin, tmed = timeit(lambda q: floor_fn(q, grid))
     print(f"XLA one-big-dot floor:           {tmin*1e3:7.1f} ms min / {tmed*1e3:7.1f} med", flush=True)
 
     only = os.environ.get("VARIANTS", "")
-    for name, kernel, use_mask, dblk, sub, vmem in [
-        ("iota  d64 s4 (round-1 kernel)", kernel_iota, False, 64, 4, None),
-        ("iota  d64 s8", kernel_iota, False, 64, 8, None),
-        ("iota  d64 s16", kernel_iota, False, 64, 16, 100),
-        ("iota  d32 s4", kernel_iota, False, 32, 4, None),
-        ("iota  d16 s2", kernel_iota, False, 16, 2, None),
-        ("add   d64 s4", kernel_addmask, True, 64, 4, None),
-        ("add   d64 s8", kernel_addmask, True, 64, 8, None),
-        ("add   d64 s16", kernel_addmask, True, 64, 16, 100),
-        ("add   d64 s32", kernel_addmask, True, 64, 32, 110),
-        ("add   d128 s16", kernel_addmask, True, 128, 16, 110),
-        ("add   d32 s8", kernel_addmask, True, 32, 8, None),
+    for name, kernel, mask_mode, dblk, sub, vmem, scratch in [
+        ("iota  d64 s4 (round-1 kernel)", kernel_iota, "lens", 64, 4, None, False),
+        ("iota  d32 s4", kernel_iota, "lens", 32, 4, None, False),
+        ("iota  d16 s2", kernel_iota, "lens", 16, 2, None, False),
+        ("iota  d16 s4", kernel_iota, "lens", 16, 4, None, False),
+        ("iota  d8  s2", kernel_iota, "lens", 8, 2, None, False),
+        ("flat  d32 s4", kernel_addflat, "flat", 32, 4, None, False),
+        ("flat  d16 s2", kernel_addflat, "flat", 16, 2, None, False),
+        ("flat  d64 s16", kernel_addflat, "flat", 64, 16, 100, False),
+        ("flat  d16 s1 fold", kernel_addflat_fold, "flat", 16, 1, None, False),
+        ("flat  d8  s1 fold", kernel_addflat_fold, "flat", 8, 1, None, False),
+        ("scr   d32 s4", kernel_iota_scratch, "lens", 32, 4, None, True),
+        ("scr   d64 s16", kernel_iota_scratch, "lens", 64, 16, 100, True),
     ]:
         if only and not any(tok in name for tok in only.split(",")):
             continue
         try:
-            fn = build(kernel, dblk, sub, use_mask, vmem)
+            fn = build(kernel, dblk, sub, mask_mode, vmem, scratch)
             out, tmin, tmed = timeit(fn)
             err = np.abs(out - want).max()
             rel = err / max(np.abs(want).max(), 1e-9)

@@ -37,15 +37,20 @@ def counts(path):
     return meta.num_documents, filtering.count(path)
 
 
-def test_add_delete_cycles(tmp_path):
+def run_cycles(path: str, cycles: int, add_lo: int = 5, add_hi: int = 30) -> dict:
+    """The acceptance loop; returns run statistics (shared by the test and
+    scripts/run_stress_acceptance.py, which records the JSON the way the
+    reference records docs/benchmarks/scifact_stress_test.json)."""
     rng = np.random.default_rng(42)
-    path = str(tmp_path / "stress")
     expected = 0
     next_tag = 0
+    total_added = 0
+    total_deleted = 0
+    delete_ops = 0
 
-    for cycle in range(CYCLES):
+    for cycle in range(cycles):
         # Add a random batch with metadata.
-        n_add = int(rng.integers(5, 30))
+        n_add = int(rng.integers(add_lo, add_hi))
         docs = make_docs(rng, n_add)
         meta = [{"tag": next_tag + i, "cycle": cycle} for i in range(n_add)]
         next_tag += n_add
@@ -53,6 +58,7 @@ def test_add_delete_cycles(tmp_path):
             docs, path, IndexConfig(seed=42), UpdateConfig(seed=42), meta
         )
         expected += n_add
+        total_added += n_add
         assert ids == list(range(expected - n_add, expected))
         nd, db = counts(path)
         assert nd == db == expected, (cycle, "after add", nd, db, expected)
@@ -66,6 +72,8 @@ def test_add_delete_cycles(tmp_path):
             deleted = delete_with_options(del_ids, path)
             assert deleted == n_del
             expected -= n_del
+            total_deleted += n_del
+            delete_ops += 1
             nd, db = counts(path)
             assert nd == db == expected, (
                 cycle, "after delete", nd, db, expected,
@@ -82,3 +90,15 @@ def test_add_delete_cycles(tmp_path):
     rows = filtering.get(path)
     tags = [r["tag"] for r in rows]
     assert len(set(tags)) == len(tags)
+    return {
+        "cycles": cycles,
+        "total_documents_added": total_added,
+        "total_documents_deleted": total_deleted,
+        "delete_operations": delete_ops,
+        "final_documents": expected,
+        "count_sync_verified_every_op": True,
+    }
+
+
+def test_add_delete_cycles(tmp_path):
+    run_cycles(str(tmp_path / "stress"), CYCLES)
