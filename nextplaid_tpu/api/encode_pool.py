@@ -1,0 +1,117 @@
+"""Encode worker pool: N encoder replicas draining one asyncio queue.
+
+Reference: next-plaid-api/src/handlers/encode.rs:92-255 — an mpsc queue with
+N workers, each owning its own ONNX `Colbert` session, so concurrent encode
+requests don't serialize on one model.
+
+TPU translation: replicas differ by PARAMETER PLACEMENT, not by session.
+With one chip, one replica is correct (the jitted forward already serializes
+on the device, and a second same-device replica would only double HBM); with
+N chips, each replica's params are `jax.device_put` to its own device and
+requests round-robin across chips — the multi-chip serving story for
+server-side encoding. Pool size = min(MODEL_POOL_SIZE, local device count).
+
+Tokenization and post-processing run inside each worker's thread (via
+run_in_executor), off the event loop — so even single-replica pools overlap
+host tokenization of request i+1 with device compute of request i (the
+encoder itself pipelines batches the same way, encoder/colbert.py).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import copy
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+def pool_size_default() -> int:
+    return int(os.environ.get("MODEL_POOL_SIZE", "1"))
+
+
+def make_replicas(encoder, size: Optional[int] = None) -> List:
+    """Build up to `size` encoder replicas, one per local device.
+
+    Replica 0 is the given encoder unchanged. Replica i>0 is a shallow copy
+    with its params moved to local device i and a fresh jitted-forward cache
+    (cached_property is per-instance), so XLA dispatches it on that device.
+    """
+    import jax
+
+    devices = jax.local_devices()
+    size = max(1, min(size or pool_size_default(), len(devices)))
+    replicas = [encoder]
+    for i in range(1, size):
+        rep = copy.copy(encoder)
+        rep.__dict__.pop("_forward", None)  # drop the cached jit closure
+        rep.params = jax.device_put(encoder.params, devices[i])
+        replicas.append(rep)
+    return replicas
+
+
+class EncoderPool:
+    """Round-robin encode workers over encoder replicas."""
+
+    def __init__(self, encoder, size: Optional[int] = None):
+        self.replicas = make_replicas(encoder, size)
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._workers: List[asyncio.Task] = []
+
+    @property
+    def size(self) -> int:
+        return len(self.replicas)
+
+    def start(self) -> None:
+        if self._workers:
+            return
+        for rep in self.replicas:
+            self._workers.append(
+                asyncio.get_running_loop().create_task(self._worker(rep))
+            )
+
+    async def stop(self) -> None:
+        for t in self._workers:
+            t.cancel()
+        for t in self._workers:
+            try:
+                await t
+            except asyncio.CancelledError:
+                pass
+        self._workers = []
+
+    async def _worker(self, encoder) -> None:
+        loop = asyncio.get_running_loop()
+        while True:
+            texts, input_type, pool_factor, fut = await self._queue.get()
+            if fut.cancelled():
+                continue
+
+            def _run():
+                if input_type == "query":
+                    return encoder.encode_queries(texts)
+                return encoder.encode_documents(
+                    texts, pool_factor=pool_factor
+                )
+
+            try:
+                result = await loop.run_in_executor(None, _run)
+                if not fut.cancelled():
+                    fut.set_result(result)
+            except Exception as e:  # propagate to the caller, keep draining
+                if not fut.cancelled():
+                    fut.set_exception(e)
+
+    async def encode(
+        self,
+        texts: List[str],
+        input_type: str = "query",
+        pool_factor: int = 1,
+    ) -> List[np.ndarray]:
+        """Queue an encode job and await its result."""
+        if not self._workers:
+            self.start()
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        await self._queue.put((list(texts), input_type, pool_factor, fut))
+        return await fut

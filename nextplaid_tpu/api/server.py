@@ -432,12 +432,8 @@ async def update_index_with_encoding(request: web.Request) -> web.Response:
     req = await _parse(request, dto.UpdateWithEncodingRequest)
     if req.metadata and len(req.metadata) != len(req.documents):
         return _json_error(400, "metadata length must match documents length")
-    loop = asyncio.get_running_loop()
-    embeddings = await loop.run_in_executor(
-        None,
-        lambda: state.encoder.encode_documents(
-            req.documents, pool_factor=req.pool_factor or 1
-        ),
+    embeddings = await state.encoder_pool.encode(
+        req.documents, "document", req.pool_factor or 1
     )
     created = not state.index_exists(name)
     fut = await state.enqueue_add(name, embeddings, req.metadata or None)
@@ -654,10 +650,7 @@ async def search_with_encoding(request: web.Request) -> web.Response:
     if not state.index_exists(name):
         return _json_error(404, f"Index '{name}' not found")
     req = await _parse(request, dto.SearchWithEncodingRequest)
-    loop = asyncio.get_running_loop()
-    queries = await loop.run_in_executor(
-        None, state.encoder.encode_queries, req.queries
-    )
+    queries = await state.encoder_pool.encode(req.queries, "query")
     return await _run_search(
         state, name, queries, _search_params(req.params), req.subset,
         req.text_query, req.alpha, req.fusion,
@@ -676,10 +669,7 @@ async def search_filtered_with_encoding(request: web.Request) -> web.Response:
     subset = filtering.where_condition(
         path, req.filter_condition, req.filter_parameters
     )
-    loop = asyncio.get_running_loop()
-    queries = await loop.run_in_executor(
-        None, state.encoder.encode_queries, req.queries
-    )
+    queries = await state.encoder_pool.encode(req.queries, "query")
     return await _run_search(
         state, name, queries, _search_params(req.params), subset,
         req.text_query, req.alpha, req.fusion,
@@ -794,16 +784,9 @@ async def encode(request: web.Request) -> web.Response:
         return _json_error(
             400, f"Too many texts; max {MAX_BATCH_TEXTS} per request"
         )
-    loop = asyncio.get_running_loop()
-
-    def _encode():
-        if req.input_type == "query":
-            return state.encoder.encode_queries(req.texts)
-        return state.encoder.encode_documents(
-            req.texts, pool_factor=req.pool_factor or 1
-        )
-
-    arrays = await loop.run_in_executor(None, _encode)
+    arrays = await state.encoder_pool.encode(
+        req.texts, req.input_type, req.pool_factor or 1
+    )
     if req.output_format == "base64":
         b64s, shapes = [], []
         for a in arrays:
@@ -852,16 +835,12 @@ async def rerank_with_encoding(request: web.Request) -> web.Response:
     if state.encoder is None:
         return _json_error(503, "No encoder model loaded")
     req = await _parse(request, dto.RerankWithEncodingRequest)
+    q = (await state.encoder_pool.encode([req.query], "query"))[0]
+    d = await state.encoder_pool.encode(
+        req.documents, "document", req.pool_factor or 1
+    )
     loop = asyncio.get_running_loop()
-
-    def _run():
-        q = state.encoder.encode_queries([req.query])[0]
-        d = state.encoder.encode_documents(
-            req.documents, pool_factor=req.pool_factor or 1
-        )
-        return _rerank_arrays(q, d)
-
-    results = await loop.run_in_executor(None, _run)
+    results = await loop.run_in_executor(None, _rerank_arrays, q, d)
     return web.json_response({"results": results})
 
 

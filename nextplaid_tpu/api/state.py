@@ -112,6 +112,15 @@ class AppState:
         self.index_dir = Path(index_dir)
         self.index_dir.mkdir(parents=True, exist_ok=True)
         self.encoder = encoder  # Optional Colbert
+        # Worker pool over encoder replicas (reference encode.rs:92-255);
+        # size = min(MODEL_POOL_SIZE, local devices). Lazy start: workers
+        # bind to the running event loop on first encode.
+        if encoder is not None:
+            from nextplaid_tpu.api.encode_pool import EncoderPool
+
+            self.encoder_pool = EncoderPool(encoder)
+        else:
+            self.encoder_pool = None
         self.started_at = time.time()
         # name -> DeviceIndex; plain dict assignment is atomic in CPython, so
         # readers take snapshots lock-free (the ArcSwap pattern).

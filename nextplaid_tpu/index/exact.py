@@ -129,7 +129,8 @@ def exact_all_scores(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "top_k", "doc_tile", "precision", "has_subset", "use_kernel"
+        "top_k", "doc_tile", "precision", "has_subset", "use_kernel",
+        "q_scan",
     ),
 )
 def exact_search_pipeline(
@@ -142,14 +143,21 @@ def exact_search_pipeline(
     precision: str = "highest",
     has_subset: bool = False,
     use_kernel: bool = False,
+    q_scan: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Returns (doc_ids [Q, top_k] i32 with -1 invalid, scores [Q, top_k])."""
+    """Returns (doc_ids [Q, top_k] i32 with -1 invalid, scores [Q, top_k]).
+
+    q_scan > 1 runs the fused kernel over Q/q_scan-query sub-blocks inside a
+    lax.scan: ONE dispatch (and one h2d) covers the whole mega-batch at the
+    kernel's efficient block size — per-dispatch tunnel latency (~27 ms) and
+    transfer overhead amortize across q_scan sub-batches.
+    """
     q_n = queries.shape[0]
     nd = index.num_documents
     nd_pad = index.num_docs_padded
     if use_kernel and index.token_grid is not None:
         return _exact_search_kernel(
-            index, queries, subset_mask, top_k, has_subset
+            index, queries, subset_mask, top_k, has_subset, q_scan
         )
     all_scores = exact_all_scores(
         index, queries, qmask, doc_tile, precision
@@ -171,11 +179,14 @@ def _exact_search_kernel(
     subset_mask: Optional[jax.Array],
     top_k: int,
     has_subset: bool,
+    q_scan: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused-Pallas exhaustive scoring over the pinned token grid.
 
     Padded query tokens are zero vectors by construction (_pad_queries), so
     no query mask is needed — see ops/maxsim_kernel.py for the contract.
+    With q_scan > 1 the kernel runs over query sub-blocks under lax.scan
+    (one dispatch for the whole mega-batch).
     """
     from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores
 
@@ -186,12 +197,21 @@ def _exact_search_kernel(
     doclens = jnp.zeros((nd_grid, 1), jnp.int32)
     doclens = doclens.at[: index.num_docs_padded, 0].set(index.doclens)
 
-    scores = maxsim_grid_scores(
-        queries.reshape(q_n * tq, d).astype(jnp.bfloat16),
-        grid,
-        doclens,
-        tq=tq,
-    )  # [Q, nd_grid]
+    qflat = queries.reshape(q_n * tq, d).astype(jnp.bfloat16)
+    if q_scan > 1:
+        assert q_n % q_scan == 0, (q_n, q_scan)
+        sub_qf = (q_n // q_scan) * tq
+
+        def step(_, qf_block):
+            s = maxsim_grid_scores(qf_block, grid, doclens, tq=tq)
+            return None, s
+
+        _, sub_scores = jax.lax.scan(
+            step, None, qflat.reshape(q_scan, sub_qf, d)
+        )  # [q_scan, Q/q_scan, nd_grid]
+        scores = sub_scores.reshape(q_n, nd_grid)
+    else:
+        scores = maxsim_grid_scores(qflat, grid, doclens, tq=tq)  # [Q, nd_grid]
     scores = scores[:, : max(nd, 1)]
     valid = jnp.arange(scores.shape[1]) < nd
     if has_subset and subset_mask is not None:

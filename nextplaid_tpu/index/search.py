@@ -729,7 +729,27 @@ def search_batch_async(
             index, queries, params, subset, 0, None, None, None, None
         )
     n = len(queries)
-    q_bucket = max(8, 1 << (n - 1).bit_length())
+    # Kernel path mega-batching: the fused kernel is most efficient at 64
+    # queries (bigger similarity blocks hurt, measured in
+    # scripts/profile_kernel_variants.py); above that, pad Q to a multiple
+    # of 64 and lax.scan 64-query sub-blocks inside ONE dispatch.
+    kernel_eligible = index.token_grid is not None and (
+        params.kernel == "pallas"
+        or (params.kernel == "auto" and jax.default_backend() != "cpu")
+    )
+    exact_eligible = params.mode == "exact" or (
+        params.mode == "auto"
+        and (
+            index.token_grid is not None
+            or index.num_embeddings <= params.exact_max_embeddings
+        )
+    )
+    q_scan = 1
+    if kernel_eligible and exact_eligible and n > 64:
+        q_scan = -(-n // 64)
+        q_bucket = q_scan * 64
+    else:
+        q_bucket = max(8, 1 << (n - 1).bit_length())
     q_arr, q_mask = _pad_queries(queries, index.dim)
     if q_bucket != n:
         q_arr = np.concatenate(
@@ -748,14 +768,7 @@ def search_batch_async(
     else:
         subset_arr = None
 
-    use_exact = params.mode == "exact" or (
-        params.mode == "auto"
-        and (
-            index.token_grid is not None  # pinned => fits HBM => exhaustive
-            or index.num_embeddings <= params.exact_max_embeddings
-        )
-    )
-    if use_exact:
+    if exact_eligible:
         from nextplaid_tpu.index.exact import (
             default_doc_tile,
             exact_search_pipeline,
@@ -766,10 +779,6 @@ def search_batch_async(
             if index.token_grid is not None
             else max(_round_up(max(index.max_doclen, 1), 8), 8)
         )
-        use_kernel = index.token_grid is not None and (
-            params.kernel == "pallas"
-            or (params.kernel == "auto" and jax.default_backend() != "cpu")
-        )
         ids, scores = exact_search_pipeline(
             index,
             jnp.asarray(q_arr),
@@ -779,7 +788,8 @@ def search_batch_async(
             doc_tile=default_doc_tile(q_bucket, q_arr.shape[1], td),
             precision=params.stage1_precision,
             has_subset=subset is not None,
-            use_kernel=use_kernel,
+            use_kernel=kernel_eligible,
+            q_scan=q_scan,
         )
         return PendingSearch(
             index, queries, params, subset, n, ids, scores, None, None

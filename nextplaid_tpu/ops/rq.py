@@ -138,7 +138,10 @@ def train_rq(
         )
     rng = np.random.default_rng(seed)
     init_c = jnp.asarray(np.asarray(sample[rng.permutation(n)[:num_coarse]]))
-    chunk = 1 << 16
+    # Chunk 16K bounds the refine step's [chunk, a, b] pair tensors to
+    # ~270 MB; 64K chunks produced multi-GB transients that crashed the TPU
+    # worker at the 72M-token build's 2M-token sample.
+    chunk = 1 << 14
     coarse = lloyd(sample, init_c, iters=iters, assign_chunk=chunk)
 
     codes = _assign_chunked(sample, coarse, chunk)

@@ -322,3 +322,52 @@ def test_explicit_prefix_ids():
     )
     ids, attn, rows, lengths = enc._prepare(["quick fox"], is_query=False)
     assert rows[0][1] == vocab["[D]"]
+
+
+def test_encoder_pool_replicas_match(encoder, monkeypatch):
+    """EncoderPool replicas on different (virtual) devices must produce the
+    same embeddings as the base encoder, round-robin via one queue."""
+    import asyncio
+
+    from nextplaid_tpu.api.encode_pool import EncoderPool, make_replicas
+
+    monkeypatch.setenv("MODEL_POOL_SIZE", "2")
+    reps = make_replicas(encoder)
+    assert len(reps) == 2  # conftest forces an 8-device CPU mesh
+    base = encoder.encode_queries(["quick fox"])[0]
+    rep = reps[1].encode_queries(["quick fox"])[0]
+    np.testing.assert_allclose(rep, base, rtol=1e-5, atol=1e-5)
+
+    async def drive():
+        pool = EncoderPool(encoder)
+        assert pool.size == 2
+        outs = await asyncio.gather(
+            *[pool.encode(["lazy dog"], "query") for _ in range(4)]
+        )
+        await pool.stop()
+        return outs
+
+    outs = asyncio.run(drive())
+    want = encoder.encode_queries(["lazy dog"])[0]
+    for o in outs:
+        np.testing.assert_allclose(o[0], want, rtol=1e-5, atol=1e-5)
+
+
+def test_encoder_pool_error_propagates(encoder):
+    import asyncio
+
+    from nextplaid_tpu.api.encode_pool import EncoderPool
+
+    async def drive():
+        pool = EncoderPool(encoder, size=1)
+        with pytest.raises(Exception):
+            # invalid input type reaches encode_documents with bad args? use
+            # a type error instead: texts=None explodes inside the worker.
+            await pool.encode(None, "query")
+        # Pool still alive afterwards.
+        out = await pool.encode(["quick fox"], "query")
+        await pool.stop()
+        return out
+
+    out = asyncio.run(drive())
+    assert out[0].shape == (16, 16)
