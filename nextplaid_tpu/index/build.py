@@ -372,10 +372,13 @@ def create_index(
             )
             structure = config.centroid_structure
             if structure == "auto":
-                est_k = kmeans_ops.num_partitions_heuristic(
-                    float(flat.shape[0])
-                )
-                structure = "rq" if est_k >= rq_ops.RQ_MIN_K else "flat"
+                # Measured on v5e (scripts/profile_rq_gather.py): flat
+                # chunked-argmax assignment runs at ~41 TFLOPS even at
+                # K=131072 (64K tokens in 54 ms), while the RQ pair search's
+                # per-token gathers are orders of magnitude slower — gathers,
+                # not FLOPs, are the TPU bottleneck. Flat is also exact.
+                # RQ remains available as an explicit opt-in.
+                structure = "flat"
             if structure == "rq":
                 rq_book = rq_ops.compute_rq_kmeans(
                     docs, kcfg, flat_device=dev_flat
@@ -493,7 +496,9 @@ def create_index_streamed(
         k = kmeans_ops.num_partitions_heuristic(float(est_total_tokens))
         structure = config.centroid_structure
         if structure == "auto":
-            structure = "rq" if k >= rq_ops.RQ_MIN_K else "flat"
+            # Flat always: MXU chunked-argmax handles even K=262144 (see
+            # the in-memory path's rationale); RQ is explicit opt-in.
+            structure = "flat"
         rq_book = None
         if structure == "rq":
             if k & (k - 1):
@@ -516,10 +521,19 @@ def create_index_streamed(
             n_s = int(sample_tokens.shape[0])
             k = min(k, n_s)
             init = np.asarray(sample_tokens)[rng.permutation(n_s)[:k]]
-            cents = kmeans_ops.lloyd(
-                sample_tokens, jnp.asarray(init),
-                iters=config.kmeans_niters,
-            )
+            # Bound the [chunk, K] assignment buffer (~256 MB) and dispatch
+            # ONE Lloyd iteration at a time: single XLA executions beyond
+            # ~60 s crash this environment's device worker, and 4 iterations
+            # over a 2M-token sample at K=131072 in full f32 precision would
+            # exceed that in one dispatch.
+            chunk = int(max(512, min(65536, (256 << 20) // max(k * 4, 1))))
+            chunk = 1 << (chunk.bit_length() - 1)
+            cents = jnp.asarray(init)
+            for _ in range(config.kmeans_niters):
+                cents = kmeans_ops.lloyd(
+                    sample_tokens, cents, iters=1, assign_chunk=chunk
+                )
+                cents.block_until_ready()
             cents = np.asarray(cents)
             cents = cents / np.maximum(
                 np.linalg.norm(cents, axis=1, keepdims=True), 1e-12

@@ -40,10 +40,10 @@ class IndexConfig:
     # device placement is owned by JAX here, so this field is inert.
     force_cpu: bool = False
     fts_tokenizer: str = "unicode61"
-    # Centroid structure: "flat" = reference-identical k-means; "rq" =
-    # two-level factored codebook (ops/rq.py) for huge K; "auto" switches to
-    # RQ when the K heuristic reaches rq.RQ_MIN_K (65536) — the regime where
-    # flat assignment/stage-1 GEMMs stop being viable on any hardware.
+    # Centroid structure: "flat" = reference-identical k-means (chunked
+    # running-max argmax handles K=131072+ at ~41 TFLOPS on v5e — measured,
+    # scripts/profile_rq_gather.py); "rq" = opt-in two-level factored
+    # codebook (ops/rq.py) for memory-bound deployments; "auto" = flat.
     centroid_structure: str = "auto"
 
     def to_dict(self) -> Dict[str, Any]:

@@ -47,11 +47,18 @@ def exact_all_scores(
     qmask: jax.Array,
     doc_tile: int,
     precision: str = "highest",
+    doc_lo=0,
+    doc_range: Optional[int] = None,
 ) -> jax.Array:
-    """Exhaustive MaxSim scores [Q, num_documents] via the tile scan.
+    """Exhaustive MaxSim scores [Q, doc_range] via the tile scan.
 
     Shared by the single-device pipeline and the per-shard body of the
-    sharded search (each shard scores its local docs exhaustively)."""
+    sharded search (each shard scores its local docs exhaustively).
+    `doc_range` (STATIC length) + `doc_lo` (may be a traced scalar) restrict
+    the scan to docs [doc_lo, doc_lo+doc_range) so huge-corpus callers can
+    split the scan into several same-shape dispatches (this environment
+    kills single XLA executions beyond ~60 s). Docs outside the range (or
+    beyond num_documents) come back -inf. Default: all documents."""
     q_n = queries.shape[0]
     nd = index.num_documents
     nd_pad = index.num_docs_padded
@@ -62,8 +69,12 @@ def exact_all_scores(
     )
     nvec_pad = index.codes.shape[0]
 
-    n_tiles = -(-nd // doc_tile)
-    tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * doc_tile
+    n_range = doc_range if doc_range is not None else nd
+    n_range = max(n_range, 1)
+    doc_lo = jnp.asarray(doc_lo, jnp.int32)
+    range_end = jnp.minimum(doc_lo + n_range, nd)
+    n_tiles = -(-n_range // doc_tile)
+    tile_starts = doc_lo + jnp.arange(n_tiles, dtype=jnp.int32) * doc_tile
     t_arange = jnp.arange(td, dtype=jnp.int32)
     d_arange = jnp.arange(doc_tile, dtype=jnp.int32)
 
@@ -117,12 +128,14 @@ def exact_all_scores(
             qmask[:, None, :] & jnp.isfinite(per_tok), per_tok, 0.0
         )
         scores = jnp.sum(per_tok, axis=-1)  # [Q, tile]
-        scores = jnp.where((ids < nd)[None, :], scores, NEG_INF)
+        scores = jnp.where(
+            ((ids < range_end) & (ids >= doc_lo))[None, :], scores, NEG_INF
+        )
         return None, scores
 
     _, tiles = jax.lax.scan(score_tile, None, tile_starts)
     all_scores = tiles.transpose(1, 0, 2).reshape(q_n, n_tiles * doc_tile)
-    all_scores = all_scores[:, : max(nd, 1)]
+    all_scores = all_scores[:, : max(n_range, 1)]
     return all_scores
 
 

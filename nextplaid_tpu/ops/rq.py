@@ -3,11 +3,22 @@
 The reference trains one flat k-means codebook with
 K = 2^floor(log2(16*sqrt(tokens))) (kmeans.rs:304-309) — at MS MARCO scale
 that is K = 131072-262144, and every nearest-centroid assignment is an
-[N, K] GEMM: ~2e18 FLOP to encode 64M tokens, and a ~69 TFLOP stage-1
-matmul per 64-query search batch. Fine on a CPU scoring one query at a
-time; hopeless as a TPU batch program.
+[N, K] GEMM.
 
-TPU-native redesign: factor the codebook as
+STATUS — opt-in, not the default. Round-2 measurement on a real v5e
+(scripts/profile_rq_gather.py) showed the flat chunked-argmax runs at
+~41 TFLOPS even at K=131072 (64K tokens assigned in 54 ms, exactly), while
+this module's original top-a x top-b pair search was bottlenecked by
+per-token GATHERS of inv_norm[c, f] — the one op class the TPU memory
+system genuinely hates. `IndexConfig.centroid_structure="auto"` therefore
+resolves to FLAT at every K; RQ remains available (="rq") for memory-bound
+deployments where the [chunk, K] score buffer or the 67-268 MB flat table
+is unaffordable next to the corpus. All RQ internals below are gather-free:
+training refinement and assignment score against the materialized flat
+table with a norm bias (running-max over K blocks); only query-side stage-1
+scoring (a few thousand rows) uses the separable pair search.
+
+The factored codebook:
 
     centroid[c*F + f] = unit(coarse[c] + fine[f])        c < C, f < F, K = C*F
 
@@ -55,9 +66,9 @@ NEG_INF = jnp.float32(-jnp.inf)
 # and query probing by zeroing their inv_norm (=> score -inf).
 MIN_PAIR_NORM = 0.25
 
-# Indexes whose centroid count reaches this use the factored structure under
-# IndexConfig.centroid_structure="auto" (the flat [N, K] assignment GEMM and
-# the [Q, Tq, K] stage-1 matmul stop being viable around here).
+# Historical auto-switch threshold; "auto" now resolves to flat at every K
+# (see module docstring). Kept as the suggested opt-in point for
+# memory-bound deployments.
 RQ_MIN_K = 65536
 
 # Training-sample cap for RQ: C and F are each <= ~1024 centers, so a few
@@ -138,111 +149,116 @@ def train_rq(
         )
     rng = np.random.default_rng(seed)
     init_c = jnp.asarray(np.asarray(sample[rng.permutation(n)[:num_coarse]]))
-    # Chunk 16K bounds the refine step's [chunk, a, b] pair tensors to
-    # ~270 MB; 64K chunks produced multi-GB transients that crashed the TPU
-    # worker at the 72M-token build's 2M-token sample.
     chunk = 1 << 14
-    coarse = lloyd(sample, init_c, iters=iters, assign_chunk=chunk)
+    # One Lloyd iteration per dispatch: single XLA executions beyond ~60 s
+    # crash this environment's device worker, and multi-iteration scans over
+    # a 2M-token sample can exceed that.
+    coarse = init_c
+    for _ in range(iters):
+        coarse = lloyd(sample, coarse, iters=1, assign_chunk=chunk)
+        coarse.block_until_ready()
 
     codes = _assign_chunked(sample, coarse, chunk)
     residuals = sample - coarse[codes]
     init_f = jnp.asarray(
         np.asarray(residuals[rng.permutation(n)[:num_fine]])
     )
-    fine = lloyd(residuals, init_f, iters=iters, assign_chunk=chunk)
+    fine = init_f
+    for _ in range(iters):
+        fine = lloyd(residuals, fine, iters=1, assign_chunk=chunk)
+        fine.block_until_ready()
 
-    if refine_iters:
-        coarse, fine = _refine_rq(
-            sample, coarse, fine, iters=refine_iters, chunk=chunk
-        )
+    for _ in range(refine_iters):
+        coarse, fine = _refine_rq_step(sample, coarse, fine)
+        coarse.block_until_ready()
     return RQCodebook(
         coarse=np.asarray(coarse, np.float32),
         fine=np.asarray(fine, np.float32),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "chunk", "a", "b"))
-def _refine_rq(
+@functools.partial(jax.jit, static_argnames=("chunk", "kblk"))
+def _refine_rq_step(
     sample: jax.Array,
     coarse: jax.Array,
     fine: jax.Array,
-    iters: int,
-    chunk: int,
-    a: int = 64,
-    b: int = 64,
+    chunk: int = 1 << 13,
+    kblk: int = 8192,
 ):
-    """Alternating additive-quantization refinement (jitted, chunked)."""
+    """One alternating additive-quantization refinement step, GATHER-FREE.
+
+    Joint assignment argmin_(c,f) ||x - (coarse[c]+fine[f])||^2 is computed
+    EXACTLY by scoring against the materialized [C*F, d] sum table with a
+    -||m||^2/2 bias, running-max over kblk-column blocks (the reference's
+    memory-bounded GEMM argmax shape, codec.rs:297-343). Measured ~41 TFLOPS
+    on v5e vs minutes for the per-token pair-bias gathers this replaces.
+    One step per jit call — the caller host-loops iterations to keep each
+    dispatch under the environment's execution-time budget.
+    """
     n, d = sample.shape
     c_n, f_n = coarse.shape[0], fine.shape[0]
-    a = min(a, c_n)
-    b = min(b, f_n)
-    n_pad = max(-(-n // chunk) * chunk, chunk)
-    padded = (
-        jnp.concatenate([sample, jnp.zeros((n_pad - n, d), sample.dtype)])
-        if n_pad != n
-        else sample
-    )
-    tiles = padded.reshape(n_pad // chunk, chunk, d)
-    valid_per_tile = jnp.clip(
-        n - jnp.arange(n_pad // chunk) * chunk, 0, chunk
-    )
+    k_total = c_n * f_n
+    m = (coarse[:, None, :] + fine[None, :, :]).reshape(k_total, d)
+    mbias = -0.5 * jnp.sum(m * m, axis=1)  # [K]
 
-    def step(carry, _):
-        coarse, fine = carry
-        # L2 joint assignment bias: -||coarse[c]+fine[f]||^2 / 2.
-        sums2 = (
-            jnp.sum(coarse * coarse, axis=1)[:, None]
-            + 2.0 * coarse @ fine.T
-            + jnp.sum(fine * fine, axis=1)[None, :]
-        )  # [C, F]
-        bias = -0.5 * sums2
+    n_chunks = -(-n // chunk)
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    arange = jnp.arange(chunk, dtype=jnp.int32)
+    kstarts = jnp.arange(0, k_total, kblk, dtype=jnp.int32)
 
-        def per_tile(acc, inp):
-            rows, n_valid = inp
-            (c_sum, c_cnt, f_sum, f_cnt) = acc
-            xc = jnp.dot(rows, coarse.T, preferred_element_type=jnp.float32)
-            xf = jnp.dot(rows, fine.T, preferred_element_type=jnp.float32)
-            xa, ia = jax.lax.top_k(xc, a)
-            xb, ib = jax.lax.top_k(xf, b)
-            pair = xa[:, :, None] + xb[:, None, :]
-            pair = pair + bias[ia[:, :, None], ib[:, None, :]]
-            pidx = jnp.argmax(pair.reshape(chunk, a * b), axis=-1)
-            cc = jnp.take_along_axis(ia, (pidx // b)[:, None], axis=1)[:, 0]
-            fc = jnp.take_along_axis(ib, (pidx % b)[:, None], axis=1)[:, 0]
-            ok = jnp.arange(chunk) < n_valid
-            cc = jnp.where(ok, cc, c_n)
-            fc = jnp.where(ok, fc, f_n)
-            res_c = jnp.where(ok[:, None], rows - fine[jnp.minimum(fc, f_n - 1)], 0.0)
-            res_f = jnp.where(ok[:, None], rows - coarse[jnp.minimum(cc, c_n - 1)], 0.0)
-            c_sum = c_sum + jax.ops.segment_sum(res_c, cc, num_segments=c_n + 1)[:c_n]
-            c_cnt = c_cnt + jax.ops.segment_sum(
-                ok.astype(jnp.float32), cc, num_segments=c_n + 1
-            )[:c_n]
-            f_sum = f_sum + jax.ops.segment_sum(res_f, fc, num_segments=f_n + 1)[:f_n]
-            f_cnt = f_cnt + jax.ops.segment_sum(
-                ok.astype(jnp.float32), fc, num_segments=f_n + 1
-            )[:f_n]
-            return (c_sum, c_cnt, f_sum, f_cnt), None
+    def per_tile(acc, start):
+        (c_sum, c_cnt, f_sum, f_cnt) = acc
+        start_c = jnp.minimum(start, max(n - chunk, 0))
+        rows = jax.lax.dynamic_slice(sample, (start_c, 0), (min(chunk, n), d))
+        pos = start_c + arange[: rows.shape[0]]
+        ok = (pos >= start) & (pos < n)
+
+        def kstep(carry, kstart):
+            best, besti = carry
+            kb = min(kblk, k_total)
+            kstart = jnp.minimum(kstart, k_total - kb)  # overlap-safe clamp
+            blk = jax.lax.dynamic_slice(m, (kstart, 0), (kb, d))
+            bb = jax.lax.dynamic_slice(mbias, (kstart,), (kb,))
+            s = jnp.dot(rows, blk.T, preferred_element_type=jnp.float32)
+            s = s + bb[None, :]
+            mx = jnp.max(s, axis=-1)
+            im = jnp.argmax(s, axis=-1).astype(jnp.int32) + kstart
+            upd = mx > best
+            return (jnp.where(upd, mx, best), jnp.where(upd, im, besti)), None
 
         init = (
-            jnp.zeros((c_n, d), jnp.float32),
-            jnp.zeros((c_n,), jnp.float32),
-            jnp.zeros((f_n, d), jnp.float32),
-            jnp.zeros((f_n,), jnp.float32),
+            jnp.full((rows.shape[0],), -jnp.inf, jnp.float32),
+            jnp.zeros((rows.shape[0],), jnp.int32),
         )
-        (c_sum, c_cnt, f_sum, f_cnt), _ = jax.lax.scan(
-            per_tile, init, (tiles, valid_per_tile)
-        )
-        new_coarse = jnp.where(
-            c_cnt[:, None] > 0, c_sum / jnp.maximum(c_cnt[:, None], 1.0), coarse
-        )
-        new_fine = jnp.where(
-            f_cnt[:, None] > 0, f_sum / jnp.maximum(f_cnt[:, None], 1.0), fine
-        )
-        return (new_coarse, new_fine), None
+        (_, idx), _ = jax.lax.scan(kstep, init, kstarts)
+        cc = jnp.where(ok, idx // f_n, c_n)
+        fc = jnp.where(ok, idx % f_n, f_n)
+        res_c = jnp.where(ok[:, None], rows - fine[jnp.minimum(fc, f_n - 1)], 0.0)
+        res_f = jnp.where(ok[:, None], rows - coarse[jnp.minimum(cc, c_n - 1)], 0.0)
+        c_sum = c_sum + jax.ops.segment_sum(res_c, cc, num_segments=c_n + 1)[:c_n]
+        c_cnt = c_cnt + jax.ops.segment_sum(
+            ok.astype(jnp.float32), cc, num_segments=c_n + 1
+        )[:c_n]
+        f_sum = f_sum + jax.ops.segment_sum(res_f, fc, num_segments=f_n + 1)[:f_n]
+        f_cnt = f_cnt + jax.ops.segment_sum(
+            ok.astype(jnp.float32), fc, num_segments=f_n + 1
+        )[:f_n]
+        return (c_sum, c_cnt, f_sum, f_cnt), None
 
-    (coarse, fine), _ = jax.lax.scan(step, (coarse, fine), None, length=iters)
-    return coarse, fine
+    init = (
+        jnp.zeros((c_n, d), jnp.float32),
+        jnp.zeros((c_n,), jnp.float32),
+        jnp.zeros((f_n, d), jnp.float32),
+        jnp.zeros((f_n,), jnp.float32),
+    )
+    (c_sum, c_cnt, f_sum, f_cnt), _ = jax.lax.scan(per_tile, init, starts)
+    new_coarse = jnp.where(
+        c_cnt[:, None] > 0, c_sum / jnp.maximum(c_cnt[:, None], 1.0), coarse
+    )
+    new_fine = jnp.where(
+        f_cnt[:, None] > 0, f_sum / jnp.maximum(f_cnt[:, None], 1.0), fine
+    )
+    return new_coarse, new_fine
 
 
 def compute_rq_kmeans(
@@ -320,7 +336,7 @@ def pair_scores_topk(
     return vals, (ca * f + fb).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("a", "b", "chunk"))
+@functools.partial(jax.jit, static_argnames=("a", "b", "chunk", "kblk"))
 def assign_codes_rq(
     tokens: jax.Array,  # [N, d]
     coarse: jax.Array,  # [C, d]
@@ -328,22 +344,56 @@ def assign_codes_rq(
     inv_norms: jax.Array,  # [C, F]
     a: int = 64,
     b: int = 64,
-    chunk: int = 1 << 15,
+    chunk: int = 1 << 13,
+    kblk: int = 8192,
 ) -> jax.Array:
-    """Nearest-centroid assignment over the factored codebook.
+    """EXACT nearest-centroid assignment over the factored codebook.
 
-    Replaces the flat [N, K] GEMM argmax (ops.codec.assign_codes) with
-    [N, C] + [N, F] matmuls and a top-a x top-b pair search: ~K/(C+F)
-    times fewer FLOPs (1000x at K=131072). Returns [N] int32 codes."""
+    Scores against the materialized normalized flat table in kblk-column
+    running-max blocks (degenerate pairs masked to -inf) — the same
+    memory-bounded GEMM argmax as the flat path. Round-2 v5e measurement
+    (scripts/profile_rq_gather.py): this runs at ~41 TFLOPS even at
+    K=131072, while the former top-a x top-b pair search was bottlenecked
+    (and worker-crashing) on its per-token inv_norm gathers. `a`/`b` are
+    retained for API compatibility; assignment is exact regardless, which
+    dominates any margin setting. Returns [N] int32 codes."""
+    del a, b
     n, d = tokens.shape
-    a = min(a, coarse.shape[0])
-    b = min(b, fine.shape[0])
+    c_n, f_n = coarse.shape[0], fine.shape[0]
+    k_total = c_n * f_n
+    sums = (coarse[:, None, :] + fine[None, :, :]).reshape(k_total, d)
+    norms = jnp.linalg.norm(sums, axis=1, keepdims=True)
+    flat = sums / jnp.maximum(norms, 1e-12)
+    kbias = jnp.where(inv_norms.reshape(k_total) > 0, 0.0, -jnp.inf)
+    kblk = min(kblk, k_total)
+    kstarts = jnp.arange(0, k_total, kblk, dtype=jnp.int32)
 
     def one(rows):
-        xc = jnp.dot(rows, coarse.T, preferred_element_type=jnp.float32)
-        xf = jnp.dot(rows, fine.T, preferred_element_type=jnp.float32)
-        _, cells = pair_scores_topk(xc, xf, inv_norms, 1, a, b)
-        return cells[..., 0]
+        def kstep(carry, kstart):
+            best, besti = carry
+            # Clamp the start ourselves: a tail block overlaps the previous
+            # one, which is harmless for a running max (columns are just
+            # rescored), but the index offset must match the CLAMPED start.
+            kstart = jnp.minimum(kstart, k_total - kblk)
+            blk = jax.lax.dynamic_slice(flat, (kstart, 0), (kblk, d))
+            bb = jax.lax.dynamic_slice(kbias, (kstart,), (kblk,))
+            s = jnp.dot(
+                rows, blk.T,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            s = s + bb[None, :]
+            mx = jnp.max(s, axis=-1)
+            im = jnp.argmax(s, axis=-1).astype(jnp.int32) + kstart
+            upd = mx > best
+            return (jnp.where(upd, mx, best), jnp.where(upd, im, besti)), None
+
+        init = (
+            jnp.full((rows.shape[0],), -jnp.inf, jnp.float32),
+            jnp.zeros((rows.shape[0],), jnp.int32),
+        )
+        (_, idx), _ = jax.lax.scan(kstep, init, kstarts)
+        return idx
 
     if n <= chunk:
         return one(tokens)

@@ -144,6 +144,51 @@ def timed_qps(index, queries, params, batch=64, passes=3):
     return best, res
 
 
+def _ranged_exact(index, queries, top_k, precision, n_ranges=12):
+    """Exhaustive search split into doc-range dispatches (each under the
+    environment's ~60 s single-execution limit), merged on host."""
+    import functools
+
+    from nextplaid_tpu.index.exact import default_doc_tile, exact_all_scores
+    from nextplaid_tpu.index.search import _pad_queries
+
+    q_arr, q_mask = _pad_queries(queries, index.dim)
+    qd, qm = jnp.asarray(q_arr), jnp.asarray(q_mask)
+    td = max(((index.max_doclen + 7) // 8) * 8, 8)
+    tile = default_doc_tile(len(queries), q_arr.shape[1], td)
+
+    nd = index.num_documents
+    step = -(-nd // n_ranges)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def range_topk(index, qd, qm, lo):
+        s = exact_all_scores(
+            index, qd, qm, tile, precision, doc_lo=lo, doc_range=step
+        )
+        v, i = jax.lax.top_k(s, min(top_k, step))
+        return v, i + lo  # -inf rows (outside range / past nd) lose the merge
+
+    parts = []
+    for lo in range(0, nd, step):
+        v, i = range_topk(index, qd, qm, jnp.int32(lo))
+        parts.append((np.asarray(v), np.asarray(i)))
+        print(f"  exact range @{lo} done", flush=True)
+    vs = np.concatenate([p[0] for p in parts], axis=1)
+    is_ = np.concatenate([p[1] for p in parts], axis=1)
+    order = np.argsort(-vs, axis=1)[:, :top_k]
+    ids = np.take_along_axis(is_, order, axis=1)
+    from nextplaid_tpu.index import QueryResult
+
+    return [
+        QueryResult(
+            query_id=q,
+            passage_ids=[int(x) for x in ids[q]],
+            scores=[float(x) for x in np.take_along_axis(vs, order, 1)[q]],
+        )
+        for q in range(len(queries))
+    ]
+
+
 def search_phase(build_s):
     index = DeviceIndex.load(PATH)
     print(
@@ -157,24 +202,16 @@ def search_phase(build_s):
     queries = make_queries(topics)
     results = {}
 
-    # f32 exhaustive oracle on 64 queries (slow: full decompress scan).
+    # f32 exhaustive oracle on 64 queries, split into doc-range dispatches.
     t0 = time.perf_counter()
-    oracle = search_batch(
-        index,
-        queries[:64],
-        SearchParameters(top_k=10, mode="exact", stage1_precision="highest"),
-    )
+    oracle = _ranged_exact(index, queries[:64], 10, "highest")
     t_oracle = time.perf_counter() - t0
     print(f"oracle batch64: {t_oracle:.1f}s -> {64/t_oracle:.2f} QPS", flush=True)
     results["exhaustive_f32_qps"] = round(64 / t_oracle, 3)
 
-    # Exhaustive bf16 (the practical fallback).
+    # Exhaustive bf16 (the practical fallback at this scale).
     t0 = time.perf_counter()
-    search_batch(
-        index,
-        queries[64:128],
-        SearchParameters(top_k=10, mode="exact", stage1_precision="default"),
-    )
+    _ranged_exact(index, queries[64:128], 10, "default")
     t_ex = time.perf_counter() - t0
     print(f"exhaustive bf16 batch64: {t_ex:.1f}s -> {64/t_ex:.2f} QPS", flush=True)
     results["exhaustive_bf16_qps"] = round(64 / t_ex, 3)
