@@ -408,3 +408,37 @@ def test_async_pipelined_dispatch_matches_sync(built):
         assert [r.passage_ids for r in got] == [r.passage_ids for r in want]
     # Empty batch resolves to [].
     assert search_batch_async(index, [], SearchParameters()).result() == []
+
+
+def test_ranged_exact_scores_merge_to_full(built):
+    """exact_all_scores doc_lo/doc_range: range-split scans (the sub-60s
+    dispatch recipe for huge corpora) must merge to the full scan exactly."""
+    import jax.numpy as jnp
+
+    from nextplaid_tpu.index.exact import default_doc_tile, exact_all_scores
+    from nextplaid_tpu.index.search import _pad_queries
+
+    docs, path, meta, index = built
+    queries, _ = make_queries(docs, num_queries=3)
+    q_arr, q_mask = _pad_queries(queries, index.dim)
+    qd, qm = jnp.asarray(q_arr), jnp.asarray(q_mask)
+    tile = default_doc_tile(len(queries), q_arr.shape[1], 16)
+
+    full = np.asarray(exact_all_scores(index, qd, qm, tile))
+    nd = index.num_documents
+    step = 64  # does not divide nd=200 -> exercises the tail masking
+    merged = np.full_like(full, -np.inf)
+    for lo in range(0, nd, step):
+        part = np.asarray(
+            exact_all_scores(
+                index, qd, qm, tile, doc_lo=jnp.int32(lo), doc_range=step
+            )
+        )
+        hi = min(lo + step, nd)
+        # In-range scores match the full scan; out-of-range slots are -inf.
+        np.testing.assert_allclose(
+            part[:, : hi - lo], full[:, lo:hi], rtol=1e-5, atol=1e-5
+        )
+        assert np.all(np.isinf(part[:, hi - lo :]))
+        merged[:, lo:hi] = part[:, : hi - lo]
+    np.testing.assert_allclose(merged, full, rtol=1e-5, atol=1e-5)
