@@ -52,10 +52,13 @@ class DeviceIndex:
     bucket_cutoffs: jax.Array  # [2^nbits - 1] f32
     bucket_weights: jax.Array  # [2^nbits] f32
     avg_residual: jax.Array  # [d] f32
-    # Optional pinned decompressed corpus: [ndocs_grid, Td_grid, d] bf16.
-    # Built at load when it fits the HBM budget; lets exhaustive search skip
-    # the per-batch decompress entirely (pure dynamic-slice + MXU einsum).
+    # Optional pinned decompressed corpus: [ndocs_grid, Td_grid, d] bf16 OR
+    # int8. Built at load when it fits the HBM budget; lets exhaustive search
+    # skip the per-batch decompress entirely (dynamic-slice + MXU einsum).
     token_grid: Optional[jax.Array] = None
+    # Per-token dequantization scales [ndocs_grid, Td_grid] bf16 — present
+    # iff token_grid is int8 (token ~= int8_row * scale).
+    token_scales: Optional[jax.Array] = None
     # Optional RQ factored centroid structure (ops/rq.py): present when the
     # index was built with centroid_structure="rq" (huge-K regime). The flat
     # `centroids` table above is always materialized — decompression and
@@ -91,25 +94,47 @@ class DeviceIndex:
         # MaxSim kernel can reshape [Dblk*Td] similarity rows cleanly.
         return max(_round_up(max(self.max_doclen, 1), 128), 128)
 
-    def grid_bytes(self) -> int:
-        return self.num_docs_padded * self.grid_td() * self.dim * 2
+    def grid_bytes(self, dtype: str = "bf16") -> int:
+        per_tok = self.dim * 2 if dtype == "bf16" else self.dim + 2
+        return self.num_docs_padded * self.grid_td() * per_tok
 
     def with_token_grid(
-        self, budget_mb: Optional[int] = None
+        self, budget_mb: Optional[int] = None, dtype: Optional[str] = None
     ) -> "DeviceIndex":
-        """Return a copy carrying the decompressed [nd_pad, Td, d] bf16 token
+        """Return a copy carrying the decompressed [nd_pad, Td, d] token
         grid, or self unchanged if it exceeds the HBM budget
-        (NEXT_PLAID_PIN_BUDGET_MB, default 4096)."""
+        (NEXT_PLAID_PIN_BUDGET_MB, default 4096).
+
+        dtype (or NEXT_PLAID_PIN_DTYPE): "bf16", "int8", or "auto" (default)
+        — auto pins bf16 when it fits and falls back to int8, which halves
+        grid HBM (per-token symmetric quantization with a bf16 scale per
+        token; the int8 MXU path has 2x the bf16 peak). int8 doubles the
+        corpus size one chip can serve exactly."""
         if self.token_grid is not None or self.num_documents == 0:
             return self
         if budget_mb is None:
             budget_mb = int(
                 os.environ.get("NEXT_PLAID_PIN_BUDGET_MB", "4096")
             )
-        if self.grid_bytes() > budget_mb << 20:
+        if dtype is None:
+            dtype = os.environ.get("NEXT_PLAID_PIN_DTYPE", "auto")
+        budget = budget_mb << 20
+        if dtype == "auto":
+            if self.grid_bytes("bf16") <= budget:
+                dtype = "bf16"
+            elif self.grid_bytes("int8") <= budget:
+                dtype = "int8"
+            else:
+                return self
+        elif self.grid_bytes(dtype) > budget:
             return self
-        grid = _build_token_grid(self, self.grid_td())
-        return dataclasses.replace(self, token_grid=grid)
+        if dtype == "bf16":
+            grid = _build_token_grid(self, self.grid_td())
+            return dataclasses.replace(self, token_grid=grid)
+        grid, scales = _build_token_grid_int8(self, self.grid_td())
+        return dataclasses.replace(
+            self, token_grid=grid, token_scales=scales
+        )
 
     # ------------------------------------------------------------------
     # Construction from host arrays
@@ -329,6 +354,63 @@ def _build_token_grid_jit(
     starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
     _, tiles = jax.lax.scan(build_tile, None, starts)
     return tiles.reshape(n_tiles * tile, td, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "td", "tile"))
+def _build_token_grid_int8_jit(
+    codes, residuals, doc_offsets, doclens, centroids, bucket_weights,
+    nbits, td, tile,
+):
+    from nextplaid_tpu.ops import codec as codec_ops
+
+    nvec_pad = codes.shape[0]
+    nd_pad = doclens.shape[0]
+    nd_grid = ((nd_pad + 512 + tile - 1) // tile) * tile
+    n_tiles = nd_grid // tile
+    t_arange = jnp.arange(td, dtype=jnp.int32)
+
+    def build_tile(_, start):
+        ids = start + jnp.arange(tile, dtype=jnp.int32)
+        safe = jnp.minimum(ids, nd_pad - 1)
+        offs = doc_offsets[safe]
+        lens = jnp.where(ids < nd_pad, doclens[safe], 0)
+        tok_pos = jnp.clip(offs[:, None] + t_arange[None, :], 0, nvec_pad - 1)
+        tok_valid = t_arange[None, :] < lens[:, None]
+        emb = codec_ops.decompress_residuals(
+            residuals[tok_pos], codes[tok_pos], centroids, bucket_weights,
+            nbits, normalize=True,
+        )
+        emb = jnp.where(tok_valid[:, :, None], emb, 0.0)
+        # Symmetric per-token quantization: q = round(x * 127 / maxabs).
+        maxabs = jnp.max(jnp.abs(emb), axis=-1)  # [tile, td]
+        scale = jnp.where(maxabs > 0, maxabs / 127.0, 1.0)
+        q = jnp.clip(jnp.round(emb / scale[:, :, None]), -127, 127)
+        return None, (
+            q.astype(jnp.int8),
+            jnp.where(tok_valid, scale, 0.0).astype(jnp.bfloat16),
+        )
+
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    _, (tiles, scales) = jax.lax.scan(build_tile, None, starts)
+    return (
+        tiles.reshape(n_tiles * tile, td, -1),
+        scales.reshape(n_tiles * tile, td),
+    )
+
+
+def _build_token_grid_int8(index: "DeviceIndex", td: int):
+    """int8 token grid + per-token bf16 scales (see with_token_grid)."""
+    return _build_token_grid_int8_jit(
+        index.codes,
+        index.residuals,
+        index.doc_offsets,
+        index.doclens,
+        index.centroids,
+        index.bucket_weights,
+        index.nbits,
+        td,
+        128,
+    )
 
 
 def _build_token_grid(index: "DeviceIndex", td: int) -> jax.Array:

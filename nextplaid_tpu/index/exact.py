@@ -98,7 +98,14 @@ def exact_all_scores(
                 (start, 0, 0),
                 (doc_tile, td, index.token_grid.shape[2]),
             )
-            if precision == "highest":
+            if index.token_scales is not None:  # int8 grid: dequantize slice
+                sc = jax.lax.dynamic_slice(
+                    index.token_scales, (start, 0), (doc_tile, td)
+                )
+                emb = emb.astype(jnp.float32) * sc.astype(jnp.float32)[..., None]
+                if precision != "highest":
+                    emb = emb.astype(jnp.bfloat16)
+            elif precision == "highest":
                 emb = emb.astype(jnp.float32)
         else:
             offs = index.doc_offsets[safe]
@@ -210,21 +217,59 @@ def _exact_search_kernel(
     doclens = jnp.zeros((nd_grid, 1), jnp.int32)
     doclens = doclens.at[: index.num_docs_padded, 0].set(index.doclens)
 
-    qflat = queries.reshape(q_n * tq, d).astype(jnp.bfloat16)
-    if q_scan > 1:
-        assert q_n % q_scan == 0, (q_n, q_scan)
-        sub_qf = (q_n // q_scan) * tq
+    if grid.dtype == jnp.int8:
+        from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores_int8
 
-        def step(_, qf_block):
-            s = maxsim_grid_scores(qf_block, grid, doclens, tq=tq)
-            return None, s
+        qf32 = queries.reshape(q_n * tq, d)
+        maxabs = jnp.max(jnp.abs(qf32), axis=-1)  # [Qf]
+        qscale = jnp.where(maxabs > 0, maxabs / 127.0, 0.0)
+        qi8 = jnp.clip(
+            jnp.round(qf32 / jnp.where(qscale > 0, qscale, 1.0)[:, None]),
+            -127, 127,
+        ).astype(jnp.int8)
+        dsc_flat = (
+            index.token_scales.astype(jnp.float32).reshape(nd_grid * td, 1)
+        )
 
-        _, sub_scores = jax.lax.scan(
-            step, None, qflat.reshape(q_scan, sub_qf, d)
-        )  # [q_scan, Q/q_scan, nd_grid]
-        scores = sub_scores.reshape(q_n, nd_grid)
+        def run_int8(qi_block, qs_block):
+            return maxsim_grid_scores_int8(
+                qi_block, qs_block, grid, doclens, dsc_flat, tq=tq
+            )
+
+        if q_scan > 1:
+            assert q_n % q_scan == 0, (q_n, q_scan)
+            sub_qf = (q_n // q_scan) * tq
+
+            def step8(_, inp):
+                qb, sb = inp
+                return None, run_int8(qb, sb)
+
+            _, sub_scores = jax.lax.scan(
+                step8, None,
+                (
+                    qi8.reshape(q_scan, sub_qf, d),
+                    qscale.reshape(q_scan, sub_qf),
+                ),
+            )
+            scores = sub_scores.reshape(q_n, nd_grid)
+        else:
+            scores = run_int8(qi8, qscale)
     else:
-        scores = maxsim_grid_scores(qflat, grid, doclens, tq=tq)  # [Q, nd_grid]
+        qflat = queries.reshape(q_n * tq, d).astype(jnp.bfloat16)
+        if q_scan > 1:
+            assert q_n % q_scan == 0, (q_n, q_scan)
+            sub_qf = (q_n // q_scan) * tq
+
+            def step(_, qf_block):
+                s = maxsim_grid_scores(qf_block, grid, doclens, tq=tq)
+                return None, s
+
+            _, sub_scores = jax.lax.scan(
+                step, None, qflat.reshape(q_scan, sub_qf, d)
+            )  # [q_scan, Q/q_scan, nd_grid]
+            scores = sub_scores.reshape(q_n, nd_grid)
+        else:
+            scores = maxsim_grid_scores(qflat, grid, doclens, tq=tq)
     scores = scores[:, : max(nd, 1)]
     valid = jnp.arange(scores.shape[1]) < nd
     if has_subset and subset_mask is not None:

@@ -82,6 +82,108 @@ def _kernel(qt_ref, grid_ref, lens_ref, out_ref, *, tq: int):
     )
 
 
+def _kernel_int8(qt_ref, grid_ref, lens_ref, dscale_ref, qscale_ref, out_ref,
+                 *, tq: int):
+    """int8 variant of one grid step.
+
+    qt_ref:     [d, Qf]          int8 (per-query-token quantized)
+    grid_ref:   [DBLK, Td, d]    int8
+    lens_ref:   [DBLK, 1]        int32
+    dscale_ref: [DBLK*Td, 1]     f32 — flat layout, row-aligned with the
+                                  reshaped sim block (no lane->sublane
+                                  relayout); 0 for invalid tokens
+    qscale_ref: [1, Qf]          f32 per-query-token scales
+    out_ref:    [DBLK, Q]        f32
+
+    sim(t, j) ~= (qi_t . di_j) * qscale[t] * dscale[j]. qscale is constant
+    within a column, so it commutes with the row max (both positive) and is
+    applied to the per-doc maxima just before the token-sum matmul.
+    """
+    dblk, td, d = grid_ref.shape
+    qf = qt_ref.shape[1]
+    q_n = qf // tq
+    qt = qt_ref[:]
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (td, 1), 0)
+    doc_rows = []
+    for s in range(dblk // SUB):
+        block = grid_ref[s * SUB : (s + 1) * SUB].reshape(SUB * td, d)
+        sim_i = jnp.dot(block, qt, preferred_element_type=jnp.int32)
+        dsc = dscale_ref[s * SUB * td : (s + 1) * SUB * td]
+        sim = sim_i.astype(jnp.float32) * dsc
+        for k in range(SUB):
+            doc_len = lens_ref[s * SUB + k, 0]
+            doc_sim = sim[k * td : (k + 1) * td]
+            masked = jnp.where(row_iota < doc_len, doc_sim, jnp.float32(NEG))
+            m = jnp.max(masked, axis=0, keepdims=True)
+            doc_rows.append(jnp.where(m > NEG / 2, m, 0.0))
+
+    scores_t = jnp.concatenate(doc_rows, axis=0)  # [DBLK, Qf]
+    scores_t = scores_t * qscale_ref[:]
+    g = (
+        jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 0) // tq
+        == jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 1)
+    ).astype(jnp.float32)
+    out_ref[:] = jnp.dot(
+        scores_t, g, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tq", "interpret"))
+def maxsim_grid_scores_int8(
+    queries_i8: jax.Array,  # [Q*Tq, d] int8, zero rows for padded tokens
+    qscales: jax.Array,  # [Q*Tq] f32 per-query-token scales (0 for padding)
+    grid_tokens: jax.Array,  # [ND, Td, d] int8
+    doclens: jax.Array,  # [ND, 1] int32
+    dscales_flat: jax.Array,  # [ND*Td, 1] f32 (0 for invalid tokens)
+    tq: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Exhaustive MaxSim scores [Q, ND] over an int8 grid.
+
+    token ~= int8_row * scale on both sides; the int8 contraction runs on
+    the MXU's 2x-peak integer path and the grid reads half the HBM of bf16.
+    """
+    nd, td, d = grid_tokens.shape
+    qf = queries_i8.shape[0]
+    q_n = qf // tq
+    dblk = next((d_ for d_ in (DBLK, 32, 16, 8) if nd % d_ == 0), None)
+    assert dblk is not None, f"grid rows {nd} not a multiple of 8"
+
+    queries_t = queries_i8.T  # [d, Qf]
+
+    grid_spec = pl.GridSpec(
+        grid=(nd // dblk,),
+        in_specs=[
+            pl.BlockSpec((d, qf), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (dblk, td, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((dblk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (dblk * td, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, qf), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (dblk, q_n), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_int8, tq=tq),
+        out_shape=jax.ShapeDtypeStruct((nd, q_n), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qf * d * nd * td,
+            bytes_accessed=nd * td * (d + 4) + qf * d + q_n * nd * 4,
+            transcendentals=0,
+        ),
+    )(queries_t, grid_tokens, doclens, dscales_flat, qscales.reshape(1, qf))
+    return out.T  # [Q, ND]
+
+
 @functools.partial(jax.jit, static_argnames=("tq", "interpret"))
 def maxsim_grid_scores(
     queries_flat: jax.Array,  # [Q*Tq, d] bf16, zero-padded rows

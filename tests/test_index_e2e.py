@@ -442,3 +442,87 @@ def test_ranged_exact_scores_merge_to_full(built):
         assert np.all(np.isinf(part[:, hi - lo :]))
         merged[:, lo:hi] = part[:, : hi - lo]
     np.testing.assert_allclose(merged, full, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_token_grid_matches(built):
+    """int8 pinned grid (per-token symmetric quantization): the XLA scan
+    path must reproduce bf16-grid results at top_k=10 with near-identical
+    scores; grid memory halves."""
+    docs, path, meta, index = built
+    queries, targets = make_queries(docs, num_queries=8)
+    g16 = index.with_token_grid(budget_mb=10_000, dtype="bf16")
+    g8 = index.with_token_grid(budget_mb=10_000, dtype="int8")
+    assert g8.token_grid.dtype.name == "int8"
+    assert g8.token_scales is not None
+    assert g8.grid_bytes("int8") < g16.grid_bytes("bf16")
+    params = SearchParameters(top_k=10, mode="exact")
+    r16 = search_batch(g16, queries, params)
+    r8 = search_batch(g8, queries, params)
+    overlap = np.mean([
+        len(set(a.passage_ids) & set(b.passage_ids)) / 10
+        for a, b in zip(r16, r8)
+    ])
+    assert overlap >= 0.95, overlap
+    for a, b in zip(r16, r8):
+        np.testing.assert_allclose(
+            a.scores[0], b.scores[0], rtol=0.02, atol=0.02
+        )
+    hits = sum(t in r.passage_ids for t, r in zip(targets, r8))
+    assert hits >= 7
+
+
+def test_int8_auto_budget_fallback(built):
+    """dtype='auto': picks bf16 when it fits, int8 when only int8 fits,
+    nothing when neither fits."""
+    docs, path, meta, index = built
+    bf16_mb = index.grid_bytes("bf16") >> 20
+    int8_mb = index.grid_bytes("int8") >> 20
+    auto_big = index.with_token_grid(budget_mb=bf16_mb + 2, dtype="auto")
+    assert auto_big.token_grid.dtype.name == "bfloat16"
+    auto_mid = index.with_token_grid(budget_mb=int8_mb + 1, dtype="auto")
+    assert auto_mid.token_grid.dtype.name == "int8"
+    auto_none = index.with_token_grid(budget_mb=0, dtype="auto")
+    assert auto_none.token_grid is None
+
+
+def test_int8_kernel_interpret_matches_scan(built):
+    """Fused int8 kernel (interpret mode) == int8 XLA scan path scores."""
+    import jax.numpy as jnp
+
+    from nextplaid_tpu.index.exact import exact_all_scores
+    from nextplaid_tpu.index.search import _pad_queries
+    from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores_int8
+
+    docs, path, meta, index = built
+    g8 = index.with_token_grid(budget_mb=10_000, dtype="int8")
+    queries, _ = make_queries(docs, num_queries=2)
+    q_arr, q_mask = _pad_queries(queries, index.dim)
+    qd, qm = jnp.asarray(q_arr), jnp.asarray(q_mask)
+
+    want = np.asarray(exact_all_scores(g8, qd, qm, doc_tile=64))
+
+    q_n, tq, d = q_arr.shape
+    nd_grid, td, _ = g8.token_grid.shape
+    doclens = jnp.zeros((nd_grid, 1), jnp.int32)
+    doclens = doclens.at[: g8.num_docs_padded, 0].set(g8.doclens)
+    qf32 = qd.reshape(q_n * tq, d)
+    maxabs = jnp.max(jnp.abs(qf32), axis=-1)
+    qscale = jnp.where(maxabs > 0, maxabs / 127.0, 0.0)
+    qi8 = jnp.clip(
+        jnp.round(qf32 / jnp.where(qscale > 0, qscale, 1.0)[:, None]),
+        -127, 127,
+    ).astype(jnp.int8)
+    got = np.asarray(
+        maxsim_grid_scores_int8(
+            qi8,
+            qscale,
+            g8.token_grid,
+            doclens,
+            g8.token_scales.astype(jnp.float32).reshape(nd_grid * td, 1),
+            tq=tq,
+            interpret=True,
+        )
+    )[:, : g8.num_documents]
+    np.testing.assert_allclose(
+        got, want[:, : g8.num_documents], rtol=2e-2, atol=2e-2
+    )
