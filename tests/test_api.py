@@ -589,7 +589,7 @@ def test_delete_batching_coalesces(server):
         json={"condition": "k = ? OR k = ?", "parameters": [3, 4]},
     )
     assert r1.status_code == 202 and r2.status_code == 202
-    deadline = time.time() + 30
+    deadline = time.time() + 120
     info = {}
     while time.time() < deadline:
         info = requests.get(server.url + "/indices/delbatch").json()
