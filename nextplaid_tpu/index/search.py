@@ -228,9 +228,7 @@ def _dedup_cells(
     )
     csum = jnp.cumsum(w_s, axis=1)
     idx = jnp.arange(ncells, dtype=jnp.int32)
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, idx[None, :], 0), axis=1
-    )
+    run_start = jax.lax.cummax(jnp.where(first, idx[None, :], 0), axis=1)
     base = jnp.where(
         run_start > 0,
         jnp.take_along_axis(csum, jnp.maximum(run_start - 1, 0), axis=1),
@@ -393,9 +391,11 @@ def _prune_candidates(
     )
     csum = jnp.cumsum(w_s, axis=1)
     slot = jnp.arange(b, dtype=jnp.int32)
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, slot[None, :], 0), axis=1
-    )
+    # lax.cummax, NOT associative_scan: XLA's fusion of the hand-built
+    # log-depth scan with the neighbouring cumsum at [Q, B~262K] never
+    # finished compiling on TPU (round-2 measurement); the dedicated
+    # cumulative-max rewrite compiles in seconds.
+    run_start = jax.lax.cummax(jnp.where(first, slot[None, :], 0), axis=1)
     base = jnp.where(
         run_start > 0,
         jnp.take_along_axis(csum, jnp.maximum(run_start - 1, 0), axis=1),
@@ -407,9 +407,14 @@ def _prune_candidates(
     approx = jnp.where(last & (ids_s < nd), csum - base, NEG_INF)
 
     # Per-query prune: keep the top `keep` docs by approximate score.
-    top_vals, top_slots = jax.lax.top_k(approx, keep)
-    qcand = jnp.take_along_axis(ids_s, top_slots, axis=1)  # [Q, keep]
-    qcand = jnp.where(jnp.isfinite(top_vals), qcand, nd)
+    # SORT-based selection, not lax.top_k: XLA's large-k TopK expansion at
+    # [Q, B~590K] k=256 exploded remote compile beyond any usable time
+    # (measured round 2: the compile never returned; sorts lower in
+    # milliseconds at the same shape).
+    neg = jnp.where(jnp.isfinite(approx), -approx, jnp.inf)
+    sorted_neg, qcand_all = jax.lax.sort((neg, ids_s), dimension=1, num_keys=1)
+    top_vals = -sorted_neg[:, :keep]  # [Q, keep], best first
+    qcand = jnp.where(jnp.isfinite(top_vals), qcand_all[:, :keep], nd)
 
     # Batch union: sort-dedup the concatenated survivor lists. Q*keep is an
     # exact upper bound, so the union itself cannot overflow (cmax only
@@ -432,11 +437,15 @@ def _prune_candidates(
         run_id = jnp.cumsum(uniq_first.astype(jnp.int32)) - 1
         best = jax.ops.segment_max(vals_by_id, run_id, num_segments=m)
         best_per_first = jnp.where(real_first, best[run_id], NEG_INF)
-        _, top_pos = jax.lax.top_k(best_per_first, cmax)
+        # Sort-based top-cmax (same large-k TopK compile hazard as above).
+        neg_best = jnp.where(
+            jnp.isfinite(best_per_first), -best_per_first, jnp.inf
+        )
+        sorted_nb, flat_by_best = jax.lax.sort(
+            (neg_best, flat), num_keys=1
+        )
         union_ids = jnp.where(
-            jnp.isfinite(jnp.take(best_per_first, top_pos)),
-            jnp.take(flat, top_pos),
-            nd,
+            jnp.isfinite(-sorted_nb[:cmax]), flat_by_best[:cmax], nd
         )
         union_ids = jnp.sort(union_ids)
         union_overflow = jnp.maximum(jnp.sum(real_first) - cmax, 0)

@@ -43,15 +43,21 @@ from nextplaid_tpu.index import (
 from nextplaid_tpu.index.build import DeviceChunk, create_index_streamed
 
 PATH = os.environ.get("MEGA_IDX", "/tmp/mega_idx") + "/corpus"
-OUT = "/root/repo/docs/benchmarks/megascale_tpu.json"
+OUT = os.environ.get(
+    "MEGA_OUT", "/root/repo/docs/benchmarks/megascale_tpu.json"
+)
 
 DIM = 128
 N_TOPICS = 16384
-N_DOCS = 473_000
-LEN_LO, LEN_HI = 100, 220  # avg ~152 -> ~72M tokens
+N_DOCS = int(os.environ.get("MEGA_DOCS", "473000"))
+LEN_LO, LEN_HI = 100, 220  # avg ~160 -> ~75M tokens at the default N_DOCS
 DOCS_PER_CHUNK = 16_000  # ~2.4M tokens staged on device per chunk
 SEED = 0
-NBITS = 2
+NBITS = int(os.environ.get("MEGA_NBITS", "2"))
+# Optional pinned-grid measurement (the int8 grid serves exact exhaustive
+# search up to ~2x the bf16 corpus ceiling; set MEGA_PIN_MB to its HBM
+# budget to include it).
+PIN_MB = int(os.environ.get("MEGA_PIN_MB", "0"))
 
 
 def topic_table():
@@ -239,6 +245,30 @@ def search_phase(build_s):
         )
         results[f"staged_keep{keep}_qps"] = round(qps, 3)
         results[f"staged_keep{keep}_recall_at_10"] = round(recall, 4)
+
+    if PIN_MB:
+        pinned = index.with_token_grid(budget_mb=PIN_MB)
+        if pinned.token_grid is not None:
+            dt = pinned.token_grid.dtype.name
+            params = SearchParameters(top_k=10, stage1_precision="default")
+            qps, res = timed_qps(pinned, queries[:128], params)
+            recall = float(
+                np.mean(
+                    [
+                        len(set(r.passage_ids) & set(o.passage_ids)) / 10
+                        for r, o in zip(res[:64], oracle)
+                    ]
+                )
+            )
+            print(
+                f"pinned {dt} grid exact: {qps:.2f} QPS, "
+                f"recall@10={recall:.4f}",
+                flush=True,
+            )
+            results[f"pinned_{dt}_exact_qps"] = round(qps, 3)
+            results[f"pinned_{dt}_recall_at_10"] = round(recall, 4)
+        else:
+            print("pinned grid does not fit MEGA_PIN_MB", flush=True)
 
     payload = {
         "benchmark": "megascale_staged_vs_exhaustive",
