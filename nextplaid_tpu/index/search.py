@@ -742,9 +742,18 @@ def search_batch_async(
     # queries (bigger similarity blocks hurt, measured in
     # scripts/profile_kernel_variants.py); above that, pad Q to a multiple
     # of 64 and lax.scan 64-query sub-blocks inside ONE dispatch.
+    # int8 grids use the XLA scan path under "auto": the Pallas int8 kernel's
+    # per-row scale column pads [N,1] f32 to full 128-lane VMEM tiles and
+    # blows the ~16 MB scoped-vmem limit at production shapes (measured);
+    # the scan path dequantizes per tile on the VPU at negligible cost. The
+    # kernel stays available via kernel="pallas" for small grids/experiments.
     kernel_eligible = index.token_grid is not None and (
         params.kernel == "pallas"
-        or (params.kernel == "auto" and jax.default_backend() != "cpu")
+        or (
+            params.kernel == "auto"
+            and jax.default_backend() != "cpu"
+            and index.token_scales is None
+        )
     )
     exact_eligible = params.mode == "exact" or (
         params.mode == "auto"
@@ -754,9 +763,13 @@ def search_batch_async(
         )
     )
     q_scan = 1
-    if kernel_eligible and exact_eligible and n > 64:
-        q_scan = -(-n // 64)
-        q_bucket = q_scan * 64
+    if exact_eligible and n > 64:
+        # Multiple-of-64 bucketing for mega-batches (320 -> 320, not a 512
+        # pow2 pad); the kernel path additionally scans 64-query sub-blocks
+        # inside the one dispatch.
+        q_bucket = -(-n // 64) * 64
+        if kernel_eligible:
+            q_scan = q_bucket // 64
     else:
         q_bucket = max(8, 1 << (n - 1).bit_length())
     q_arr, q_mask = _pad_queries(queries, index.dim)

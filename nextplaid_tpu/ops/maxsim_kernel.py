@@ -39,6 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30  # plain float: jnp constants would be captured as kernel consts
 DBLK = 64  # docs per grid step (fewer steps amortize per-step overhead)
 SUB = 4  # docs per in-kernel sub-step (bounds the f32 sim buffer ~6 MB)
+# int8 sub-step: the integer kernel holds BOTH the i32 dot result and its
+# f32 rescale (and the mask select) in VMEM, so it needs a 4x smaller
+# block to stay under the ~16 MB scoped-vmem limit (measured OOM at 2+).
+SUB8 = 1
 
 
 def _kernel(qt_ref, grid_ref, lens_ref, out_ref, *, tq: int):
@@ -106,13 +110,13 @@ def _kernel_int8(qt_ref, grid_ref, lens_ref, dscale_ref, qscale_ref, out_ref,
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (td, 1), 0)
     doc_rows = []
-    for s in range(dblk // SUB):
-        block = grid_ref[s * SUB : (s + 1) * SUB].reshape(SUB * td, d)
+    for s in range(dblk // SUB8):
+        block = grid_ref[s * SUB8 : (s + 1) * SUB8].reshape(SUB8 * td, d)
         sim_i = jnp.dot(block, qt, preferred_element_type=jnp.int32)
-        dsc = dscale_ref[s * SUB * td : (s + 1) * SUB * td]
+        dsc = dscale_ref[s * SUB8 * td : (s + 1) * SUB8 * td]
         sim = sim_i.astype(jnp.float32) * dsc
-        for k in range(SUB):
-            doc_len = lens_ref[s * SUB + k, 0]
+        for k in range(SUB8):
+            doc_len = lens_ref[s * SUB8 + k, 0]
             doc_sim = sim[k * td : (k + 1) * td]
             masked = jnp.where(row_iota < doc_len, doc_sim, jnp.float32(NEG))
             m = jnp.max(masked, axis=0, keepdims=True)
