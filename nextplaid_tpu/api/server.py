@@ -166,6 +166,13 @@ async def cors_timeout_middleware(request: web.Request, handler):
         resp = await asyncio.wait_for(handler(request), timeout=timeout)
     except asyncio.TimeoutError:
         resp = _json_error(408, "request timed out")
+    except web.HTTPException as e:
+        # 404/405 from routing and handler-raised HTTP errors must carry the
+        # CORS headers too (the reference's CorsLayer wraps ALL responses) —
+        # otherwise cross-origin clients cannot read error responses.
+        for k, v in _CORS_HEADERS.items():
+            e.headers.setdefault(k, v)
+        raise
     for k, v in _CORS_HEADERS.items():
         resp.headers.setdefault(k, v)
     return resp

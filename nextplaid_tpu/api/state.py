@@ -376,22 +376,23 @@ class AppState:
                     continue
                 return  # idle; next enqueue respawns
             batch = [first]
-            now = time.monotonic()
-            min_deadline = now + DELETE_BATCH_MIN_WAIT_MS / 1000
-            max_deadline = now + DELETE_BATCH_MAX_WAIT_MS / 1000
-            for deadline in (min_deadline, max_deadline):
-                while len(batch) < MAX_DELETE_BATCH_CONDITIONS:
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0:
-                        break
-                    try:
-                        batch.append(
-                            await asyncio.wait_for(
-                                queue.get(), timeout=remaining
-                            )
-                        )
-                    except asyncio.TimeoutError:
-                        break
+            max_deadline = time.monotonic() + DELETE_BATCH_MAX_WAIT_MS / 1000
+            # Quiet-period batching: after each arrival wait up to MIN for
+            # the next; an idle MIN window closes the batch early, MAX is
+            # the hard cap (documents.rs:658-756 window semantics — the old
+            # two-phase loop always blocked until MAX, making MIN dead and
+            # adding MAX latency to every single-condition delete).
+            while len(batch) < MAX_DELETE_BATCH_CONDITIONS:
+                remaining = max_deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                window = min(DELETE_BATCH_MIN_WAIT_MS / 1000, remaining)
+                try:
+                    batch.append(
+                        await asyncio.wait_for(queue.get(), timeout=window)
+                    )
+                except asyncio.TimeoutError:
+                    break  # quiet for MIN: the batch is done
             await self._process_delete_batch(name, batch)
 
     async def _process_delete_batch(
@@ -411,6 +412,8 @@ class AppState:
                     message=f"deleted {deleted} documents "
                     f"({len(batch)} conditions)",
                 )
+            except asyncio.CancelledError:
+                raise  # shutdown must not be swallowed into a progress entry
             except BaseException as e:
                 self.set_progress(
                     name, status="failed", stage="delete_error", error=str(e)

@@ -175,20 +175,29 @@ class NextPlaidClient:
             return resp
         import time as _time
 
-        deadline = _time.time() + timeout
+        # Converged = the count has been STABLE for 1 s after the server's
+        # delete-batch window (~2 s DELETE_BATCH_MAX_WAIT) has had a chance
+        # to fire. Stability alone (not change-then-stability): a condition
+        # matching zero documents never changes the count and must still
+        # return promptly, not poll to the timeout.
+        t0 = _time.time()
+        deadline = t0 + timeout
         last = before
         stable_since = None
+        min_elapsed = 2.5  # covers the server's max batching window
         while _time.time() < deadline:
             _time.sleep(0.25)
             now = self.get_index(index_name).get("num_documents")
-            if now != before:
-                if now == last:
-                    if stable_since is None:
-                        stable_since = _time.time()
-                    elif _time.time() - stable_since > 1.0:
-                        break
-                else:
-                    stable_since = None
+            if now == last:
+                if stable_since is None:
+                    stable_since = _time.time()
+                elif (
+                    _time.time() - stable_since > 1.0
+                    and _time.time() - t0 >= min_elapsed
+                ):
+                    break
+            else:
+                stable_since = None
             last = now
         resp["num_documents"] = last
         return resp

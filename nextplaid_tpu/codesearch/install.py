@@ -144,8 +144,14 @@ def uninstall_agents_md(agent: str, base: Path | None = None) -> bool:
 
 
 def _strip_section(content: str) -> str:
-    while MARKER_BEGIN in content and MARKER_END in content:
+    while MARKER_BEGIN in content:
         lo = content.index(MARKER_BEGIN)
-        hi = content.index(MARKER_END) + len(MARKER_END)
-        content = content[:lo] + content[hi:]
+        # Search END strictly after BEGIN: a stray END before BEGIN (hand-
+        # edited file) must not produce hi < lo, which would duplicate the
+        # overlap and loop forever.
+        hi = content.find(MARKER_END, lo)
+        if hi < 0:
+            # Unterminated section: drop from BEGIN to end of file.
+            return content[:lo]
+        content = content[:lo] + content[hi + len(MARKER_END):]
     return content

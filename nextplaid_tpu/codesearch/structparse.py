@@ -495,6 +495,10 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                 name_i = j
                 name = toks[name_i].text
                 p_open = name_i + 1
+                # Go 1.18 generics: func F[T any](...) — skip the type-
+                # parameter bracket group before the parameter list.
+                if p_open < n and toks[p_open].text == "[":
+                    p_open = _match_bracket(toks, p_open, "[", "]") + 1
                 if p_open < n and toks[p_open].text == "(":
                     p_close = _match_bracket(toks, p_open, "(", ")")
                     body = p_close + 1
@@ -683,16 +687,42 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                     )
                     i = body
                     continue
-            # class-body method: IDENT '(' ... ')' '{' at class depth.
-            if (
+            # class-body method: IDENT [<T,...>] '(' ... ')' '{' at class
+            # depth. Generic methods (m<T>(x: T)) carry an angle-bracket
+            # group before the parens; match it with a bounded depth scan
+            # (angles are operators, not lexer brackets — a short scan that
+            # must END at "(" keeps comparison chains from matching).
+            paren_i = None
+            if parent is not None and i + 1 < n and toks[i + 1].text == "(":
+                paren_i = i + 1
+            elif (
                 parent is not None
+                and language == "typescript"
                 and i + 1 < n
-                and toks[i + 1].text == "("
+                and toks[i + 1].text == "<"
+            ):
+                depth, j2 = 0, i + 1
+                while j2 < min(n, i + 64):
+                    t2 = toks[j2].text
+                    if t2 == "<":
+                        depth += 1
+                    elif t2 == ">":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    elif t2 in (";", "{", "}", ")"):
+                        j2 = n
+                        break
+                    j2 += 1
+                if depth == 0 and j2 + 1 < n and toks[j2 + 1].text == "(":
+                    paren_i = j2 + 1
+            if (
+                paren_i is not None
                 and w not in _NOT_CALLS
                 and w not in ("constructor", "if", "for", "while", "switch",
                               "catch")
             ):
-                p_close = _match_bracket(toks, i + 1, "(", ")")
+                p_close = _match_bracket(toks, paren_i, "(", ")")
                 body = p_close + 1
                 if body < n and toks[body].text == ":" and language == "typescript":
                     while body < n and toks[body].text != "{":
@@ -711,7 +741,7 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                                 w, UnitType.METHOD, i, i, body, end,
                                 parent=parent,
                                 params=_params_from_slice(
-                                    toks[i + 2 : p_close], language
+                                    toks[paren_i + 1 : p_close], language
                                 ),
                             )
                         )
@@ -840,6 +870,29 @@ def _find_defs_ruby(toks: List[Tok]) -> List[RawDef]:
                     "while", "until", "for"
                 ):
                     continue
+            if w == "def":
+                # Ruby 3 endless method: `def name(args) = expr` has no
+                # `end`; pushing it would desync every later pairing.
+                j2 = k + 1
+                if j2 < len(toks) and toks[j2].kind == ID:
+                    j2 += 1
+                    if j2 < len(toks) and toks[j2].text == "(":
+                        depth = 0
+                        while j2 < len(toks):
+                            if toks[j2].text == "(":
+                                depth += 1
+                            elif toks[j2].text == ")":
+                                depth -= 1
+                                if depth == 0:
+                                    j2 += 1
+                                    break
+                            j2 += 1
+                    if (
+                        j2 < len(toks)
+                        and toks[j2].text == "="
+                        and toks[j2].line == t.line
+                    ):
+                        continue
             stack.append(k)
         elif w == "end":
             if stack:

@@ -134,8 +134,18 @@ def prepare_codec_artifacts(
         nbits=config.nbits,
         rq=rq,
     )
-    codes = np.asarray(assign_with_artifacts(jnp.asarray(heldout), artifacts))
-    residuals = heldout - centroids[codes]
+    return _finish_codec_artifacts(artifacts, jnp.asarray(heldout), config)
+
+
+def _finish_codec_artifacts(
+    artifacts: CodecArtifacts, heldout_dev: jax.Array, config: IndexConfig
+) -> CodecArtifacts:
+    """Shared codec-training tail (in-memory and streamed builds): heldout
+    assignment, 0.75-quantile cluster threshold, avg residual, quantile
+    buckets (index.rs:182-287 second half)."""
+    centroids = artifacts.centroids
+    codes = np.asarray(assign_with_artifacts(heldout_dev, artifacts))
+    residuals = np.asarray(heldout_dev) - centroids[codes]
 
     norms = np.linalg.norm(residuals, axis=1)
     artifacts.cluster_threshold = (
@@ -552,21 +562,9 @@ def create_index_streamed(
             rq=rq_book,
         )
         heldout_n = min(int(sample_tokens.shape[0]), 50_000)
-        heldout = sample_tokens[:heldout_n]
-        h_codes = assign_with_artifacts(heldout, artifacts)
-        residuals = np.asarray(heldout) - centroids[np.asarray(h_codes)]
-        norms = np.linalg.norm(residuals, axis=1)
-        artifacts.cluster_threshold = (
-            float(np.quantile(norms, 0.75)) if norms.size else 0.0
+        artifacts = _finish_codec_artifacts(
+            artifacts, sample_tokens[:heldout_n], config
         )
-        artifacts.avg_residual = np.mean(np.abs(residuals), axis=0).astype(
-            np.float32
-        )
-        cutoffs, weights = codec_ops.train_codec_buckets(
-            residuals, config.nbits
-        )
-        artifacts.bucket_cutoffs = cutoffs
-        artifacts.bucket_weights = weights
 
         # Encode chunk-by-chunk, write chunk files incrementally, keep codes
         # ON DEVICE for the IVF build (i32: 256 MB at 64M tokens).

@@ -74,12 +74,15 @@ class SearchParameters:
     # Stage-1 matmul precision: "highest" (f32, reference parity) or
     # "default" (TPU bf16 passes; faster candidate generation).
     stage1_precision: str = "highest"
-    # Search strategy: "auto" picks exhaustive MXU scoring whenever the
-    # corpus is small enough (or a pinned token grid exists — it fits HBM by
-    # construction); the staged PLAID pipeline only pays off beyond that.
-    # Measured crossover on one v5e: exact at 9M embeddings ≈ 300+ QPS vs
-    # staged 15 QPS (candidate unions barely overlap across a batch).
-    # "staged"/"exact" force one.
+    # Search strategy: "auto" picks exhaustive MXU scoring whenever a pinned
+    # token grid exists (it fits HBM by construction; 350+ QPS at 30M
+    # embeddings) or the corpus is below exact_max_embeddings; beyond that
+    # it uses the staged pipeline. Measured at 72M embeddings on one v5e
+    # (docs/benchmarks/megascale_tpu.json): unpinned exhaustive and staged
+    # TIE on batch throughput (~7.5 QPS), but staged is 8x lower latency at
+    # batch 1 (864 ms vs 6.9 s) — auto therefore prefers staged in the
+    # unpinned mega regime, which is the interactive-serving default; batch
+    # pipelines that want the exact scan force mode="exact".
     mode: str = "auto"
     exact_max_embeddings: int = 16_000_000
     # Candidate scope: "batch" scores every query against the whole batch

@@ -766,10 +766,15 @@ def search_batch_async(
     if exact_eligible and n > 64:
         # Multiple-of-64 bucketing for mega-batches (320 -> 320, not a 512
         # pow2 pad); the kernel path additionally scans 64-query sub-blocks
-        # inside the one dispatch.
-        q_bucket = -(-n // 64) * 64
+        # inside the one dispatch. Block counts above 8 round up to a power
+        # of two so the number of compiled variants stays logarithmic —
+        # compiles at mega scale cost tens of seconds each.
+        blocks = -(-n // 64)
+        if blocks > 8:
+            blocks = 1 << (blocks - 1).bit_length()
+        q_bucket = blocks * 64
         if kernel_eligible:
-            q_scan = q_bucket // 64
+            q_scan = blocks
     else:
         q_bucket = max(8, 1 << (n - 1).bit_length())
     q_arr, q_mask = _pad_queries(queries, index.dim)

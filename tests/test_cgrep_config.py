@@ -141,3 +141,23 @@ def test_agents_md_uninstall(tmp_path):
 def test_opencode_path_is_xdg(tmp_path):
     p = install_agents_md("opencode", base=tmp_path)
     assert p == tmp_path / ".config" / "opencode" / "AGENTS.md"
+
+
+def test_strip_section_stray_end_marker(tmp_path):
+    """A stray END marker before BEGIN (hand-edited file) must not hang or
+    grow the file; an unterminated BEGIN truncates to it."""
+    from nextplaid_tpu.codesearch.install import (
+        MARKER_END,
+        _strip_section,
+        install_agents_md,
+    )
+
+    p = install_agents_md("codex", base=tmp_path)
+    content = p.read_text()
+    # END before BEGIN:
+    mangled = MARKER_END + "\n" + content
+    out = _strip_section(mangled)
+    assert MARKER_BEGIN not in out
+    # Unterminated BEGIN:
+    out2 = _strip_section("keep me\n" + MARKER_BEGIN + "\nrest without end")
+    assert out2 == "keep me\n"

@@ -432,3 +432,54 @@ def test_unsupported_language_falls_back_to_regex():
     )
     units = extract_units("m.ex", src)
     assert units  # elixir -> regex/raw fallback still indexes the file
+
+
+def test_go_generic_function():
+    """Go 1.18 generics: func F[T any](...) must yield a structured unit."""
+    src = (
+        "package m\n\n"
+        "func Map[T any, U any](xs []T, f func(T) U) []U {\n"
+        "\tout := make([]U, 0, len(xs))\n"
+        "\tfor _, x := range xs {\n"
+        "\t\tout = append(out, f(x))\n"
+        "\t}\n"
+        "\treturn out\n"
+        "}\n"
+    )
+    units = extract_units("m.go", src)
+    names = [u.name for u in units]
+    assert "Map" in names, names
+    u = next(u for u in units if u.name == "Map")
+    assert "xs" in (u.parameters or []) and "f" in (u.parameters or [])
+
+
+def test_typescript_generic_method():
+    """TS class methods with type params: m<T>(x: T) must be recognized."""
+    src = (
+        "class Box {\n"
+        "  wrap<T extends object>(value: T): T {\n"
+        "    return value;\n"
+        "  }\n"
+        "}\n"
+    )
+    units = extract_units("box.ts", src)
+    m = [u for u in units if u.name == "wrap"]
+    assert m, [u.name for u in units]
+    assert m[0].parent_class == "Box"
+
+
+def test_ruby_endless_method_does_not_desync():
+    """`def foo = expr` has no `end`; later extents must stay correct."""
+    src = (
+        "class Calc\n"
+        "  def double(x) = x * 2\n"
+        "  def triple(x)\n"
+        "    x * 3\n"
+        "  end\n"
+        "end\n"
+    )
+    units = extract_units("calc.rb", src)
+    trip = [u for u in units if u.name == "triple"]
+    assert trip, [u.name for u in units]
+    # triple's body must end at ITS `end` (line 5), not swallow the class's.
+    assert trip[0].end_line <= 5
