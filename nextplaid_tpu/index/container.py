@@ -52,11 +52,13 @@ class DeviceIndex:
     bucket_cutoffs: jax.Array  # [2^nbits - 1] f32
     bucket_weights: jax.Array  # [2^nbits] f32
     avg_residual: jax.Array  # [d] f32
-    # Optional pinned decompressed corpus: [ndocs_grid, Td_grid, d] bf16 OR
-    # int8. Built at load when it fits the HBM budget; lets exhaustive search
-    # skip the per-batch decompress entirely (dynamic-slice + MXU einsum).
+    # Optional pinned decompressed corpus. bf16 layout: [ndocs_grid, Td, d].
+    # int8 layout: TRANSPOSED doc tiles [ndocs_grid, d, Td] (tokens on
+    # lanes — see ops/maxsim_kernel.py _kernel_int8t). Built at load when it
+    # fits the HBM budget; lets exhaustive search skip the per-batch
+    # decompress entirely (dynamic-slice + MXU einsum / fused kernel).
     token_grid: Optional[jax.Array] = None
-    # Per-token dequantization scales [ndocs_grid, Td_grid] bf16 — present
+    # Per-token dequantization scales [ndocs_grid, Td] bf16 — present
     # iff token_grid is int8 (token ~= int8_row * scale).
     token_scales: Optional[jax.Array] = None
     # Optional RQ factored centroid structure (ops/rq.py): present when the
@@ -93,6 +95,16 @@ class DeviceIndex:
         # Lane-aligned token axis (multiple of 128) so the fused Pallas
         # MaxSim kernel can reshape [Dblk*Td] similarity rows cleanly.
         return max(_round_up(max(self.max_doclen, 1), 128), 128)
+
+    def grid_token_axis(self) -> int:
+        """Td of the pinned grid, layout-independent (bf16 axis 1, int8
+        transposed axis 2)."""
+        assert self.token_grid is not None
+        return (
+            self.token_grid.shape[2]
+            if self.token_scales is not None
+            else self.token_grid.shape[1]
+        )
 
     def grid_bytes(self, dtype: str = "bf16") -> int:
         per_tok = self.dim * 2 if dtype == "bf16" else self.dim + 2
@@ -385,21 +397,26 @@ def _build_token_grid_int8_jit(
         maxabs = jnp.max(jnp.abs(emb), axis=-1)  # [tile, td]
         scale = jnp.where(maxabs > 0, maxabs / 127.0, 1.0)
         q = jnp.clip(jnp.round(emb / scale[:, :, None]), -127, 127)
+        # TRANSPOSED doc tiles [tile, d, Td]: the int8 kernel needs d on
+        # sublanes / tokens on lanes so the per-token dequant scale is a
+        # natural lane broadcast (ops/maxsim_kernel.py _kernel_int8t).
         return None, (
-            q.astype(jnp.int8),
+            q.astype(jnp.int8).transpose(0, 2, 1),
             jnp.where(tok_valid, scale, 0.0).astype(jnp.bfloat16),
         )
 
     starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
     _, (tiles, scales) = jax.lax.scan(build_tile, None, starts)
+    d = tiles.shape[-2]
     return (
-        tiles.reshape(n_tiles * tile, td, -1),
+        tiles.reshape(n_tiles * tile, d, td),
         scales.reshape(n_tiles * tile, td),
     )
 
 
 def _build_token_grid_int8(index: "DeviceIndex", td: int):
-    """int8 token grid + per-token bf16 scales (see with_token_grid)."""
+    """TRANSPOSED int8 token grid [nd, d, Td] + per-token bf16 scales
+    [nd, Td] (see with_token_grid)."""
     return _build_token_grid_int8_jit(
         index.codes,
         index.residuals,

@@ -63,7 +63,7 @@ def exact_all_scores(
     nd = index.num_documents
     nd_pad = index.num_docs_padded
     td = (
-        index.token_grid.shape[1]
+        index.grid_token_axis()
         if index.token_grid is not None
         else max(_round_up(max(index.max_doclen, 1), 8), 8)
     )
@@ -91,44 +91,59 @@ def exact_all_scores(
         safe = jnp.minimum(ids, nd_pad - 1)
         lens = jnp.where(ids < nd, index.doclens[safe], 0)
         tok_valid = t_arange[None, :] < lens[:, None]  # [tile, Td]
-        if index.token_grid is not None:
-            # Pinned path: contiguous slice of the pre-decompressed grid.
-            emb = jax.lax.dynamic_slice(
+        if index.token_grid is not None and index.token_scales is not None:
+            # int8 grid: TRANSPOSED doc tiles [tile, d, Td]; dequantize the
+            # slice (per-token scales broadcast over the feature axis).
+            emb_t = jax.lax.dynamic_slice(
                 index.token_grid,
                 (start, 0, 0),
-                (doc_tile, td, index.token_grid.shape[2]),
+                (doc_tile, index.token_grid.shape[1], td),
             )
-            if index.token_scales is not None:  # int8 grid: dequantize slice
-                sc = jax.lax.dynamic_slice(
-                    index.token_scales, (start, 0), (doc_tile, td)
+            sc = jax.lax.dynamic_slice(
+                index.token_scales, (start, 0), (doc_tile, td)
+            )
+            emb_t = emb_t.astype(jnp.float32) * sc.astype(jnp.float32)[:, None, :]
+            if precision != "highest":
+                emb_t = emb_t.astype(jnp.bfloat16)
+            sim = jnp.einsum(
+                "qtd,ndj->qntj",
+                q_in,
+                emb_t,
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        else:
+            if index.token_grid is not None:
+                # Pinned bf16 path: contiguous slice of the grid.
+                emb = jax.lax.dynamic_slice(
+                    index.token_grid,
+                    (start, 0, 0),
+                    (doc_tile, td, index.token_grid.shape[2]),
                 )
-                emb = emb.astype(jnp.float32) * sc.astype(jnp.float32)[..., None]
+                if precision == "highest":
+                    emb = emb.astype(jnp.float32)
+            else:
+                offs = index.doc_offsets[safe]
+                tok_pos = jnp.clip(
+                    offs[:, None] + t_arange[None, :], 0, nvec_pad - 1
+                )
+                emb = codec_ops.decompress_residuals(
+                    index.residuals[tok_pos],
+                    index.codes[tok_pos],
+                    index.centroids,
+                    index.bucket_weights,
+                    index.nbits,
+                    normalize=True,
+                )  # [tile, Td, d] — decompressed ONCE for the query batch
                 if precision != "highest":
                     emb = emb.astype(jnp.bfloat16)
-            elif precision == "highest":
-                emb = emb.astype(jnp.float32)
-        else:
-            offs = index.doc_offsets[safe]
-            tok_pos = jnp.clip(
-                offs[:, None] + t_arange[None, :], 0, nvec_pad - 1
+            sim = jnp.einsum(
+                "qtd,njd->qntj",
+                q_in,
+                emb,
+                preferred_element_type=jnp.float32,
+                precision=prec,
             )
-            emb = codec_ops.decompress_residuals(
-                index.residuals[tok_pos],
-                index.codes[tok_pos],
-                index.centroids,
-                index.bucket_weights,
-                index.nbits,
-                normalize=True,
-            )  # [tile, Td, d] — decompressed ONCE for the whole query batch
-            if precision != "highest":
-                emb = emb.astype(jnp.bfloat16)
-        sim = jnp.einsum(
-            "qtd,njd->qntj",
-            q_in,
-            emb,
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )
         sim = jnp.where(tok_valid[None, :, None, :], sim, NEG_INF)
         per_tok = jnp.max(sim, axis=-1)  # [Q, tile, Tq]
         per_tok = jnp.where(
@@ -213,12 +228,12 @@ def _exact_search_kernel(
     q_n, tq, d = queries.shape
     nd = index.num_documents
     grid = index.token_grid
-    nd_grid, td, _ = grid.shape
+    nd_grid = grid.shape[0]
     doclens = jnp.zeros((nd_grid, 1), jnp.int32)
     doclens = doclens.at[: index.num_docs_padded, 0].set(index.doclens)
 
     if grid.dtype == jnp.int8:
-        from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores_int8
+        from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores_int8t
 
         qf32 = queries.reshape(q_n * tq, d)
         maxabs = jnp.max(jnp.abs(qf32), axis=-1)  # [Qf]
@@ -227,13 +242,11 @@ def _exact_search_kernel(
             jnp.round(qf32 / jnp.where(qscale > 0, qscale, 1.0)[:, None]),
             -127, 127,
         ).astype(jnp.int8)
-        dsc_flat = (
-            index.token_scales.astype(jnp.float32).reshape(nd_grid * td, 1)
-        )
+        dscales = index.token_scales.astype(jnp.float32)  # [nd_grid, Td]
 
         def run_int8(qi_block, qs_block):
-            return maxsim_grid_scores_int8(
-                qi_block, qs_block, grid, doclens, dsc_flat, tq=tq
+            return maxsim_grid_scores_int8t(
+                qi_block, qs_block, grid, doclens, dscales, tq=tq
             )
 
         if q_scan > 1:

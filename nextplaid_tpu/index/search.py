@@ -802,7 +802,7 @@ def search_batch_async(
         )
 
         td = (
-            index.token_grid.shape[1]
+            index.grid_token_axis()
             if index.token_grid is not None
             else max(_round_up(max(index.max_doclen, 1), 8), 8)
         )

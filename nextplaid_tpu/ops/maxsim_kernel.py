@@ -18,8 +18,12 @@ reshapes like [Qf, D, Td] (relayout errors), so the doc axis lives on
 sublanes and queries arrive PRE-TRANSPOSED as [d, Q*Tq].
 
 Layout contract (matches DeviceIndex.token_grid):
-  grid_tokens [ND, Td, d] bf16, Td a multiple of 128, ND a multiple of 8,
+  bf16 grid   [ND, Td, d], Td a multiple of 128, ND a multiple of 8,
               invalid token rows zeroed;
+  int8 grid   TRANSPOSED doc tiles [ND, d, Td] + per-token scales
+              [ND, Td] (see _kernel_int8t — the transposed layout is what
+              makes the per-row dequant scale a natural lane broadcast and
+              keeps the kernel inside the ~16 MB scoped-VMEM budget);
   doclens     [ND, 1] int32 (0 for padding docs);
   queries_t   [d, Q*Tq] bf16 — padded query tokens are zero columns, so they
               contribute exactly 0 to every score.
@@ -39,12 +43,6 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30  # plain float: jnp constants would be captured as kernel consts
 DBLK = 64  # docs per grid step (fewer steps amortize per-step overhead)
 SUB = 4  # docs per in-kernel sub-step (bounds the f32 sim buffer ~6 MB)
-# int8 sub-step: the integer kernel holds BOTH the i32 dot result and its
-# f32 rescale (and the mask select) in VMEM, so it needs a 4x smaller
-# block to stay under the ~16 MB scoped-vmem limit (measured OOM at 2+).
-SUB8 = 1
-
-
 def _kernel(qt_ref, grid_ref, lens_ref, out_ref, *, tq: int):
     """One grid step: score DBLK docs against all queries.
 
@@ -86,106 +84,108 @@ def _kernel(qt_ref, grid_ref, lens_ref, out_ref, *, tq: int):
     )
 
 
-def _kernel_int8(qt_ref, grid_ref, lens_ref, dscale_ref, qscale_ref, out_ref,
-                 *, tq: int):
-    """int8 variant of one grid step.
+def _kernel_int8t(q_ref, grid_ref, lens_ref, dscale_ref, qscale_ref, out_ref,
+                  *, tq: int):
+    """TRANSPOSED int8 grid step: doc-major [dblk, d, Td] blocks.
 
-    qt_ref:     [d, Qf]          int8 (per-query-token quantized)
-    grid_ref:   [DBLK, Td, d]    int8
-    lens_ref:   [DBLK, 1]        int32
-    dscale_ref: [DBLK*Td, 1]     f32 — flat layout, row-aligned with the
-                                  reshaped sim block (no lane->sublane
-                                  relayout); 0 for invalid tokens
-    qscale_ref: [1, Qf]          f32 per-query-token scales
-    out_ref:    [DBLK, Q]        f32
+    q_ref:      [Qf, d]       int8 (row-major queries — no transpose needed)
+    grid_ref:   [dblk, d, Td] int8 (each doc a [d, Td] tile: d on sublanes,
+                               tokens on LANES)
+    lens_ref:   [dblk, 1]     int32
+    dscale_ref: [dblk, Td]    f32 — row k broadcasts over sim's LANE axis,
+                               so no [N,1] lane-padded column is ever needed
+                               (that layout cost ~25 MB of scoped VMEM and
+                               sank the row-major int8 kernel)
+    qscale_ref: [Qf, 1]       f32
+    out_ref:    [Q, dblk]     f32 — the output grid writes [Q, ND] columns
+                               directly; no final transpose
 
-    sim(t, j) ~= (qi_t . di_j) * qscale[t] * dscale[j]. qscale is constant
-    within a column, so it commutes with the row max (both positive) and is
-    applied to the per-doc maxima just before the token-sum matmul.
+    Per doc: sim = q_i8 @ doc_tile -> [Qf, Td] i32; scale by dscale[k] and
+    mask invalid token LANES; max over lanes -> [Qf, 1]; collect doc columns
+    -> [Qf, dblk]; multiply by qscale and reduce query tokens with the
+    indicator matmul G^T [Q, Qf].
     """
-    dblk, td, d = grid_ref.shape
-    qf = qt_ref.shape[1]
+    dblk, d, td = grid_ref.shape
+    qf = q_ref.shape[0]
     q_n = qf // tq
-    qt = qt_ref[:]
+    q = q_ref[:]
 
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (td, 1), 0)
-    doc_rows = []
-    for s in range(dblk // SUB8):
-        block = grid_ref[s * SUB8 : (s + 1) * SUB8].reshape(SUB8 * td, d)
-        sim_i = jnp.dot(block, qt, preferred_element_type=jnp.int32)
-        dsc = dscale_ref[s * SUB8 * td : (s + 1) * SUB8 * td]
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, td), 1)
+    cols = []
+    for k in range(dblk):
+        doc = grid_ref[k]  # [d, Td]
+        sim_i = jnp.dot(q, doc, preferred_element_type=jnp.int32)  # [Qf, Td]
+        dsc = dscale_ref[k : k + 1]  # [1, Td]
         sim = sim_i.astype(jnp.float32) * dsc
-        for k in range(SUB8):
-            doc_len = lens_ref[s * SUB8 + k, 0]
-            doc_sim = sim[k * td : (k + 1) * td]
-            masked = jnp.where(row_iota < doc_len, doc_sim, jnp.float32(NEG))
-            m = jnp.max(masked, axis=0, keepdims=True)
-            doc_rows.append(jnp.where(m > NEG / 2, m, 0.0))
-
-    scores_t = jnp.concatenate(doc_rows, axis=0)  # [DBLK, Qf]
-    scores_t = scores_t * qscale_ref[:]
+        doc_len = lens_ref[k, 0]
+        masked = jnp.where(lane_iota < doc_len, sim, jnp.float32(NEG))
+        m = jnp.max(masked, axis=1, keepdims=True)  # [Qf, 1]
+        cols.append(jnp.where(m > NEG / 2, m, 0.0))
+    scores = jnp.concatenate(cols, axis=1)  # [Qf, dblk]
+    scores = scores * qscale_ref[:]
     g = (
-        jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 0) // tq
-        == jax.lax.broadcasted_iota(jnp.int32, (qf, q_n), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (q_n, qf), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (q_n, qf), 1) // tq
     ).astype(jnp.float32)
     out_ref[:] = jnp.dot(
-        scores_t, g, preferred_element_type=jnp.float32,
+        g, scores, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("tq", "interpret"))
-def maxsim_grid_scores_int8(
+def maxsim_grid_scores_int8t(
     queries_i8: jax.Array,  # [Q*Tq, d] int8, zero rows for padded tokens
     qscales: jax.Array,  # [Q*Tq] f32 per-query-token scales (0 for padding)
-    grid_tokens: jax.Array,  # [ND, Td, d] int8
+    grid_t: jax.Array,  # [ND, d, Td] int8 (TRANSPOSED doc tiles)
     doclens: jax.Array,  # [ND, 1] int32
-    dscales_flat: jax.Array,  # [ND*Td, 1] f32 (0 for invalid tokens)
+    dscales: jax.Array,  # [ND, Td] f32 (0 for invalid tokens)
     tq: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Exhaustive MaxSim scores [Q, ND] over an int8 grid.
+    """Exhaustive MaxSim scores [Q, ND] over a TRANSPOSED int8 grid.
 
-    token ~= int8_row * scale on both sides; the int8 contraction runs on
-    the MXU's 2x-peak integer path and the grid reads half the HBM of bf16.
-    """
-    nd, td, d = grid_tokens.shape
+    The doc-major [d, Td] tile layout keeps every per-row scale a natural
+    lane broadcast and writes [Q, ND] output columns directly — the layout
+    that fits the ~16 MB scoped-VMEM budget (see _kernel_int8t)."""
+    nd, d, td = grid_t.shape
     qf = queries_i8.shape[0]
     q_n = qf // tq
-    dblk = next((d_ for d_ in (DBLK, 32, 16, 8) if nd % d_ == 0), None)
+    dblk = next((d_ for d_ in (64, 32, 16, 8) if nd % d_ == 0), None)
     assert dblk is not None, f"grid rows {nd} not a multiple of 8"
 
-    queries_t = queries_i8.T  # [d, Qf]
-
-    grid_spec = pl.GridSpec(
+    out = pl.pallas_call(
+        functools.partial(_kernel_int8t, tq=tq),
+        out_shape=jax.ShapeDtypeStruct((q_n, nd), jnp.float32),
         grid=(nd // dblk,),
         in_specs=[
-            pl.BlockSpec((d, qf), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qf, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (dblk, td, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (dblk, d, td), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((dblk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (dblk * td, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (dblk, td), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, qf), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qf, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (dblk, q_n), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (q_n, dblk), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel_int8, tq=tq),
-        out_shape=jax.ShapeDtypeStruct((nd, q_n), jnp.float32),
-        grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * qf * d * nd * td,
             bytes_accessed=nd * td * (d + 4) + qf * d + q_n * nd * 4,
             transcendentals=0,
         ),
-    )(queries_t, grid_tokens, doclens, dscales_flat, qscales.reshape(1, qf))
-    return out.T  # [Q, ND]
+    )(
+        queries_i8,
+        grid_t,
+        doclens,
+        dscales,
+        qscales.reshape(qf, 1),
+    )
+    return out  # [Q, ND]
 
 
 @functools.partial(jax.jit, static_argnames=("tq", "interpret"))

@@ -491,7 +491,7 @@ def test_int8_kernel_interpret_matches_scan(built):
 
     from nextplaid_tpu.index.exact import exact_all_scores
     from nextplaid_tpu.index.search import _pad_queries
-    from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores_int8
+    from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores_int8t
 
     docs, path, meta, index = built
     g8 = index.with_token_grid(budget_mb=10_000, dtype="int8")
@@ -502,7 +502,7 @@ def test_int8_kernel_interpret_matches_scan(built):
     want = np.asarray(exact_all_scores(g8, qd, qm, doc_tile=64))
 
     q_n, tq, d = q_arr.shape
-    nd_grid, td, _ = g8.token_grid.shape
+    nd_grid = g8.token_grid.shape[0]
     doclens = jnp.zeros((nd_grid, 1), jnp.int32)
     doclens = doclens.at[: g8.num_docs_padded, 0].set(g8.doclens)
     qf32 = qd.reshape(q_n * tq, d)
@@ -513,12 +513,12 @@ def test_int8_kernel_interpret_matches_scan(built):
         -127, 127,
     ).astype(jnp.int8)
     got = np.asarray(
-        maxsim_grid_scores_int8(
+        maxsim_grid_scores_int8t(
             qi8,
             qscale,
             g8.token_grid,
             doclens,
-            g8.token_scales.astype(jnp.float32).reshape(nd_grid * td, 1),
+            g8.token_scales.astype(jnp.float32),
             tq=tq,
             interpret=True,
         )
