@@ -138,3 +138,27 @@ def test_cli(server, tmp_path):
     assert out["status"] == "queued"
     assert out["num_documents"] == 5  # --wait default polls to convergence
     run("indices", "delete", "cliidx")
+
+
+def test_delete_wait_noop_returns_promptly(server):
+    """delete(wait=True) with a condition matching nothing must converge on
+    count stability, not poll to the timeout (review finding)."""
+    import time as _time
+
+    from nextplaid_tpu.client.client import NextPlaidClient
+
+    client = NextPlaidClient(server.url)
+    client.create_index("noopdel")
+    docs = make_docs(6, seed=77)
+    client.add("noopdel", docs, [{"g": i} for i in range(6)])
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        if client.get_index("noopdel").get("num_documents") == 6:
+            break
+        _time.sleep(0.25)
+    t0 = _time.time()
+    out = client.delete("noopdel", "g = ?", [999], wait=True, timeout=60)
+    elapsed = _time.time() - t0
+    assert out["num_documents"] == 6
+    assert elapsed < 15, f"no-op delete took {elapsed:.1f}s"
+    client.delete_index("noopdel")
