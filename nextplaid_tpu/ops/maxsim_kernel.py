@@ -145,14 +145,22 @@ def maxsim_grid_scores_int8t(
 ) -> jax.Array:
     """Exhaustive MaxSim scores [Q, ND] over a TRANSPOSED int8 grid.
 
-    The doc-major [d, Td] tile layout keeps every per-row scale a natural
-    lane broadcast and writes [Q, ND] output columns directly — the layout
-    that fits the ~16 MB scoped-VMEM budget (see _kernel_int8t)."""
+    STATUS: interpret-mode correct; NOT yet compilable on real TPUs. The
+    doc-major layout fixes the row-major kernel's lane-padded scale column,
+    but Mosaic's scoped-VMEM liveness across the unrolled per-doc loop
+    still accounts ~52 MB at production shapes (128-doc block). Production
+    int8 grids therefore route through the XLA scan path (search.py
+    kernel='auto'), which measured 268 QPS at 30M embeddings. Future work:
+    fori_loop body + VMEM scratch accumulator (needs a lane-aligned column
+    store pattern) to bound liveness."""
     nd, d, td = grid_t.shape
     qf = queries_i8.shape[0]
     q_n = qf // tq
-    dblk = next((d_ for d_ in (64, 32, 16, 8) if nd % d_ == 0), None)
-    assert dblk is not None, f"grid rows {nd} not a multiple of 8"
+    # The output block's LANE axis is the doc axis, so dblk must be a
+    # multiple of 128 (Pallas block-shape rule); the int8 grid builder pads
+    # nd to a multiple of 128 by construction.
+    dblk = 128
+    assert nd % dblk == 0, f"int8 grid rows {nd} not a multiple of {dblk}"
 
     out = pl.pallas_call(
         functools.partial(_kernel_int8t, tq=tq),
