@@ -531,19 +531,14 @@ def create_index_streamed(
             n_s = int(sample_tokens.shape[0])
             k = min(k, n_s)
             init = np.asarray(sample_tokens)[rng.permutation(n_s)[:k]]
-            # Bound the [chunk, K] assignment buffer (~256 MB) and dispatch
-            # ONE Lloyd iteration at a time: single XLA executions beyond
-            # ~60 s crash this environment's device worker, and 4 iterations
-            # over a 2M-token sample at K=131072 in full f32 precision would
-            # exceed that in one dispatch.
+            # Bound the [chunk, K] assignment buffer (~256 MB); lloyd
+            # itself dispatches one iteration per jit call.
             chunk = int(max(512, min(65536, (256 << 20) // max(k * 4, 1))))
             chunk = 1 << (chunk.bit_length() - 1)
-            cents = jnp.asarray(init)
-            for _ in range(config.kmeans_niters):
-                cents = kmeans_ops.lloyd(
-                    sample_tokens, cents, iters=1, assign_chunk=chunk
-                )
-                cents.block_until_ready()
+            cents = kmeans_ops.lloyd(
+                sample_tokens, jnp.asarray(init),
+                iters=config.kmeans_niters, assign_chunk=chunk,
+            )
             cents = np.asarray(cents)
             cents = cents / np.maximum(
                 np.linalg.norm(cents, axis=1, keepdims=True), 1e-12

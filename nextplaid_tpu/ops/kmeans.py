@@ -3,8 +3,10 @@
 Replaces the reference's external `fastkmeans-rs` chunked Lloyd's implementation
 (re-exported at `/root/reference/next-plaid/src/kmeans.rs:17-23`) with an
 on-device loop: assignment is a tiled [chunk, K] MXU matmul + argmax and the
-centroid update is a `segment_sum` — both inside one jitted `lax.scan`, so the
-whole training runs without host round-trips.
+centroid update is a SORT-REDUCE (sort rows by code, cumsum, boundary
+differences) — one jitted dispatch per Lloyd iteration. Scatter-add
+(segment_sum) and outer lax.scan formulations both measured 20-50x slower
+on this TPU (see lloyd/_lloyd_step docstrings).
 
 The sampling and sizing heuristics are kept numerically identical to the
 reference so index shapes match (kmeans.rs:261-422):
@@ -49,20 +51,25 @@ def num_partitions_heuristic(estimated_total_tokens: float) -> int:
     return 2 ** int(math.floor(math.log2(16.0 * math.sqrt(estimated_total_tokens))))
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "assign_chunk"))
 def lloyd(
     data: jax.Array,
     init_centroids: jax.Array,
     iters: int,
     assign_chunk: int = 65536,
 ) -> jax.Array:
-    """Run `iters` Lloyd iterations on device.
+    """Run `iters` Lloyd iterations, ONE DISPATCH PER ITERATION.
+
+    The iteration loop is a HOST loop over a jitted single-iteration step,
+    not a lax.scan: wrapping the (assignment scan + sort-reduce) body in an
+    outer scan measured 20-50x slower per iteration than the same body
+    dispatched standalone (80-196 s vs ~3 s for 4 iterations at
+    1.44M x 16K — XLA scheduling inside the nested scan), and per-iteration
+    dispatches also respect this environment's ~60 s execution kill limit.
 
     Args:
-      data: [N, d] training points (rows beyond the true count may be zero-padded
-        if `weights` semantics are needed — here N is exact).
+      data: [N, d] training points.
       init_centroids: [K, d].
-      iters: number of iterations (static).
+      iters: number of iterations.
       assign_chunk: row-chunk size for the assignment matmul, bounding the
         [chunk, K] score buffer (the analogue of fastkmeans' 51,200 x 10,240
         double chunking).
@@ -70,56 +77,86 @@ def lloyd(
     Returns:
       [K, d] float32 centroids (not normalized).
     """
+    centroids = init_centroids
+    for _ in range(iters):
+        centroids = _lloyd_step(data, centroids, assign_chunk=assign_chunk)
+        centroids.block_until_ready()
+    return centroids.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("assign_chunk",))
+def _lloyd_step(
+    data: jax.Array,
+    init_centroids: jax.Array,
+    assign_chunk: int = 65536,
+) -> jax.Array:
+    """One Lloyd iteration (see lloyd)."""
     n, d = data.shape
     k = init_centroids.shape[0]
 
     # Chunk by dynamic_slice with a clamped start — no padded full copy of
     # the (multi-GB) training set. The final window may overlap the previous
-    # one; overlapping rows are masked out so nothing double-counts.
+    # one; overlapping rows are marked with the sentinel code k and land in
+    # the sentinel segment, outside every real cluster's boundaries.
     n_chunks = -(-n // assign_chunk)
+    n_pad = n_chunks * min(assign_chunk, n)
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * assign_chunk
     arange = jnp.arange(assign_chunk, dtype=jnp.int32)
 
-    def step(centroids, _):
-        def per_chunk(carry, start):
-            sums, counts = carry
-            start_c = jnp.minimum(start, max(n - assign_chunk, 0))
-            chunk = jax.lax.dynamic_slice(
-                data, (start_c, 0), (min(assign_chunk, n), d)
-            )
-            pos = start_c + arange[: chunk.shape[0]]
-            valid = (pos >= start) & (pos < n)
-            scores = jnp.dot(
-                chunk,
-                centroids.T,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            scores = jnp.where(jnp.isfinite(scores), scores, -jnp.inf)
-            codes = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-            codes = jnp.where(valid, codes, k)
-            sums = sums + jax.ops.segment_sum(
-                chunk.astype(jnp.float32), codes, num_segments=k + 1
-            )[:k]
-            counts = counts + jax.ops.segment_sum(
-                valid.astype(jnp.float32), codes, num_segments=k + 1
-            )[:k]
-            return (sums, counts), None
-
-        init = (
-            jnp.zeros((k, d), jnp.float32),
-            jnp.zeros((k,), jnp.float32),
+    centroids = init_centroids
+    # Phase 1: chunked assignment (bounded [chunk, K] score tiles).
+    def per_chunk(_, start):
+        start_c = jnp.minimum(start, max(n - assign_chunk, 0))
+        chunk = jax.lax.dynamic_slice(
+            data, (start_c, 0), (min(assign_chunk, n), d)
         )
-        (sums, counts), _ = jax.lax.scan(per_chunk, init, starts)
-        new_centroids = sums / jnp.maximum(counts[:, None], 1.0)
-        # Empty clusters keep their previous centroid.
-        new_centroids = jnp.where(
-            counts[:, None] > 0, new_centroids, centroids.astype(jnp.float32)
+        pos = start_c + arange[: chunk.shape[0]]
+        valid = (pos >= start) & (pos < n)
+        # DEFAULT precision: training assignment only decides cluster
+        # membership of a heuristic — bf16 near-tie flips move points
+        # between equally-good clusters. HIGHEST cost ~19 s/iteration at
+        # 1.44M x 16K (measured; 6 MXU passes + 6x f32 score traffic)
+        # vs well under 1 s at DEFAULT. The INDEX's final codes still
+        # use HIGHEST (ops.codec.assign_codes) for reference parity.
+        scores = jnp.dot(
+            chunk,
+            centroids.T,
+            preferred_element_type=jnp.float32,
         )
-        return new_centroids.astype(centroids.dtype), None
+        scores = jnp.where(jnp.isfinite(scores), scores, -jnp.inf)
+        codes = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        return None, (jnp.where(valid, codes, k), pos)
 
-    centroids, _ = jax.lax.scan(step, init_centroids, None, length=iters)
-    return centroids.astype(jnp.float32)
+    _, (codes, pos) = jax.lax.scan(per_chunk, None, starts)
+    codes = codes.reshape(n_pad)
+    pos = pos.reshape(n_pad)
+
+    # Phase 2: cluster update by SORT-REDUCE — sort rows by code,
+    # cumulative-sum the permuted rows, difference at segment
+    # boundaries. All sorts/row-gathers/cumsums; no scatter. (XLA
+    # scatter-add — jax.ops.segment_sum — ran at ~60K rows/s on this
+    # TPU and was 90+ s of a 4-iteration Lloyd at 1.44M x 16K, the
+    # entire index-build bottleneck; a fused one-hot matmul was worse
+    # still because HIGHEST re-runs the one-hot generator per MXU pass.)
+    sorted_codes, sorted_pos = jax.lax.sort((codes, pos), num_keys=1)
+    data_sorted = data[sorted_pos].astype(jnp.float32)  # row gather
+    csum = jnp.cumsum(data_sorted, axis=0)  # [n_pad, d]
+    bounds = jnp.searchsorted(
+        sorted_codes, jnp.arange(k + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)  # [k+1]; bounds[k] ends the last real cluster
+    lo, hi = bounds[:-1], bounds[1:]
+    hi_rows = csum[jnp.maximum(hi - 1, 0)]
+    lo_rows = jnp.where(
+        (lo > 0)[:, None], csum[jnp.maximum(lo - 1, 0)], 0.0
+    )
+    counts = (hi - lo).astype(jnp.float32)
+    sums = jnp.where((hi > lo)[:, None], hi_rows - lo_rows, 0.0)
+    new_centroids = sums / jnp.maximum(counts[:, None], 1.0)
+    # Empty clusters keep their previous centroid.
+    new_centroids = jnp.where(
+        counts[:, None] > 0, new_centroids, centroids.astype(jnp.float32)
+    )
+    return new_centroids.astype(centroids.dtype)
 
 
 def prepare_training_sample(
@@ -130,7 +167,7 @@ def prepare_training_sample(
     """Shared sampling/sizing front half of centroid training (reference
     kmeans.rs:261-330): sample docs, derive K, cap points per centroid.
 
-    Returns (data_dev [N, d] device array, k, rng).
+    Returns (data_dev [N, d] device array, k, rng, samples_host [N, d]).
     """
     if len(documents_embeddings) == 0:
         raise ValueError("No documents provided")
@@ -174,7 +211,7 @@ def prepare_training_sample(
         data_dev = flat_device
     else:
         data_dev = jnp.asarray(samples)
-    return data_dev, k, rng
+    return data_dev, k, rng, samples
 
 
 def compute_kmeans(
@@ -189,11 +226,13 @@ def compute_kmeans(
 
     Returns [K, d] float32 L2-normalized centroids.
     """
-    data_dev, k, rng = prepare_training_sample(
+    data_dev, k, rng, samples_host = prepare_training_sample(
         documents_embeddings, config, flat_device
     )
     init_idx = rng.permutation(int(data_dev.shape[0]))[:k]
-    init = np.asarray(data_dev[jnp.asarray(init_idx)])
+    # Init selection on HOST: the equivalent device gather + 8 MB d2h
+    # measured 196 s through this tunnel (pathological, vs <1 s host slice).
+    init = samples_host[init_idx]
 
     # Bound the [chunk, K] assignment score buffer to ~256 MB so large-K
     # configs (e.g. 32K+ centroids at LoTTE/MS MARCO scale) fit HBM next to

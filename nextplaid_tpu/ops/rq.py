@@ -150,23 +150,15 @@ def train_rq(
     rng = np.random.default_rng(seed)
     init_c = jnp.asarray(np.asarray(sample[rng.permutation(n)[:num_coarse]]))
     chunk = 1 << 14
-    # One Lloyd iteration per dispatch: single XLA executions beyond ~60 s
-    # crash this environment's device worker, and multi-iteration scans over
-    # a 2M-token sample can exceed that.
-    coarse = init_c
-    for _ in range(iters):
-        coarse = lloyd(sample, coarse, iters=1, assign_chunk=chunk)
-        coarse.block_until_ready()
+    # lloyd dispatches one iteration per jit call (dispatch-time budget).
+    coarse = lloyd(sample, init_c, iters=iters, assign_chunk=chunk)
 
     codes = _assign_chunked(sample, coarse, chunk)
     residuals = sample - coarse[codes]
     init_f = jnp.asarray(
         np.asarray(residuals[rng.permutation(n)[:num_fine]])
     )
-    fine = init_f
-    for _ in range(iters):
-        fine = lloyd(residuals, fine, iters=1, assign_chunk=chunk)
-        fine.block_until_ready()
+    fine = lloyd(residuals, init_f, iters=iters, assign_chunk=chunk)
 
     for _ in range(refine_iters):
         coarse, fine = _refine_rq_step(sample, coarse, fine)
@@ -273,7 +265,7 @@ def compute_rq_kmeans(
     from nextplaid_tpu.ops.kmeans import KMeansConfig, prepare_training_sample
 
     config = config or KMeansConfig()
-    data_dev, k, _rng = prepare_training_sample(
+    data_dev, k, _rng, _samples = prepare_training_sample(
         documents_embeddings, config, flat_device
     )
     if k & (k - 1):
