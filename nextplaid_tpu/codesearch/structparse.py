@@ -17,7 +17,8 @@ built from scratch since tree-sitter grammars are not in this image:
     runs, and layers 2-4 (calls, control flow, variables) computed from the
     unit's token slice.
 
-Languages: javascript, typescript, go, rust, java, c, cpp, csharp, ruby.
+Languages: javascript, typescript, go, rust, java, c, cpp, csharp, ruby,
+kotlin, swift, scala, php.
 Anything else falls back to the regex layer in parser.py.
 """
 
@@ -58,6 +59,8 @@ class LexCfg:
     backtick_string: bool = False  # Go raw / JS template
     rust_raw: bool = False
     ruby: bool = False
+    triple_quote: bool = False  # Kotlin/Swift/Scala """...""" raw strings
+    heredoc: bool = False  # PHP <<<ID ... ID;
 
 
 _LEX: Dict[str, LexCfg] = {
@@ -70,6 +73,10 @@ _LEX: Dict[str, LexCfg] = {
     "cpp": LexCfg(("//",)),
     "csharp": LexCfg(("//",)),
     "ruby": LexCfg(("#",), block_comments=(("=begin", "=end"),), ruby=True),
+    "kotlin": LexCfg(("//",), nested_blocks=True, triple_quote=True),
+    "swift": LexCfg(("//",), nested_blocks=True, triple_quote=True),
+    "scala": LexCfg(("//",), nested_blocks=True, triple_quote=True),
+    "php": LexCfg(("//", "#"), heredoc=True),
 }
 
 SUPPORTED = frozenset(_LEX)
@@ -127,6 +134,45 @@ def tokenize(content: str, language: str) -> List[Tok]:
                 break
         if matched:
             continue
+        # Triple-quoted raw strings (Kotlin/Swift/Scala) — must win over
+        # the single-quote branch or the first two quotes parse as an empty
+        # string and the third opens an unterminated one.
+        if cfg.triple_quote and content.startswith('"""', i):
+            k = content.find('"""', i + 3)
+            k = n if k < 0 else k + 3
+            text = content[i:k]
+            toks.append(Tok(STR, text, line, col))
+            line += text.count("\n")
+            i = k
+            nl = content.rfind("\n", 0, k)
+            line_start = nl + 1 if nl >= 0 else line_start
+            continue
+        # PHP heredoc/nowdoc: <<<ID or <<<'ID' ... ID (terminator at line
+        # start); braces inside must not corrupt extents.
+        if cfg.heredoc and content.startswith("<<<", i):
+            j = i + 3
+            while j < n and content[j] in " \t":
+                j += 1
+            quote = content[j] if j < n and content[j] in "'\"" else ""
+            if quote:
+                j += 1
+            m0 = j
+            while j < n and (content[j].isalnum() or content[j] == "_"):
+                j += 1
+            ident = content[m0:j]
+            if ident:
+                close = re.compile(
+                    r"^[ \t]*" + re.escape(ident) + r"\b", re.M
+                )
+                mm = close.search(content, j)
+                k = mm.end() if mm else n
+                text = content[i:k]
+                toks.append(Tok(STR, text, line, col))
+                line += text.count("\n")
+                i = k
+                nl = content.rfind("\n", 0, k)
+                line_start = nl + 1 if nl >= 0 else line_start
+                continue
         # Rust raw strings r"..." / r#"..."#.
         if cfg.rust_raw and ch == "r" and i + 1 < n and content[i + 1] in '#"':
             j = i + 1
@@ -413,6 +459,13 @@ class RawDef:
     extends: Optional[str] = None
 
 
+_FN_KW = {
+    "kotlin": {"fun"},
+    "swift": {"func", "init"},
+    "scala": {"def"},
+    "php": {"function"},
+}
+
 _CLASS_KW = {
     "javascript": {"class"},
     "typescript": {"class", "interface", "enum"},
@@ -420,6 +473,10 @@ _CLASS_KW = {
     "rust": {"struct", "enum", "trait", "union"},
     "java": {"class", "interface", "enum", "record"},
     "csharp": {"class", "interface", "struct", "record", "enum"},
+    "kotlin": {"class", "interface", "object"},
+    "swift": {"class", "struct", "enum", "protocol", "extension", "actor"},
+    "scala": {"class", "object", "trait"},
+    "php": {"class", "interface", "trait", "enum"},
     "c": {"struct", "union"},
     "cpp": {"class", "struct"},
     "ruby": {"class", "module"},
@@ -468,6 +525,23 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                 if language == "rust" and toks[j].text == "where":
                     break
                 j += 1
+            if (
+                j < n
+                and toks[j].text == "("
+                and language in ("kotlin", "scala")
+            ):
+                # Primary constructor: class Repo(val db: Db) : Base() { .
+                j = _match_bracket(toks, j, "(", ")") + 1
+                while j < n and not (
+                    toks[j].kind == PUNCT and toks[j].text in "{;("
+                ):
+                    if (
+                        toks[j].kind == ID
+                        and toks[j - 1].kind == ID
+                        and toks[j - 1].text == "extends"
+                    ):
+                        extends = extends or toks[j].text
+                    j += 1
             if j < n and toks[j].text == "{":
                 end = _match_bracket(toks, j, "{", "}")
                 defs.append(
@@ -475,7 +549,7 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                            parent=parent, extends=extends)
                 )
                 if language in ("java", "csharp", "typescript", "javascript",
-                                "cpp"):
+                                "cpp", "kotlin", "swift", "scala", "php"):
                     class_stack.append((end, name))
                 i = j + 1
                 continue
@@ -598,6 +672,77 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                 if impl_type:
                     class_stack.append((end, impl_type))
             i = j + 1
+            continue
+
+        # ---- kotlin/swift/scala/php: keyword-led functions ---------------
+        if language in _FN_KW and w in _FN_KW[language]:
+            name_i = i
+            if i + 1 < n and toks[i + 1].kind == ID:
+                name_i = i + 1
+                # Kotlin extension receivers: fun String.ext(...) — the
+                # LAST dotted segment is the name.
+                while (
+                    name_i + 2 < n
+                    and toks[name_i + 1].text == "."
+                    and toks[name_i + 2].kind == ID
+                ):
+                    name_i += 2
+                name = toks[name_i].text
+                j = name_i + 1
+            elif w == "init" and i + 1 < n and toks[i + 1].text == "(":
+                name = "init"  # Swift initializer
+                j = i + 1
+            else:
+                i += 1
+                continue
+            # Generic parameter groups before the parens.
+            if j < n and toks[j].text == "<":
+                j = _match_bracket(toks, j, "<", ">") + 1
+            if language == "scala" and j < n and toks[j].text == "[":
+                j = _match_bracket(toks, j, "[", "]") + 1
+            if j < n and toks[j].text == "(":
+                p_close = _match_bracket(toks, j, "(", ")")
+                ret = None
+                body = p_close + 1
+                while body < n and not (
+                    toks[body].kind == PUNCT and toks[body].text in "{;="
+                ):
+                    if toks[body].kind == PUNCT and toks[body].text in (
+                        ":", "->",
+                    ):
+                        k2 = body + 1
+                        parts = []
+                        while k2 < n and not (
+                            toks[k2].kind == PUNCT
+                            and toks[k2].text in "{;="
+                        ):
+                            parts.append(toks[k2].text)
+                            k2 += 1
+                        ret = " ".join(parts)[:60] or None
+                    body += 1
+                # Scala/Kotlin expression bodies (`= expr`) have no brace
+                # block; only brace-bodied definitions become units here
+                # (expression forms fall to the RawCode layer).
+                if body < n and toks[body].text == "=":
+                    nxt = body + 1
+                    if nxt < n and toks[nxt].text == "{":
+                        body = nxt
+                if body < n and toks[body].text == "{":
+                    end = _match_bracket(toks, body, "{", "}")
+                    defs.append(
+                        RawDef(
+                            name,
+                            UnitType.METHOD if parent else UnitType.FUNCTION,
+                            i, name_i, body, end, parent=parent,
+                            params=_params_from_slice(
+                                toks[j + 1 : p_close], language
+                            ),
+                            return_type=ret,
+                        )
+                    )
+                    i = body + 1
+                    continue
+            i = name_i + 1
             continue
 
         # ---- js/ts: function / arrow / method ---------------------------
@@ -952,6 +1097,10 @@ _IMPORT_HEAD = {
     "c": (),
     "cpp": (),
     "ruby": ("require", "require_relative"),
+    "kotlin": ("import",),
+    "swift": ("import",),
+    "scala": ("import",),
+    "php": ("use", "require", "require_once", "include"),
 }
 
 
@@ -985,7 +1134,10 @@ def _imports(toks: Sequence[Tok], language: str, content: str) -> List[str]:
                 if t2.kind == STR:
                     add_str(t2)
                     break
-                if t2.kind == ID and language in ("rust", "java", "csharp", "go"):
+                if t2.kind == ID and language in (
+                    "rust", "java", "csharp", "go", "kotlin", "swift",
+                    "scala", "php",
+                ):
                     if t2.text not in out and t2.text not in ("static",):
                         out.append(t2.text)
                     break

@@ -483,3 +483,104 @@ def test_ruby_endless_method_does_not_desync():
     assert trip, [u.name for u in units]
     # triple's body must end at ITS `end` (line 5), not swallow the class's.
     assert trip[0].end_line <= 5
+
+
+def test_kotlin_structural():
+    src = (
+        "import kotlinx.coroutines.flow.Flow\n\n"
+        "class Repo(val db: Db) {\n"
+        "  /** Fetch a user. */\n"
+        "  fun fetch(id: Int): User {\n"
+        "    val cached = db.get(id)\n"
+        "    if (cached != null) { return cached }\n"
+        "    return db.load(id)\n"
+        "  }\n"
+        "}\n\n"
+        'fun String.brace() = "{ not a brace }"\n\n'
+        "fun top(n: Int): Int {\n"
+        "  var total = 0\n"
+        "  for (i in 0..n) { total += i }\n"
+        "  return total\n"
+        "}\n"
+    )
+    units = extract_units("repo.kt", src)
+    names = {u.name: u for u in units}
+    assert "Repo" in names and "fetch" in names and "top" in names
+    assert names["fetch"].parent_class == "Repo"
+    assert "id" in names["fetch"].parameters
+    assert names["fetch"].return_type and "User" in names["fetch"].return_type
+    assert "get" in names["fetch"].calls or "load" in names["fetch"].calls
+    assert names["top"].complexity >= 2  # the for loop
+
+
+def test_swift_structural():
+    src = (
+        "import Foundation\n\n"
+        "struct Point { }\n\n"
+        "class Shape {\n"
+        "  init(name: String) {\n"
+        "    self.name = name\n"
+        "  }\n"
+        "  func area(scale: Double) -> Double {\n"
+        "    let s = \"{ not code }\"\n"
+        "    if scale > 1 { return base * scale }\n"
+        "    return base\n"
+        "  }\n"
+        "}\n"
+    )
+    units = extract_units("shape.swift", src)
+    names = {u.name: u for u in units}
+    assert "Shape" in names and "area" in names and "init" in names
+    assert names["area"].parent_class == "Shape"
+    assert names["init"].parent_class == "Shape"
+    assert "scale" in names["area"].parameters
+
+
+def test_scala_structural():
+    src = (
+        "import scala.collection.mutable\n\n"
+        "object Calc {\n"
+        "  def sum(xs: List[Int]): Int = {\n"
+        "    var t = 0\n"
+        "    xs.foreach { x => t += x }\n"
+        "    t\n"
+        "  }\n"
+        "}\n\n"
+        "class Engine extends Base {\n"
+        "  def run(): Unit = {\n"
+        "    println(\"{ }\")\n"
+        "  }\n"
+        "}\n"
+    )
+    units = extract_units("calc.scala", src)
+    names = {u.name: u for u in units}
+    assert "Calc" in names and "sum" in names and "Engine" in names
+    assert names["sum"].parent_class == "Calc"
+    assert names["Engine"].extends == "Base"
+    assert "run" in names and names["run"].parent_class == "Engine"
+
+
+def test_php_structural():
+    src = (
+        "<?php\n"
+        "use App\\Models\\User;\n\n"
+        "class UserRepo {\n"
+        "  public function find(int $id): ?User {\n"
+        "    $sql = <<<SQL\n"
+        "SELECT * FROM users WHERE meta @> '{\"role\": \"admin\"}'\n"
+        "SQL;\n"
+        "    if ($id < 0) { return null; }\n"
+        "    return $this->query($sql, $id);\n"
+        "  }\n"
+        "}\n\n"
+        "function helper($x) {\n"
+        "  # hash comment with a brace {\n"
+        "  return $x * 2;\n"
+        "}\n"
+    )
+    units = extract_units("repo.php", src)
+    names = {u.name: u for u in units}
+    assert "UserRepo" in names and "find" in names and "helper" in names
+    assert names["find"].parent_class == "UserRepo"
+    # The heredoc's brace and the # comment's brace must not corrupt extents.
+    assert names["helper"].line > names["find"].end_line
