@@ -180,6 +180,122 @@ class AsyncNextPlaidClient:
             payload["subset"] = subset
         return await self._request("POST", endpoint, json=payload)
 
+    async def update_index_config(
+        self, name: str, max_documents: Optional[int] = None
+    ) -> Dict[str, Any]:
+        return await self._request(
+            "PUT",
+            f"/indices/{name}/config",
+            json={"max_documents": max_documents},
+        )
+
+    async def keyword_search(
+        self,
+        index_name: str,
+        queries: List[str],
+        top_k: int = 10,
+        filter_condition: Optional[str] = None,
+        filter_parameters: Optional[List[Any]] = None,
+    ) -> Dict[str, Any]:
+        return await self.search(
+            index_name,
+            queries=None,
+            top_k=top_k,
+            text_query=queries,
+            filter_condition=filter_condition,
+            filter_parameters=filter_parameters,
+        )
+
+    async def get_metadata(self, index_name: str) -> Dict[str, Any]:
+        return await self._request("GET", f"/indices/{index_name}/metadata")
+
+    async def get_metadata_count(self, index_name: str) -> Dict[str, Any]:
+        return await self._request(
+            "GET", f"/indices/{index_name}/metadata/count"
+        )
+
+    async def check_metadata(
+        self, index_name: str, document_ids: List[int]
+    ) -> Dict[str, Any]:
+        return await self._request(
+            "POST",
+            f"/indices/{index_name}/metadata/check",
+            json={"document_ids": document_ids},
+        )
+
+    async def get_metadata_by_ids(
+        self,
+        index_name: str,
+        document_ids: Optional[List[int]] = None,
+        condition: Optional[str] = None,
+        parameters: Optional[List[Any]] = None,
+        limit: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        payload: Dict[str, Any] = {}
+        if document_ids is not None:
+            payload["document_ids"] = document_ids
+        if condition is not None:
+            payload["condition"] = condition
+        if parameters:
+            payload["parameters"] = parameters
+        if limit is not None:
+            payload["limit"] = limit
+        return await self._request(
+            "POST", f"/indices/{index_name}/metadata/get", json=payload
+        )
+
+    async def update_metadata(
+        self,
+        index_name: str,
+        condition: str,
+        updates: Dict[str, Any],
+        parameters: Optional[List[Any]] = None,
+    ) -> Dict[str, Any]:
+        payload: Dict[str, Any] = {"condition": condition, "updates": updates}
+        if parameters:
+            payload["parameters"] = parameters
+        return await self._request(
+            "POST", f"/indices/{index_name}/metadata/update", json=payload
+        )
+
+    async def get_distinct_metadata(
+        self, index_name: str, column: str
+    ) -> List[str]:
+        return (
+            await self._request(
+                "POST",
+                f"/indices/{index_name}/metadata/distinct",
+                json={"column": column},
+            )
+        )["values"]
+
+    async def rerank(
+        self,
+        query: Union[ArrayLike, str],
+        documents: Union[Sequence[ArrayLike], Sequence[str]],
+        pool_factor: Optional[int] = None,
+    ) -> List[Dict[str, Any]]:
+        if isinstance(query, str):
+            payload: Dict[str, Any] = {
+                "query": query,
+                "documents": list(documents),
+            }
+            if pool_factor is not None:
+                payload["pool_factor"] = pool_factor
+            return (
+                await self._request(
+                    "POST", "/rerank_with_encoding", json=payload
+                )
+            )["results"]
+        payload = {
+            **{
+                "query_b64": _doc_payload(query)["embeddings_b64"],
+                "query_shape": _doc_payload(query)["shape"],
+            },
+            "documents": [_doc_payload(d, self.use_base64) for d in documents],
+        }
+        return (await self._request("POST", "/rerank", json=payload))["results"]
+
     async def query_metadata(
         self,
         index_name: str,

@@ -345,6 +345,17 @@ class NextPlaidClient:
             "POST", f"/indices/{index_name}/metadata/update", json=payload
         )
 
+    def get_distinct_metadata(
+        self, index_name: str, column: str
+    ) -> List[str]:
+        """Distinct string values of a metadata column (reference SDK
+        get_distinct_strings)."""
+        return self._request(
+            "POST",
+            f"/indices/{index_name}/metadata/distinct",
+            json={"column": column},
+        )["values"]
+
     # -- encode / rerank ------------------------------------------------------------------
 
     def encode(

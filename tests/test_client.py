@@ -162,3 +162,52 @@ def test_delete_wait_noop_returns_promptly(server):
     assert out["num_documents"] == 6
     assert elapsed < 15, f"no-op delete took {elapsed:.1f}s"
     client.delete_index("noopdel")
+
+
+def test_async_client_full_surface(server):
+    """Async SDK mirrors the sync surface (metadata ops, rerank, distinct,
+    keyword search, config update) — review found it missing 8 methods."""
+    import asyncio
+
+    from nextplaid_tpu.client.async_client import AsyncNextPlaidClient
+    from nextplaid_tpu.client.client import NextPlaidClient
+
+    sync = NextPlaidClient(server.url)
+    sync.create_index("asurf")
+    docs = make_docs(8, seed=91)
+    sync.add("asurf", docs, [{"tag": f"t{i % 2}", "n": i} for i in range(8)])
+    import time as _t
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        if sync.get_index("asurf").get("num_documents") == 8:
+            break
+        _t.sleep(0.25)
+
+    async def drive():
+        async with AsyncNextPlaidClient(server.url) as ac:
+            counts = await ac.get_metadata_count("asurf")
+            assert counts["count"] == 8
+            chk = await ac.check_metadata("asurf", [0, 99])
+            assert chk["existing_ids"] == [0] and chk["missing_ids"] == [99]
+            got = await ac.get_metadata_by_ids("asurf", document_ids=[2, 1])
+            assert [m["n"] for m in got["metadata"]] == [2, 1]
+            upd = await ac.update_metadata(
+                "asurf", "n = ?", {"tag": "z"}, parameters=[3]
+            )
+            assert upd["updated"] == 1
+            vals = await ac.get_distinct_metadata("asurf", "tag")
+            assert set(vals) == {"t0", "t1", "z"}
+            kw = await ac.keyword_search("asurf", ["t1"], top_k=5)
+            assert kw["results"]
+            ranked = await ac.rerank(docs[4][:4], [docs[7], docs[4]])
+            assert ranked[0]["index"] == 1
+            cfg = await ac.update_index_config("asurf", max_documents=100)
+            assert cfg
+            meta_all = await ac.get_metadata("asurf")
+            assert meta_all
+        return True
+
+    assert asyncio.run(drive())
+    # Sync distinct too.
+    assert set(sync.get_distinct_metadata("asurf", "tag")) == {"t0", "t1", "z"}
+    sync.delete_index("asurf")
