@@ -185,6 +185,32 @@ def metadata_get(ctx, index_name, ids, limit):
     )
 
 
+@metadata.command("distinct")
+@click.argument("index_name")
+@click.argument("column")
+@click.pass_context
+def metadata_distinct(ctx, index_name, column):
+    """Distinct string values of a metadata column."""
+    _echo(_client(ctx).get_distinct_metadata(index_name, column))
+
+
+@metadata.command("update")
+@click.argument("index_name")
+@click.argument("condition")
+@click.argument("updates")
+@click.option("-p", "--param", "params", multiple=True)
+@click.pass_context
+def metadata_update(ctx, index_name, condition, updates, params):
+    """Update matching rows' columns; UPDATES is a JSON object."""
+    import json as _json
+
+    _echo(
+        _client(ctx).update_metadata(
+            index_name, condition, _json.loads(updates), list(params)
+        )
+    )
+
+
 @cli.command()
 @click.argument("index_name")
 @click.argument("condition")
