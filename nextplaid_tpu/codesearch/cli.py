@@ -95,6 +95,9 @@ class _CgrepGroup(click.Group):
 @click.option("--session-hook", is_flag=True,
               help="print agent session-start context and exit")
 @click.option("-e", "--regexp", default=None, help="filter by code regex")
+@click.option("-E", "--extended-regexp", is_flag=True,
+              help="grep compatibility: -e patterns are already extended "
+              "(Python re) syntax, so this flag is accepted and inert")
 @click.option("-F", "--fixed-strings", is_flag=True,
               help="treat -e PATTERN as a literal string")
 @click.option("-w", "--word-regexp", is_flag=True,
@@ -111,10 +114,11 @@ class _CgrepGroup(click.Group):
 @click.option("--no-update", is_flag=True, help="skip auto index update")
 @click.pass_context
 def cli(ctx, query, path_, model, index_dir, top_k, session_hook, regexp,
-        fixed_strings, word_regexp, ignore_case, files_only, count_only,
-        line_numbers, includes, excludes, exclude_dirs, json_out,
+        extended_regexp, fixed_strings, word_regexp, ignore_case, files_only,
+        count_only, line_numbers, includes, excludes, exclude_dirs, json_out,
         no_rank_boosts, no_update):
     """Semantic code search. QUERY searches; subcommands manage the index."""
+    del extended_regexp  # grep-compat no-op: -e is extended syntax already
     ctx.ensure_object(dict)
     ctx.obj.update(path=path_, model=model, index_dir=index_dir)
     if ctx.invoked_subcommand is not None:
