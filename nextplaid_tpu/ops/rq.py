@@ -169,6 +169,28 @@ def train_rq(
     )
 
 
+
+def _sorted_segment_sum(rows: jax.Array, codes: jax.Array, num_segments: int):
+    """Scatter-free segment sum+count: sort rows by code, cumsum, boundary
+    differences (the ops.kmeans sort-reduce pattern; XLA scatter-add runs at
+    ~60K rows/s on TPU). Codes >= num_segments act as drop sentinels.
+    Returns (sums [num_segments, d], counts [num_segments])."""
+    n_local = rows.shape[0]
+    pos = jnp.arange(n_local, dtype=jnp.int32)
+    sorted_codes, sorted_pos = jax.lax.sort((codes, pos), num_keys=1)
+    rows_sorted = rows[sorted_pos]
+    csum = jnp.cumsum(rows_sorted, axis=0)
+    bounds = jnp.searchsorted(
+        sorted_codes, jnp.arange(num_segments + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    lo, hi = bounds[:-1], bounds[1:]
+    hi_rows = csum[jnp.maximum(hi - 1, 0)]
+    lo_rows = jnp.where((lo > 0)[:, None], csum[jnp.maximum(lo - 1, 0)], 0.0)
+    counts = (hi - lo).astype(jnp.float32)
+    sums = jnp.where((hi > lo)[:, None], hi_rows - lo_rows, 0.0)
+    return sums, counts
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "kblk"))
 def _refine_rq_step(
     sample: jax.Array,
@@ -227,14 +249,12 @@ def _refine_rq_step(
         fc = jnp.where(ok, idx % f_n, f_n)
         res_c = jnp.where(ok[:, None], rows - fine[jnp.minimum(fc, f_n - 1)], 0.0)
         res_f = jnp.where(ok[:, None], rows - coarse[jnp.minimum(cc, c_n - 1)], 0.0)
-        c_sum = c_sum + jax.ops.segment_sum(res_c, cc, num_segments=c_n + 1)[:c_n]
-        c_cnt = c_cnt + jax.ops.segment_sum(
-            ok.astype(jnp.float32), cc, num_segments=c_n + 1
-        )[:c_n]
-        f_sum = f_sum + jax.ops.segment_sum(res_f, fc, num_segments=f_n + 1)[:f_n]
-        f_cnt = f_cnt + jax.ops.segment_sum(
-            ok.astype(jnp.float32), fc, num_segments=f_n + 1
-        )[:f_n]
+        cs, cn = _sorted_segment_sum(res_c, cc, c_n)
+        fs, fn_ = _sorted_segment_sum(res_f, fc, f_n)
+        c_sum = c_sum + cs
+        c_cnt = c_cnt + cn
+        f_sum = f_sum + fs
+        f_cnt = f_cnt + fn_
         return (c_sum, c_cnt, f_sum, f_cnt), None
 
     init = (
