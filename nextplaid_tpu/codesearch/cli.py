@@ -78,10 +78,21 @@ class _CgrepGroup(click.Group):
     """Group whose optional QUERY argument would otherwise swallow the
     subcommand token (`cgrep settings --set k v` parsed QUERY="settings" and
     then died on --set). When the FIRST token names a subcommand, shim an
-    empty QUERY so click resolves the subcommand and its own options."""
+    empty QUERY so click resolves the subcommand and its own options.
+
+    Single-word queries that collide with a command name are therefore
+    RESERVED (matching the reference CLI, where clap resolves subcommands
+    first): `cgrep update` self-updates, it does not search. The escape
+    hatch is the end-of-options marker — `cgrep -- update` searches for the
+    literal word. Multi-word queries are never shadowed (`cgrep "update
+    logic"` searches)."""
 
     def parse_args(self, ctx, args):
-        if args and args[0] in self.commands:
+        if args and args[0] == "--":
+            # Explicit literal query: suppress the command-name re-dispatch
+            # in cli() below.
+            ctx.meta["cgrep_literal_query"] = True
+        elif args and args[0] in self.commands:
             args = ["", *args]
         return super().parse_args(ctx, args)
 
@@ -117,7 +128,11 @@ def cli(ctx, query, path_, model, index_dir, top_k, session_hook, regexp,
         extended_regexp, fixed_strings, word_regexp, ignore_case, files_only,
         count_only, line_numbers, includes, excludes, exclude_dirs, json_out,
         no_rank_boosts, no_update):
-    """Semantic code search. QUERY searches; subcommands manage the index."""
+    """Semantic code search. QUERY searches; subcommands manage the index.
+
+    Single words naming a subcommand are reserved for that subcommand;
+    search for them literally with `cgrep -- WORD`.
+    """
     del extended_regexp  # grep-compat no-op: -e is extended syntax already
     ctx.ensure_object(dict)
     ctx.obj.update(path=path_, model=model, index_dir=index_dir)
@@ -128,8 +143,9 @@ def cli(ctx, query, path_, model, index_dir, top_k, session_hook, regexp,
         return
     # The optional QUERY argument consumes the first bare token before click
     # resolves subcommands; re-dispatch when it names one (colgrep's
-    # default-search-plus-subcommands UX).
-    if query in cli.commands:
+    # default-search-plus-subcommands UX) — unless the user passed `--`
+    # (end of options), which forces a literal search.
+    if query in cli.commands and not ctx.meta.get("cgrep_literal_query"):
         ctx.invoke(cli.commands[query])
         return
     if not query:
@@ -317,7 +333,9 @@ def self_update():
     click.echo(f"current version: {ver}")
     raise click.ClickException(
         "self-update needs network access (pip install --upgrade "
-        "nextplaid-tpu); this environment has no egress"
+        "nextplaid-tpu); this environment has no egress. (Searching for "
+        "the word 'update'? command names are reserved — use: "
+        "cgrep -- update)"
     )
 
 

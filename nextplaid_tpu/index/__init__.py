@@ -1,6 +1,10 @@
 """Index layer: build, device container, staged search, update, delete."""
 
-from nextplaid_tpu.index.build import create_index  # noqa: F401
+from nextplaid_tpu.index.build import (  # noqa: F401
+    create_index,
+    create_index_from_device,
+    create_index_streamed,
+)
 from nextplaid_tpu.index.config import (  # noqa: F401
     IndexConfig,
     Metadata,

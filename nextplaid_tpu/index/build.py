@@ -51,6 +51,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Below this many tokens the streamed build's IVF uses the host lexsort
+# (build_ivf); above it, the device sort (_ivf_from_codes_device). Host
+# lexsort is ~0.5 s at 1.4M tokens and ~minutes at 64M; the device path
+# executes in seconds at any scale but costs ~40 s of XLA sort-program
+# compiles when the compile cache is cold.
+_IVF_HOST_MAX_TOKENS = 16_000_000
+
+
 def assign_with_artifacts(
     emb_device: jax.Array, artifacts: CodecArtifacts
 ) -> jax.Array:
@@ -530,13 +538,21 @@ def create_index_streamed(
             )
             n_s = int(sample_tokens.shape[0])
             k = min(k, n_s)
-            init = np.asarray(sample_tokens)[rng.permutation(n_s)[:k]]
+            # Init selection stays ON DEVICE: gather k random rows by a
+            # host-generated permutation (tiny h2d of indices). The former
+            # np.asarray(sample_tokens) materialized the WHOLE training
+            # sample to host — hundreds of MB of d2h at megascale, through
+            # a tunnel measured as slow as 1.4 MB/s (round 3).
+            init_idx = jnp.asarray(
+                rng.permutation(n_s)[:k].astype(np.int32)
+            )
+            init = jnp.take(sample_tokens, init_idx, axis=0)
             # Bound the [chunk, K] assignment buffer (~256 MB); lloyd
             # itself dispatches one iteration per jit call.
             chunk = int(max(512, min(65536, (256 << 20) // max(k * 4, 1))))
             chunk = 1 << (chunk.bit_length() - 1)
             cents = kmeans_ops.lloyd(
-                sample_tokens, jnp.asarray(init),
+                sample_tokens, init,
                 iters=config.kmeans_niters, assign_chunk=chunk,
             )
             cents = np.asarray(cents)
@@ -566,6 +582,7 @@ def create_index_streamed(
         layout = IndexLayout(index_path)
         layout.root.mkdir(parents=True, exist_ok=True)
         all_codes_dev: List[jax.Array] = []
+        all_codes_host: List[np.ndarray] = []
         all_doclens: List[np.ndarray] = []
         offset = 0
         i = -1
@@ -592,12 +609,11 @@ def create_index_streamed(
             atomic_write_json(
                 layout.chunk_doclens(i), [int(x) for x in doclens], indent=0
             )
-            atomic_write_npy(
-                layout.chunk_codes(i),
-                np.asarray(codes_dev).astype(np.int64),
-            )
+            codes_host = np.asarray(codes_dev).astype(np.int64)
+            atomic_write_npy(layout.chunk_codes(i), codes_host)
             atomic_write_npy(layout.chunk_residuals(i), np.asarray(packed))
             all_codes_dev.append(codes_dev)
+            all_codes_host.append(codes_host)
             all_doclens.append(doclens)
         num_chunks = i + 1
         if num_chunks == 0:
@@ -623,11 +639,23 @@ def create_index_streamed(
 
         _progress("ivf")
         doclens_all = np.concatenate(all_doclens)
-        ivf_data, ivf_lengths = _ivf_from_codes_device(
-            jnp.concatenate(all_codes_dev),
-            doclens_all,
-            centroids.shape[0],
-        )
+        if offset <= _IVF_HOST_MAX_TOKENS:
+            # Host lexsort: ~0.5 s at 1.4M tokens, vs ~40 s of cold XLA
+            # compile for the device sort programs (the device path's two
+            # multi-operand sorts each cost ~18 s to compile through the
+            # tunnel — round 3). Device IVF only pays off at mega-scale,
+            # where the host lexsort takes minutes.
+            ivf_data, ivf_lengths = build_ivf(
+                np.concatenate(all_codes_host),
+                doclens_all,
+                centroids.shape[0],
+            )
+        else:
+            ivf_data, ivf_lengths = _ivf_from_codes_device(
+                jnp.concatenate(all_codes_dev),
+                doclens_all,
+                centroids.shape[0],
+            )
         atomic_write_npy(layout.ivf, ivf_data)
         atomic_write_npy(layout.ivf_lengths, ivf_lengths.astype(np.int32))
 
@@ -662,6 +690,43 @@ def _residual_quantize_tiled_jit(emb, codes, centroids, cutoffs, nbits, tile):
 
     _, packed = jax.lax.scan(step, None, starts)
     return packed.reshape(n_tiles * min(tile, n), -1)
+
+
+def create_index_from_device(
+    tokens: jax.Array,
+    doclens: Sequence[int],
+    index_path: str,
+    config: Optional[IndexConfig] = None,
+) -> Metadata:
+    """Build an index from a DEVICE-RESIDENT token matrix.
+
+    This is the TPU-production ingest path: the on-device encoder's output
+    ([sum(doclens), d] f32, document token rows concatenated) feeds the
+    builder directly — the corpus never makes a host round trip. Through
+    this environment's tunnel, host->device of a SciFact-scale corpus
+    (737 MB) measured anywhere from 27 s to 506 s (27 to 1.4 MB/s, round 3);
+    on a real pod the same principle holds — HBM-resident encoder output
+    should not detour through host RAM to be indexed.
+
+    Heuristics match `create_index` (reference index.rs:927-971): K from the
+    token-count heuristic, codec trained on a 50K-token held-out slice,
+    k-means over the full corpus (SciFact-scale sampling selects everything
+    anyway; pass config.n_samples_kmeans to subsample).
+    """
+    config = config or IndexConfig()
+    doclens_np = np.asarray(list(doclens), np.int64)
+    total = int(doclens_np.sum())
+    if tokens.shape[0] != total:
+        raise ValueError(
+            f"tokens has {tokens.shape[0]} rows but doclens sum to {total}"
+        )
+    return create_index_streamed(
+        [DeviceChunk(tokens=tokens, doclens=doclens_np)],
+        index_path,
+        config,
+        sample_tokens=tokens,
+        est_total_tokens=total,
+    )
 
 
 def _residual_quantize_tiled(emb, codes, centroids, cutoffs, nbits, tile=262_144):

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import os
 from dataclasses import dataclass
 from typing import List, Optional
@@ -135,6 +136,23 @@ class DeviceIndex:
             if self.grid_bytes("bf16") <= budget:
                 dtype = "bf16"
             elif self.grid_bytes("int8") <= budget:
+                # Loud, because this changes scoring precision for every
+                # query on this index: measured recall@10 0.992 -> 0.977 at
+                # 30M embeddings (docs/benchmarks/megascale_30m_int8.json).
+                # Operators who want full precision should raise
+                # NEXT_PLAID_PIN_BUDGET_MB (bf16 grid), accept the slower
+                # unpinned scan (NEXT_PLAID_PIN_DTYPE=bf16, which skips
+                # pinning when over budget), or shard across chips.
+                logging.getLogger(__name__).warning(
+                    "token grid auto-pinning falling back to int8: bf16 "
+                    "grid needs %d MB > budget %d MB. Exact-search scores "
+                    "are now int8-quantized (recall@10 delta ~-0.015 at "
+                    "30M embeddings). Set NEXT_PLAID_PIN_DTYPE=bf16 to "
+                    "keep full precision (unpinned if over budget), or "
+                    "int8 to silence this warning.",
+                    self.grid_bytes("bf16") >> 20,
+                    budget_mb,
+                )
                 dtype = "int8"
             else:
                 return self

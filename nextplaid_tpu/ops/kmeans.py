@@ -6,7 +6,10 @@ on-device loop: assignment is a tiled [chunk, K] MXU matmul + argmax and the
 centroid update is a SORT-REDUCE (sort rows by code, cumsum, boundary
 differences) — one jitted dispatch per Lloyd iteration. Scatter-add
 (segment_sum) and outer lax.scan formulations both measured 20-50x slower
-on this TPU (see lloyd/_lloyd_step docstrings).
+on this TPU (see lloyd/_lloyd_update docstrings), and the assignment and
+update phases are dispatched as TWO SEPARATE programs: the fused single
+program cost ~340 s of XLA compile through the axon tunnel vs ~20 s for
+the halves (measured round 3).
 
 The sampling and sizing heuristics are kept numerically identical to the
 reference so index shapes match (kmeans.rs:261-422):
@@ -79,20 +82,30 @@ def lloyd(
     """
     centroids = init_centroids
     for _ in range(iters):
-        centroids = _lloyd_step(data, centroids, assign_chunk=assign_chunk)
+        codes, pos = _lloyd_assign(data, centroids, assign_chunk=assign_chunk)
+        sorted_codes, data_sorted = _lloyd_sort(codes, pos, data)
+        centroids = _lloyd_reduce(sorted_codes, data_sorted, centroids)
         centroids.block_until_ready()
     return centroids.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("assign_chunk",))
-def _lloyd_step(
+def _lloyd_assign(
     data: jax.Array,
-    init_centroids: jax.Array,
+    centroids: jax.Array,
     assign_chunk: int = 65536,
-) -> jax.Array:
-    """One Lloyd iteration (see lloyd)."""
+):
+    """Lloyd phase 1: chunked assignment (bounded [chunk, K] score tiles).
+
+    A SEPARATE dispatch from the sort-reduce update on purpose: the fused
+    (assignment scan + sort-reduce) single program costs ~340 s to compile
+    cold through the axon tunnel, while the two halves compile in ~1 s and
+    ~19 s respectively (measured round 3; the combination explodes XLA
+    compile time superlinearly). Execution cost of the extra dispatch is
+    noise; codes/pos stay on device.
+    """
     n, d = data.shape
-    k = init_centroids.shape[0]
+    k = centroids.shape[0]
 
     # Chunk by dynamic_slice with a clamped start — no padded full copy of
     # the (multi-GB) training set. The final window may overlap the previous
@@ -103,8 +116,6 @@ def _lloyd_step(
     starts = jnp.arange(n_chunks, dtype=jnp.int32) * assign_chunk
     arange = jnp.arange(assign_chunk, dtype=jnp.int32)
 
-    centroids = init_centroids
-    # Phase 1: chunked assignment (bounded [chunk, K] score tiles).
     def per_chunk(_, start):
         start_c = jnp.minimum(start, max(n - assign_chunk, 0))
         chunk = jax.lax.dynamic_slice(
@@ -128,29 +139,108 @@ def _lloyd_step(
         return None, (jnp.where(valid, codes, k), pos)
 
     _, (codes, pos) = jax.lax.scan(per_chunk, None, starts)
-    codes = codes.reshape(n_pad)
-    pos = pos.reshape(n_pad)
+    return codes.reshape(n_pad), pos.reshape(n_pad)
 
-    # Phase 2: cluster update by SORT-REDUCE — sort rows by code,
-    # cumulative-sum the permuted rows, difference at segment
-    # boundaries. All sorts/row-gathers/cumsums; no scatter. (XLA
-    # scatter-add — jax.ops.segment_sum — ran at ~60K rows/s on this
-    # TPU and was 90+ s of a 4-iteration Lloyd at 1.44M x 16K, the
-    # entire index-build bottleneck; a fused one-hot matmul was worse
-    # still because HIGHEST re-runs the one-hot generator per MXU pass.)
-    sorted_codes, sorted_pos = jax.lax.sort((codes, pos), num_keys=1)
-    data_sorted = data[sorted_pos].astype(jnp.float32)  # row gather
-    csum = jnp.cumsum(data_sorted, axis=0)  # [n_pad, d]
+
+SEGSUM_BLOCK = 65536
+
+
+def sorted_segment_sums(
+    rows_sorted: jax.Array,
+    sorted_codes: jax.Array,
+    num_segments: int,
+    block: int = SEGSUM_BLOCK,
+):
+    """Segment sums/counts over rows ALREADY SORTED by code, scatter-free.
+
+    BLOCK-LOCAL cumulative sums: the array is processed in blocks of
+    `block` rows; each block computes its own f32 cumsum and contributes
+    boundary-difference partials that are accumulated across blocks with
+    plain adds. A single full-length cumsum loses several significant
+    digits at megascale — the boundary difference csum[hi]-csum[lo]
+    cancels against a prefix whose magnitude grows with the whole array
+    (same-sign coordinate runs within sorted clusters), while block-local
+    prefixes are bounded by one block's content (advisor finding, round 2).
+
+    Codes >= num_segments act as drop sentinels (they sort past
+    bounds[num_segments]). Returns (sums [num_segments, d] f32,
+    counts [num_segments] f32).
+    """
+    n, d = rows_sorted.shape
+    k = num_segments
     bounds = jnp.searchsorted(
         sorted_codes, jnp.arange(k + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)  # [k+1]; bounds[k] ends the last real cluster
+    ).astype(jnp.int32)  # [k+1]; bounds[k] ends the last real segment
     lo, hi = bounds[:-1], bounds[1:]
-    hi_rows = csum[jnp.maximum(hi - 1, 0)]
-    lo_rows = jnp.where(
-        (lo > 0)[:, None], csum[jnp.maximum(lo - 1, 0)], 0.0
-    )
     counts = (hi - lo).astype(jnp.float32)
-    sums = jnp.where((hi > lo)[:, None], hi_rows - lo_rows, 0.0)
+
+    block = min(block, max(n, 1))
+    n_pad = _ceil_to(n, block)
+    if n_pad != n:
+        # Zero rows with sentinel-beyond-bounds semantics: appended rows
+        # keep the array sorted (their implied code is past every real
+        # segment) and a zero row contributes nothing regardless.
+        rows_sorted = jnp.concatenate(
+            [rows_sorted, jnp.zeros((n_pad - n, d), rows_sorted.dtype)]
+        )
+    nb = n_pad // block
+    blocks = rows_sorted.reshape(nb, block, d)
+
+    def per_block(acc, args):
+        b_idx, blk = args
+        csum = jnp.cumsum(blk.astype(jnp.float32), axis=0)
+        lob = jnp.clip(lo - b_idx * block, 0, block)
+        hib = jnp.clip(hi - b_idx * block, 0, block)
+        hi_rows = jnp.where(
+            (hib > 0)[:, None], csum[jnp.maximum(hib - 1, 0)], 0.0
+        )
+        lo_rows = jnp.where(
+            (lob > 0)[:, None], csum[jnp.maximum(lob - 1, 0)], 0.0
+        )
+        part = jnp.where((hib > lob)[:, None], hi_rows - lo_rows, 0.0)
+        return acc + part, None
+
+    sums, _ = jax.lax.scan(
+        per_block,
+        jnp.zeros((k, d), jnp.float32),
+        (jnp.arange(nb, dtype=jnp.int32), blocks),
+    )
+    return sums, counts
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.jit
+def _lloyd_sort(codes: jax.Array, pos: jax.Array, data: jax.Array):
+    """Lloyd phase 2a: sort rows by code + permute the data rows.
+
+    Its OWN dispatch (~18 s cold compile for the 2-operand sort alone):
+    combining the sort with either the assignment scan or the blocked
+    reduce scan in one program blows XLA compile time up by an order of
+    magnitude through the axon tunnel (round-3 measurements: fused
+    assign+sort ~340 s; sort+reduce-scan >900 s).
+    """
+    sorted_codes, sorted_pos = jax.lax.sort((codes, pos), num_keys=1)
+    return sorted_codes, data[sorted_pos].astype(jnp.float32)
+
+
+@jax.jit
+def _lloyd_reduce(
+    sorted_codes: jax.Array,
+    data_sorted: jax.Array,
+    centroids: jax.Array,
+) -> jax.Array:
+    """Lloyd phase 2b: segment means by block-local cumulative sums +
+    boundary differences (sorted_segment_sums). No scatter: XLA
+    scatter-add — jax.ops.segment_sum — ran at ~60K rows/s on this TPU
+    and was 90+ s of a 4-iteration Lloyd at 1.44M x 16K, the entire
+    index-build bottleneck; a fused one-hot matmul was worse still
+    because HIGHEST re-runs the one-hot generator per MXU pass.
+    """
+    k = centroids.shape[0]
+    sums, counts = sorted_segment_sums(data_sorted, sorted_codes, k)
     new_centroids = sums / jnp.maximum(counts[:, None], 1.0)
     # Empty clusters keep their previous centroid.
     new_centroids = jnp.where(

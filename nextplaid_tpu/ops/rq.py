@@ -171,24 +171,17 @@ def train_rq(
 
 
 def _sorted_segment_sum(rows: jax.Array, codes: jax.Array, num_segments: int):
-    """Scatter-free segment sum+count: sort rows by code, cumsum, boundary
-    differences (the ops.kmeans sort-reduce pattern; XLA scatter-add runs at
-    ~60K rows/s on TPU). Codes >= num_segments act as drop sentinels.
-    Returns (sums [num_segments, d], counts [num_segments])."""
+    """Scatter-free segment sum+count: sort rows by code, block-local
+    cumsums, boundary differences (ops.kmeans.sorted_segment_sums; XLA
+    scatter-add runs at ~60K rows/s on TPU). Codes >= num_segments act as
+    drop sentinels. Returns (sums [num_segments, d], counts [num_segments])."""
+    from nextplaid_tpu.ops.kmeans import sorted_segment_sums
+
     n_local = rows.shape[0]
     pos = jnp.arange(n_local, dtype=jnp.int32)
     sorted_codes, sorted_pos = jax.lax.sort((codes, pos), num_keys=1)
     rows_sorted = rows[sorted_pos]
-    csum = jnp.cumsum(rows_sorted, axis=0)
-    bounds = jnp.searchsorted(
-        sorted_codes, jnp.arange(num_segments + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
-    lo, hi = bounds[:-1], bounds[1:]
-    hi_rows = csum[jnp.maximum(hi - 1, 0)]
-    lo_rows = jnp.where((lo > 0)[:, None], csum[jnp.maximum(lo - 1, 0)], 0.0)
-    counts = (hi - lo).astype(jnp.float32)
-    sums = jnp.where((hi > lo)[:, None], hi_rows - lo_rows, 0.0)
-    return sums, counts
+    return sorted_segment_sums(rows_sorted, sorted_codes, num_segments)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "kblk"))

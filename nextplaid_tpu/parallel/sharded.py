@@ -493,26 +493,19 @@ def lloyd_sharded(
             codes = jnp.where(
                 local_valid, jnp.argmax(scores, axis=-1).astype(jnp.int32), k
             )
-            # Per-shard SORT-REDUCE (sort by code, cumsum, boundary diffs),
-            # the same formulation as ops.kmeans._lloyd_step: XLA scatter-add
-            # (segment_sum) runs at ~60K rows/s on a real TPU, which would
-            # make every sharded iteration scatter-bound. Sentinel codes (k)
-            # sort past bounds[k] and drop out.
+            # Per-shard SORT-REDUCE (sort by code, block-local cumsums,
+            # boundary diffs), the same formulation as
+            # ops.kmeans._lloyd_update: XLA scatter-add (segment_sum) runs
+            # at ~60K rows/s on a real TPU, which would make every sharded
+            # iteration scatter-bound. Sentinel codes (k) sort past
+            # bounds[k] and drop out.
+            from nextplaid_tpu.ops.kmeans import sorted_segment_sums
+
             n_local = local_data.shape[0]
             pos = jnp.arange(n_local, dtype=jnp.int32)
             sorted_codes, sorted_pos = jax.lax.sort((codes, pos), num_keys=1)
             data_sorted = local_data[sorted_pos]
-            csum = jnp.cumsum(data_sorted, axis=0)
-            bounds = jnp.searchsorted(
-                sorted_codes, jnp.arange(k + 1, dtype=jnp.int32)
-            ).astype(jnp.int32)
-            lo, hi = bounds[:-1], bounds[1:]
-            hi_rows = csum[jnp.maximum(hi - 1, 0)]
-            lo_rows = jnp.where(
-                (lo > 0)[:, None], csum[jnp.maximum(lo - 1, 0)], 0.0
-            )
-            counts = (hi - lo).astype(jnp.float32)
-            sums = jnp.where((hi > lo)[:, None], hi_rows - lo_rows, 0.0)
+            sums, counts = sorted_segment_sums(data_sorted, sorted_codes, k)
             sums = jax.lax.psum(sums, DOC_AXIS)
             counts = jax.lax.psum(counts, DOC_AXIS)
             new_c = sums / jnp.maximum(counts[:, None], 1.0)

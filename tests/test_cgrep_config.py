@@ -161,3 +161,16 @@ def test_strip_section_stray_end_marker(tmp_path):
     # Unterminated BEGIN:
     out2 = _strip_section("keep me\n" + MARKER_BEGIN + "\nrest without end")
     assert out2 == "keep me\n"
+
+
+def test_command_name_query_escape_hatch():
+    """`cgrep update` is the subcommand; `cgrep -- update` is a literal
+    search (advisor finding: natural-language queries shadowed by the new
+    command names need a documented escape hatch)."""
+    from nextplaid_tpu.codesearch.cli import cli
+
+    r = CliRunner().invoke(cli, ["--", "update"], obj={})
+    # The literal search path runs (and fails for want of a model) instead
+    # of the self-update command.
+    assert "self-update" not in r.output
+    assert "No encoder model" in r.output, r.output

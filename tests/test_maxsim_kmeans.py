@@ -165,3 +165,47 @@ def test_pallas_maxsim_kernel_interpret():
             sim = qb[q, :5] @ gb[n, : lens[n]].T
             want[q, n] = sim.max(axis=1).sum()
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_sorted_segment_sums_blocked_precision():
+    """Block-local cumsums must beat the full-length cumsum's boundary-
+    difference cancellation on adversarial (same-sign, long-prefix) data
+    (advisor finding, round 2)."""
+    import jax.numpy as jnp
+
+    from nextplaid_tpu.ops.kmeans import sorted_segment_sums
+
+    rng = np.random.default_rng(0)
+    n, k, d = 300_000, 64, 4
+    # All-positive values: the full-length f32 cumsum prefix grows to
+    # ~n*mean while late segments sum to ~(n/k)*mean — guaranteed digit
+    # loss in csum[hi] - csum[lo].
+    rows = (1.0 + 0.5 * rng.random((n, d))).astype(np.float32)
+    codes = np.sort(rng.integers(0, k, n)).astype(np.int32)
+
+    truth = np.zeros((k, d), np.float64)
+    for seg in range(k):
+        truth[seg] = rows[codes == seg].astype(np.float64).sum(0)
+
+    blocked, counts = sorted_segment_sums(
+        jnp.asarray(rows), jnp.asarray(codes), k, block=16384
+    )
+    blocked = np.asarray(blocked, np.float64)
+
+    # Reference full-length-cumsum formulation, on host in f32.
+    csum = np.cumsum(rows.astype(np.float32), axis=0, dtype=np.float32)
+    bounds = np.searchsorted(codes, np.arange(k + 1))
+    full = np.zeros((k, d), np.float64)
+    for seg in range(k):
+        lo, hi = bounds[seg], bounds[seg + 1]
+        full[seg] = (
+            csum[hi - 1] - (csum[lo - 1] if lo > 0 else 0.0)
+        ).astype(np.float64)
+
+    err_blocked = np.abs(blocked - truth).max()
+    err_full = np.abs(full - truth).max()
+    assert err_blocked < err_full / 4, (err_blocked, err_full)
+    # And absolutely tight: relative error at the block scale only.
+    rel = err_blocked / np.abs(truth).max()
+    assert rel < 1e-5, rel
+    assert counts.sum() == n

@@ -127,3 +127,41 @@ def test_streamed_build_rq_structure(corpus, tmp_path):
 def test_streamed_build_requires_sample():
     with pytest.raises(ValueError):
         create_index_streamed(iter(()), "/tmp/nope", IndexConfig())
+
+
+def test_create_index_from_device(corpus, tmp_path):
+    """Device-native ingest (create_index_from_device): the production path
+    where the encoder's on-device output feeds the builder directly."""
+    from nextplaid_tpu.index import create_index_from_device
+
+    docs, topics = corpus
+    doclens = [d.shape[0] for d in docs]
+    tokens = jnp.asarray(np.concatenate(docs))
+    path = str(tmp_path / "device_native")
+    meta = create_index_from_device(
+        tokens, doclens, path, IndexConfig(nbits=4, seed=42)
+    )
+    assert meta.num_documents == len(docs)
+    assert meta.num_embeddings == sum(doclens)
+
+    idx = DeviceIndex.load(path)
+    rng = np.random.default_rng(2)
+    queries = []
+    for _ in range(6):
+        t = topics[rng.integers(0, len(topics), size=6)]
+        queries.append(
+            _unit(t + 0.15 * rng.standard_normal((6, 24))).astype(np.float32)
+        )
+    res = search_batch(idx, queries, SearchParameters(top_k=5, mode="exact"))
+
+    def maxsim(q, d):
+        return (q @ d.T).max(axis=1).sum()
+
+    truth = [int(np.argmax([maxsim(q, d) for d in docs])) for q in queries]
+    assert sum(t in r.passage_ids for t, r in zip(truth, res)) >= 5
+
+    # doclens mismatch is rejected
+    with pytest.raises(ValueError):
+        create_index_from_device(
+            tokens, doclens[:-1], str(tmp_path / "bad"), IndexConfig()
+        )
