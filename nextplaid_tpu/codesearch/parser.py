@@ -526,15 +526,20 @@ def extract_units(path, content: Optional[str] = None) -> List[CodeUnit]:
     if language == "markdown":
         return _parse_markdown(path, content)
     if language in ("text", "yaml", "toml", "json", "dockerfile", "makefile",
-                    "cmake", "html", "css", "sql", "qml", "vue", "svelte",
-                    "powershell"):
+                    "cmake", "powershell"):
         return _parse_raw(path, content, language)
-    # Token-level structural parser for the top languages (JS/TS, Go, Rust,
-    # Java, C/C++, C#, Ruby) — layers 1-4 from the token stream; see
-    # structparse.py. Unsupported languages keep the regex layer below.
+    # Token-level structural parser (23 grammars: JS/TS, Go, Rust, Java,
+    # C/C++, C#, Ruby, Kotlin, Swift, Scala, PHP, Lua, Julia, Elixir, R,
+    # Zig, Haskell, OCaml, SQL, CSS, QML) — layers 1-4 from the token
+    # stream; see structparse.py. Vue/Svelte/HTML single-file components
+    # route their script/style blocks there via webformats.py.
+    # Unsupported languages keep the regex layer below.
     from nextplaid_tpu.codesearch.structparse import parse_structured
+    from nextplaid_tpu.codesearch.webformats import parse_web
 
-    structured = parse_structured(path, content, language)
+    structured = parse_web(path, content, language)
+    if structured is None:
+        structured = parse_structured(path, content, language)
     if structured is not None:
         units, covered = structured
         lines = content.splitlines()

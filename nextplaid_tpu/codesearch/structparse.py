@@ -18,8 +18,11 @@ built from scratch since tree-sitter grammars are not in this image:
     unit's token slice.
 
 Languages: javascript, typescript, go, rust, java, c, cpp, csharp, ruby,
-kotlin, swift, scala, php.
-Anything else falls back to the regex layer in parser.py.
+kotlin, swift, scala, php, lua, julia, elixir, r, zig, haskell, ocaml,
+sql, css, qml (reference grammar list: colgrep/src/parser/types.rs:57-97).
+Vue/Svelte/HTML single-file components route their script/style blocks
+here via codesearch/webformats.py. Anything else falls back to the regex
+layer in parser.py.
 """
 
 from __future__ import annotations
@@ -61,6 +64,14 @@ class LexCfg:
     ruby: bool = False
     triple_quote: bool = False  # Kotlin/Swift/Scala """...""" raw strings
     heredoc: bool = False  # PHP <<<ID ... ID;
+    lua_long: bool = False  # Lua [[...]] / [=[...]=] long strings
+    dollar_quote: bool = False  # SQL $$...$$ / $tag$...$tag$ bodies
+    prime_idents: bool = False  # Haskell/OCaml foo' identifiers
+    # `'` opens a char literal only when it closes within a few chars
+    # (Julia adjoint `A'`, Zig, Haskell/OCaml where `'` is also an
+    # identifier char) — otherwise it lexes as punctuation.
+    short_char_only: bool = False
+    zig_multiline: bool = False  # Zig \\...  line strings
 
 
 _LEX: Dict[str, LexCfg] = {
@@ -77,6 +88,42 @@ _LEX: Dict[str, LexCfg] = {
     "swift": LexCfg(("//",), nested_blocks=True, triple_quote=True),
     "scala": LexCfg(("//",), nested_blocks=True, triple_quote=True),
     "php": LexCfg(("//", "#"), heredoc=True),
+    # --- round-3 additions (reference grammar list, types.rs:57-97) ---
+    "lua": LexCfg(
+        ("--",),
+        block_comments=(("--[[", "]]"), ("--[=[", "]=]")),
+        lua_long=True,
+    ),
+    "julia": LexCfg(
+        ("#",),
+        block_comments=(("#=", "=#"),),
+        nested_blocks=True,
+        triple_quote=True,
+        backtick_string=True,
+        short_char_only=True,
+    ),
+    "elixir": LexCfg(("#",), block_comments=(), triple_quote=True),
+    "r": LexCfg(("#",), block_comments=()),
+    "zig": LexCfg(
+        ("//",), block_comments=(), zig_multiline=True, short_char_only=True
+    ),
+    "haskell": LexCfg(
+        ("--",),
+        block_comments=(("{-", "-}"),),
+        nested_blocks=True,
+        prime_idents=True,
+        short_char_only=True,
+    ),
+    "ocaml": LexCfg(
+        (),
+        block_comments=(("(*", "*)"),),
+        nested_blocks=True,
+        prime_idents=True,
+        short_char_only=True,
+    ),
+    "sql": LexCfg(("--",), dollar_quote=True, backtick_string=True),
+    "css": LexCfg(()),
+    "qml": LexCfg(("//",)),
 }
 
 SUPPORTED = frozenset(_LEX)
@@ -98,18 +145,10 @@ def tokenize(content: str, language: str) -> List[Tok]:
             i += 1
             continue
         col = i - line_start
-        # Comments.
+        # Comments. Block comments FIRST: several added grammars have a
+        # block opener that extends a line opener (`--[[` vs `--`,
+        # `#=` vs `#`), so the longer match must win.
         matched = False
-        for lc in cfg.line_comments:
-            if content.startswith(lc, i):
-                j = content.find("\n", i)
-                j = n if j < 0 else j
-                toks.append(Tok(COMMENT, content[i:j], line, col))
-                i = j
-                matched = True
-                break
-        if matched:
-            continue
         for bo, bc in cfg.block_comments:
             if content.startswith(bo, i):
                 if cfg.ruby and col != 0:
@@ -130,6 +169,16 @@ def tokenize(content: str, language: str) -> List[Tok]:
                 i = j
                 nl = content.rfind("\n", 0, j)
                 line_start = nl + 1 if nl >= 0 else line_start
+                matched = True
+                break
+        if matched:
+            continue
+        for lc in cfg.line_comments:
+            if content.startswith(lc, i):
+                j = content.find("\n", i)
+                j = n if j < 0 else j
+                toks.append(Tok(COMMENT, content[i:j], line, col))
+                i = j
                 matched = True
                 break
         if matched:
@@ -191,16 +240,68 @@ def tokenize(content: str, language: str) -> List[Tok]:
                 nl = content.rfind("\n", 0, k)
                 line_start = nl + 1 if nl >= 0 else line_start
                 continue
+        # Lua long strings [[...]] / [=[...]=].
+        if cfg.lua_long and ch == "[" and content[i + 1 : i + 2] in "[=":
+            m = re.match(r"\[(=*)\[", content[i:])
+            if m:
+                close = "]" + m.group(1) + "]"
+                k = content.find(close, i + m.end())
+                k = n if k < 0 else k + len(close)
+                text = content[i:k]
+                toks.append(Tok(STR, text, line, col))
+                line += text.count("\n")
+                i = k
+                nl = content.rfind("\n", 0, k)
+                line_start = nl + 1 if nl >= 0 else line_start
+                continue
+        # SQL dollar-quoted bodies: $$...$$ or $tag$...$tag$ as ONE token —
+        # semicolons/keywords inside a plpgsql body must not end statements.
+        if cfg.dollar_quote and ch == "$":
+            m = re.match(r"\$([A-Za-z_]\w*)?\$", content[i:])
+            if m:
+                tag = m.group(0)
+                k = content.find(tag, i + len(tag))
+                k = n if k < 0 else k + len(tag)
+                text = content[i:k]
+                toks.append(Tok(STR, text, line, col))
+                line += text.count("\n")
+                i = k
+                nl = content.rfind("\n", 0, k)
+                line_start = nl + 1 if nl >= 0 else line_start
+                continue
+        # Zig multiline string lines: \\ ... to end of line.
+        if cfg.zig_multiline and content.startswith("\\\\", i):
+            j = content.find("\n", i)
+            j = n if j < 0 else j
+            toks.append(Tok(STR, content[i:j], line, col))
+            i = j
+            continue
         # Strings.
         if ch in "\"'" or (cfg.backtick_string and ch == "`"):
+            if ch == "'" and cfg.short_char_only:
+                # Char literal only when it closes within a few chars
+                # ('x', '\n', '\\'); otherwise `'` is punctuation (Julia
+                # adjoint, Haskell/OCaml prime names).
+                m = re.match(r"'(?:\\.|[^'\\\n]){1,2}'", content[i:])
+                if m:
+                    toks.append(Tok(STR, m.group(0), line, col))
+                    i += m.end()
+                else:
+                    toks.append(Tok(PUNCT, "'", line, col))
+                    i += 1
+                continue
             q = ch
             j = i + 1
             while j < n:
                 c = content[j]
-                if c == "\\" and q != "`":
+                if c == "\\" and q != "`" and not cfg.dollar_quote:
                     j += 2
                     continue
                 if c == q:
+                    # SQL doubled-quote escape: '' inside a string.
+                    if cfg.dollar_quote and content[j + 1 : j + 2] == q:
+                        j += 2
+                        continue
                     j += 1
                     break
                 if c == "\n" and q not in "`":
@@ -216,7 +317,10 @@ def tokenize(content: str, language: str) -> List[Tok]:
         # Identifiers / keywords.
         if ch in _ID_START:
             j = i + 1
-            while j < n and content[j] in _ID_CONT:
+            while j < n and (
+                content[j] in _ID_CONT
+                or (cfg.prime_idents and content[j] == "'")
+            ):
                 j += 1
             toks.append(Tok(ID, content[i:j], line, col))
             i = j
@@ -230,7 +334,7 @@ def tokenize(content: str, language: str) -> List[Tok]:
             i = j
             continue
         # Multi-char operators we care about.
-        for op in ("=>", "->", "::", ":="):
+        for op in ("=>", "->", "::", ":=", "<<-", "<-"):
             if content.startswith(op, i):
                 toks.append(Tok(PUNCT, op, line, col))
                 i += len(op)
@@ -248,11 +352,14 @@ def tokenize(content: str, language: str) -> List[Tok]:
 # ---------------------------------------------------------------------------
 
 _CONTROL_KW = frozenset(
-    "if else elif elsif unless switch match case when for while until loop "
-    "do catch rescue except finally ensure defer select".split()
+    "if else elif elsif elseif unless switch match case when for while "
+    "until loop repeat do catch rescue except finally ensure defer "
+    "select cond".split()
 )
-_LOOP_KW = frozenset("for while until loop".split())
-_BRANCH_KW = frozenset("if elif elsif unless switch match case when select".split())
+_LOOP_KW = frozenset("for while until loop repeat".split())
+_BRANCH_KW = frozenset(
+    "if elif elsif elseif unless switch match case when select cond".split()
+)
 _ERROR_KW = frozenset(
     "try catch rescue except finally ensure throw raise panic recover "
     "unwrap expect Err defer".split()
@@ -263,7 +370,9 @@ _NOT_CALLS = frozenset(
     "class struct enum impl trait interface pub use import from assert "
     "loop unless until when rescue raise begin end module require public "
     "private protected static final const let var val mut ref type where "
-    "select defer go chan Some None Ok Err Box super this self".split()
+    "select defer go chan Some None Ok Err Box super this self "
+    "then elseif local repeat defmodule defp defmacro defmacrop cond "
+    "with macro mutable abstract primitive signal property".split()
 )
 _DECL_KW = frozenset("let const var val mut".split())
 
@@ -285,8 +394,9 @@ def _analyze(toks: Sequence[Tok], own_name: str, language: str = ""):
                 loops = True
             if w in _BRANCH_KW:
                 branches = True
-            if w in ("if", "elif", "elsif", "unless", "for", "while",
-                     "until", "case", "when", "catch", "rescue", "except"):
+            if w in ("if", "elif", "elsif", "elseif", "unless", "for",
+                     "while", "until", "repeat", "case", "when", "cond",
+                     "catch", "rescue", "except"):
                 complexity += 1
         if w in _ERROR_KW:
             errors = True
@@ -302,6 +412,25 @@ def _analyze(toks: Sequence[Tok], own_name: str, language: str = ""):
             and w != own_name
             and not (prv is not None and prv.kind == ID and prv.text in ("fn", "func", "def", "function"))
             and w not in seen
+        ):
+            seen.add(w)
+            calls.append(w)
+        # Haskell/OCaml: function application is juxtaposition — a
+        # lowercase identifier directly applied to an argument token
+        # (ID/NUM/STR/paren) counts as a call.
+        elif (
+            language in ("haskell", "ocaml")
+            and w not in _NOT_CALLS
+            and w != own_name
+            and w not in seen
+            and w[0:1].islower()
+            and nxt is not None
+            and (
+                nxt.kind in (ID, NUM, STR)
+                or (nxt.kind == PUNCT and nxt.text == "(")
+            )
+            and not (prv is not None and prv.text in ("::", "|", "data",
+                                                      "type", "let", "and"))
         ):
             seen.add(w)
             calls.append(w)
@@ -492,6 +621,24 @@ _MODIFIERS = frozenset(
 def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
     if language == "ruby":
         return _find_defs_ruby(toks)
+    if language == "lua":
+        return _find_defs_lua(toks)
+    if language == "julia":
+        return _find_defs_julia(toks)
+    if language == "elixir":
+        return _find_defs_elixir(toks)
+    if language in ("haskell", "ocaml"):
+        return _find_defs_decl(toks, language)
+    if language == "r":
+        return _find_defs_r(toks)
+    if language == "zig":
+        return _find_defs_zig(toks)
+    if language == "sql":
+        return _find_defs_sql(toks)
+    if language == "css":
+        return _find_defs_css(toks)
+    if language == "qml":
+        return _find_defs_qml(toks)
     defs: List[RawDef] = []
     class_kw = _CLASS_KW.get(language, set())
     n = len(toks)
@@ -1084,6 +1231,997 @@ def _find_defs_ruby(toks: List[Tok]) -> List[RawDef]:
 
 
 # ---------------------------------------------------------------------------
+# Round-3 grammars: end-block languages (Lua / Julia / Elixir), declaration
+# languages (Haskell / OCaml), R, Zig, SQL, CSS, QML
+# (reference grammar list: colgrep/src/parser/types.rs:57-97)
+# ---------------------------------------------------------------------------
+
+
+def _first_on_line_flags(toks: List[Tok]) -> List[bool]:
+    flags = []
+    last = -1
+    for t in toks:
+        flags.append(t.line != last)
+        last = t.line
+    return flags
+
+
+def _line_end_tok(toks: List[Tok], k: int) -> int:
+    """Index of the last token on toks[k]'s line."""
+    ln = toks[k].line
+    j = k
+    while j + 1 < len(toks) and toks[j + 1].line == ln:
+        j += 1
+    return j
+
+
+def _find_defs_lua(toks: List[Tok]) -> List[RawDef]:
+    """Lua: `function ... end` blocks; `for/while ... do`, `if ... then`,
+    standalone `do`, and `repeat ... until` all tracked so `end` pairing
+    stays in sync. Method defs `function Obj:m()` / `function Obj.m()` and
+    anonymous `name = function(...)` assignments are recognized."""
+    n = len(toks)
+    defs: List[RawDef] = []
+    stack: List[Tuple[int, str]] = []  # (token idx, kind)
+    match_end: Dict[int, int] = {}
+    pending_do = False  # a for/while header's `do` must not double-push
+    for k, t in enumerate(toks):
+        if t.kind != ID or t.kind == COMMENT:
+            continue
+        w = t.text
+        if w in ("for", "while"):
+            stack.append((k, w))
+            pending_do = True
+        elif w == "do":
+            if pending_do:
+                pending_do = False
+            else:
+                stack.append((k, "do"))
+        elif w in ("function", "if"):
+            stack.append((k, w))
+        elif w == "repeat":
+            stack.append((k, "repeat"))
+        elif w == "until":
+            if stack and stack[-1][1] == "repeat":
+                match_end[stack.pop()[0]] = k
+        elif w == "end":
+            while stack:
+                ki, kind = stack.pop()
+                if kind != "repeat":  # repeat closes with until, not end
+                    match_end[ki] = k
+                    break
+    for k, end in sorted(match_end.items()):
+        if toks[k].text != "function":
+            continue
+        # Name chain after `function`, or assignment target before it.
+        name = parent = None
+        is_method = False
+        j = k + 1
+        if j < n and toks[j].kind == ID:
+            chain = [toks[j].text]
+            j += 1
+            while (
+                j + 1 < n
+                and toks[j].kind == PUNCT
+                and toks[j].text in ".:"
+                and toks[j + 1].kind == ID
+            ):
+                is_method = is_method or toks[j].text == ":"
+                chain.append(toks[j + 1].text)
+                j += 2
+            name = chain[-1]
+            parent = ".".join(chain[:-1]) or None
+        elif k >= 2 and toks[k - 1].text == "=" and toks[k - 2].kind == ID:
+            name = toks[k - 2].text
+            j = k + 1
+        if not name:
+            continue
+        params: List[str] = []
+        if j < n and toks[j].text == "(":
+            close = _match_bracket(toks, j, "(", ")")
+            params = [
+                t2.text
+                for t2 in toks[j + 1 : close]
+                if t2.kind == ID or (t2.kind == PUNCT and t2.text == "...")
+            ][:15]
+            body_start = close + 1
+        else:
+            body_start = j
+        def_idx = k - 2 if (k >= 2 and toks[k - 1].text == "=") else k
+        if k >= 1 and toks[k - 1].kind == ID and toks[k - 1].text == "local":
+            def_idx = k - 1
+        defs.append(
+            RawDef(
+                name,
+                UnitType.METHOD if (is_method or parent) else UnitType.FUNCTION,
+                def_idx,
+                k,
+                min(body_start, end),
+                end,
+                parent=parent,
+                params=params,
+            )
+        )
+    return defs
+
+
+_JULIA_OPENERS = frozenset(
+    "function macro struct module baremodule if for while let begin try "
+    "quote do".split()
+)
+
+
+def _find_defs_julia(toks: List[Tok]) -> List[RawDef]:
+    """Julia: `end`-matched blocks with square-bracket tracking (`a[end]`
+    is an index expression, not a terminator); `mutable struct`,
+    `abstract/primitive type ... end`, modules as parents, and the
+    short-form `name(args) = expr` definition."""
+    n = len(toks)
+    defs: List[RawDef] = []
+    fol = _first_on_line_flags(toks)
+    stack: List[int] = []
+    match_end: Dict[int, int] = {}
+    sq_depth = 0
+    for k, t in enumerate(toks):
+        if t.kind == PUNCT:
+            if t.text == "[":
+                sq_depth += 1
+            elif t.text == "]":
+                sq_depth = max(sq_depth - 1, 0)
+            continue
+        if t.kind != ID:
+            continue
+        w = t.text
+        if w in _JULIA_OPENERS:
+            if w == "struct" and k and toks[k - 1].text == "mutable":
+                pass  # push at `struct`; `mutable` is a modifier
+            stack.append(k)
+        elif w == "type" and k and toks[k - 1].text in ("abstract", "primitive"):
+            stack.append(k)
+        elif w == "end" and sq_depth == 0:
+            if stack:
+                match_end[stack.pop()] = k
+
+    class_stack: List[Tuple[int, str, str]] = []  # (end, name, opener kind)
+    for k, t in enumerate(toks):
+        while class_stack and k > class_stack[-1][0]:
+            class_stack.pop()
+        parent = class_stack[-1][1] if class_stack else None
+        in_struct = bool(class_stack) and class_stack[-1][2] == "struct"
+        if t.kind != ID:
+            continue
+        w = t.text
+        end = match_end.get(k)
+        if end is not None and w in ("struct", "module", "baremodule"):
+            j = k + 1
+            if j < n and toks[j].kind == ID:
+                name = toks[j].text
+                extends = None
+                if (
+                    j + 2 < n
+                    and toks[j + 1].text == "<:"
+                    or (j + 1 < n and toks[j + 1].text == "<"
+                        and j + 2 < n and toks[j + 2].text == ":")
+                ):
+                    # `<:` lexes as '<' ':' — supertype follows
+                    jj = j + 2 if toks[j + 1].text == "<:" else j + 3
+                    if jj < n and toks[jj].kind == ID:
+                        extends = toks[jj].text
+                di = k - 1 if (k and toks[k - 1].text == "mutable") else k
+                defs.append(
+                    RawDef(name, UnitType.CLASS, di, j, j + 1, end,
+                           parent=parent, extends=extends)
+                )
+                class_stack.append(
+                    (end, name, "struct" if w == "struct" else "module")
+                )
+            continue
+        if end is not None and w == "type" and k and toks[k - 1].text in (
+            "abstract", "primitive"
+        ):
+            if k + 1 < n and toks[k + 1].kind == ID:
+                defs.append(
+                    RawDef(toks[k + 1].text, UnitType.CLASS, k - 1, k + 1,
+                           k + 2, end, parent=parent)
+                )
+            continue
+        if end is not None and w in ("function", "macro"):
+            j = k + 1
+            chain = []
+            while j < n and toks[j].kind == ID:
+                chain.append(toks[j].text)
+                j += 1
+                if j + 1 < n and toks[j].text == "." and toks[j + 1].kind == ID:
+                    j += 1
+                    continue
+                break
+            if not chain:
+                continue
+            name = chain[-1]
+            params: List[str] = []
+            if j < n and toks[j].text == "(":
+                close = _match_bracket(toks, j, "(", ")")
+                params = _params_from_slice(toks[j + 1 : close], "julia")
+                j = close + 1
+            defs.append(
+                RawDef(
+                    name,
+                    # Module children stay FUNCTIONs (a module is a
+                    # namespace); only inner functions of a struct body
+                    # (rare, e.g. inner constructors) are methods.
+                    UnitType.METHOD if in_struct else UnitType.FUNCTION,
+                    k, k + 1, min(j, end), end,
+                    parent=parent, params=params,
+                )
+            )
+            continue
+        # Short form `name(args) = expr` at line start.
+        if (
+            fol[k]
+            and w not in _JULIA_OPENERS
+            and k + 1 < n
+            and toks[k + 1].text == "("
+        ):
+            close = _match_bracket(toks, k + 1, "(", ")")
+            if (
+                close + 1 < n
+                and toks[close + 1].kind == PUNCT
+                and toks[close + 1].text == "="
+                and toks[close + 1].line == t.line
+            ):
+                le = _line_end_tok(toks, close + 1)
+                defs.append(
+                    RawDef(
+                        w, UnitType.FUNCTION, k, k, close + 2, le,
+                        parent=parent,
+                        params=_params_from_slice(toks[k + 2 : close], "julia"),
+                    )
+                )
+    return defs
+
+
+_ELIXIR_DEF_KW = {
+    "def": UnitType.FUNCTION,
+    "defp": UnitType.FUNCTION,
+    "defmacro": UnitType.FUNCTION,
+    "defmacrop": UnitType.FUNCTION,
+}
+_ELIXIR_MOD_KW = frozenset(("defmodule", "defprotocol", "defimpl"))
+
+
+def _find_defs_elixir(toks: List[Tok]) -> List[RawDef]:
+    """Elixir: `do ... end` blocks (`, do: expr` keyword form excluded),
+    `fn ... end` lambdas, defmodule parents, def/defp/defmacro heads with
+    guard clauses, and one-line `def name(args), do: expr` definitions."""
+    n = len(toks)
+    defs: List[RawDef] = []
+    stack: List[int] = []
+    match_end: Dict[int, int] = {}
+    for k, t in enumerate(toks):
+        if t.kind != ID:
+            continue
+        if t.text in ("do", "fn"):
+            if (
+                t.text == "do"
+                and k + 1 < n
+                and toks[k + 1].kind == PUNCT
+                and toks[k + 1].text == ":"
+            ):
+                continue  # keyword form `, do: expr`
+            stack.append(k)
+        elif t.text == "end":
+            if stack:
+                match_end[stack.pop()] = k
+
+    class_stack: List[Tuple[int, str]] = []
+    for k, t in enumerate(toks):
+        while class_stack and k > class_stack[-1][0]:
+            class_stack.pop()
+        parent = class_stack[-1][1] if class_stack else None
+        if t.kind != ID:
+            continue
+        w = t.text
+        if w in _ELIXIR_MOD_KW and k + 1 < n and toks[k + 1].kind == ID:
+            chain = [toks[k + 1].text]
+            j = k + 2
+            while (
+                j + 1 < n and toks[j].text == "." and toks[j + 1].kind == ID
+            ):
+                chain.append(toks[j + 1].text)
+                j += 2
+            # find this head's block `do`
+            do_i = next(
+                (
+                    i2
+                    for i2 in range(j, min(j + 8, n))
+                    if toks[i2].kind == ID and toks[i2].text == "do"
+                    and i2 in match_end
+                ),
+                None,
+            )
+            if do_i is not None:
+                name = chain[-1]
+                defs.append(
+                    RawDef(".".join(chain), UnitType.CLASS, k, k + 1,
+                           do_i, match_end[do_i], parent=parent)
+                )
+                class_stack.append((match_end[do_i], name))
+            continue
+        if w in _ELIXIR_DEF_KW and k + 1 < n and toks[k + 1].kind == ID:
+            name = toks[k + 1].text
+            j = k + 2
+            if j < n and toks[j].kind == PUNCT and toks[j].text in "?!":
+                name += toks[j].text
+                j += 1
+            params: List[str] = []
+            if j < n and toks[j].text == "(":
+                close = _match_bracket(toks, j, "(", ")")
+                params = _params_from_slice(toks[j + 1 : close], "elixir")
+                j = close + 1
+            # Scan the rest of the head (guards) for the block `do` or the
+            # keyword `, do:` one-liner.
+            body_start = body_end = None
+            for i2 in range(j, min(j + 40, n)):
+                t2 = toks[i2]
+                if t2.kind != ID:
+                    continue
+                if t2.text == "do":
+                    if (
+                        i2 + 1 < n
+                        and toks[i2 + 1].kind == PUNCT
+                        and toks[i2 + 1].text == ":"
+                    ):
+                        body_start = i2 + 2
+                        body_end = _line_end_tok(toks, i2)
+                        break
+                    if i2 in match_end:
+                        body_start = i2
+                        body_end = match_end[i2]
+                        break
+                if t2.text in _ELIXIR_DEF_KW or t2.text in _ELIXIR_MOD_KW:
+                    break  # next definition started; head had no body
+            if body_end is None:
+                continue
+            defs.append(
+                RawDef(
+                    name,
+                    UnitType.METHOD if parent else UnitType.FUNCTION,
+                    k, k + 1, body_start, body_end,
+                    parent=parent, params=params,
+                )
+            )
+    return defs
+
+
+_HASKELL_DECL_KW = frozenset(
+    "data newtype type class instance module import foreign infixl infixr "
+    "infix".split()
+)
+
+
+def _find_defs_decl(toks: List[Tok], language: str) -> List[RawDef]:
+    """Haskell / OCaml: column-0 declaration grouping. A unit extends to
+    the token before the next column-0 declaration; consecutive Haskell
+    equations (and the type signature) of the same name form ONE unit."""
+    n = len(toks)
+    defs: List[RawDef] = []
+    fol = _first_on_line_flags(toks)
+    # Collect top-level decl start indices.
+    starts = [
+        k
+        for k, t in enumerate(toks)
+        if fol[k] and t.col == 0 and t.kind in (ID, PUNCT)
+        and t.kind != COMMENT
+    ]
+    if language == "haskell":
+        groups: List[Tuple[str, str, int, int]] = []  # name, kind, start, end
+        for si, k in enumerate(starts):
+            t = toks[k]
+            nxt_start = starts[si + 1] if si + 1 < len(starts) else n
+            end_tok = nxt_start - 1
+            while end_tok > k and toks[end_tok].kind == COMMENT:
+                end_tok -= 1
+            if t.kind != ID:
+                continue
+            w = t.text
+            if w in ("module", "import", "foreign", "infixl", "infixr",
+                     "infix"):
+                continue
+            if w in ("data", "newtype", "type", "class"):
+                if k + 1 < n and toks[k + 1].kind == ID:
+                    groups.append((toks[k + 1].text, UnitType.CLASS, k,
+                                   end_tok))
+                continue
+            if w == "instance":
+                continue
+            # Value binding: `name ::` or `name args... =`
+            if groups and groups[-1][0] == w and groups[-1][1] == UnitType.FUNCTION:
+                # Another equation of the same function: extend the group.
+                name, kind, s0, _ = groups[-1]
+                groups[-1] = (name, kind, s0, end_tok)
+                continue
+            seg = toks[k : min(k + 40, nxt_start)]
+            has_sig = any(
+                t2.kind == PUNCT and t2.text == "::" for t2 in seg
+            )
+            has_eq = any(t2.kind == PUNCT and t2.text == "=" for t2 in seg)
+            if has_sig or has_eq:
+                groups.append((w, UnitType.FUNCTION, k, end_tok))
+        for name, kind, s0, e0 in groups:
+            params: List[str] = []
+            rtype = None
+            if kind == UnitType.FUNCTION:
+                # Params from the first EQUATION: IDs between the
+                # line-leading name repetition and that line's `=` (the
+                # type-signature line contributes the return type only).
+                eq_starts = [
+                    i2
+                    for i2 in range(s0, e0 + 1)
+                    if fol[i2] and toks[i2].kind == ID
+                    and toks[i2].text == name
+                    and not any(
+                        toks[i3].kind == PUNCT and toks[i3].text == "::"
+                        for i3 in range(i2, min(_line_end_tok(toks, i2) + 1,
+                                                e0 + 1))
+                    )
+                ]
+                if eq_starts:
+                    e1 = eq_starts[0]
+                    for k2 in range(e1, e0 + 1):
+                        if toks[k2].kind == PUNCT and toks[k2].text == "=":
+                            params = [
+                                t2.text
+                                for t2 in toks[e1 + 1 : k2]
+                                if t2.kind == ID and t2.text != name
+                            ][:8]
+                            break
+                for k2 in range(s0, e0):
+                    if toks[k2].kind == PUNCT and toks[k2].text == "::":
+                        # return type = last arrow segment of the signature
+                        sig_end = next(
+                            (
+                                i2
+                                for i2 in range(k2 + 1, e0 + 1)
+                                if fol[i2] and toks[i2].col == 0
+                            ),
+                            e0 + 1,
+                        )
+                        arrows = [
+                            i2
+                            for i2 in range(k2, sig_end)
+                            if toks[i2].kind == PUNCT
+                            and toks[i2].text == "->"
+                        ]
+                        tail = arrows[-1] + 1 if arrows else k2 + 1
+                        rtype = " ".join(
+                            t2.text for t2 in toks[tail:sig_end]
+                            if t2.kind != COMMENT
+                        )[:60] or None
+            defs.append(
+                RawDef(name, kind, s0, s0, min(s0 + 1, e0), e0,
+                       params=params, return_type=rtype)
+            )
+        return defs
+
+    # --- OCaml ---
+    module_stack: List[Tuple[int, str]] = []  # (end tok of struct, name)
+    block_end_for: Dict[int, int] = {}
+    ml_stack: List[int] = []
+    for k, t in enumerate(toks):
+        if t.kind != ID:
+            continue
+        if t.text in ("struct", "sig", "begin", "object"):
+            ml_stack.append(k)
+        elif t.text == "end":
+            if ml_stack:
+                block_end_for[ml_stack.pop()] = k
+    top_kw = frozenset(
+        "let type module class exception open and val external".split()
+    )
+    # A decl starts at a line-leading top keyword at column 0, or at the
+    # MEMBER column of an enclosing `struct` body (the column of its first
+    # line-leading decl). Deeper-indented `let ... in` bindings inside
+    # function bodies are expression-local and must not split the unit.
+    spans = sorted(
+        (s, e) for s, e in block_end_for.items()
+        if toks[s].text == "struct"
+    )
+    member_col: Dict[Tuple[int, int], int] = {}
+    for s, e in spans:
+        for k in range(s + 1, e):
+            if toks[k].kind == ID and toks[k].text in top_kw and fol[k]:
+                member_col[(s, e)] = toks[k].col
+                break
+    decl_idx = []
+    for k, t in enumerate(toks):
+        if t.kind != ID or t.text not in top_kw or not fol[k]:
+            continue
+        enclosing = [
+            (s, e) for s, e in spans if s < k < e
+        ]
+        if enclosing:
+            s, e = max(enclosing)  # innermost (latest start)
+            if t.col == member_col.get((s, e), 0):
+                decl_idx.append(k)
+        elif t.col == 0:
+            decl_idx.append(k)
+    for di, k in enumerate(decl_idx):
+        t = toks[k]
+        nxt = decl_idx[di + 1] if di + 1 < len(decl_idx) else n
+        end_tok = nxt - 1
+        enclosing = [(s, e) for s, e in spans if s < k < e]
+        if enclosing:
+            # A struct member never extends past its struct's `end`.
+            end_tok = min(end_tok, max(enclosing)[1] - 1)
+        while end_tok > k and toks[end_tok].kind == COMMENT:
+            end_tok -= 1
+        w = t.text
+        module_stack = [(e, nm) for (e, nm) in module_stack if k < e]
+        parent = module_stack[-1][1] if module_stack else None
+        if w == "module" and k + 1 < n and toks[k + 1].kind == ID:
+            name = toks[k + 1].text
+            # module Name = struct ... end
+            s_i = next(
+                (
+                    i2
+                    for i2 in range(k + 2, min(k + 8, n))
+                    if toks[i2].kind == ID and toks[i2].text in ("struct", "sig")
+                ),
+                None,
+            )
+            if s_i is not None and s_i in block_end_for:
+                defs.append(
+                    RawDef(name, UnitType.CLASS, k, k + 1, s_i,
+                           block_end_for[s_i], parent=parent)
+                )
+                module_stack.append((block_end_for[s_i], name))
+            else:
+                defs.append(
+                    RawDef(name, UnitType.CLASS, k, k + 1,
+                           min(k + 2, end_tok), end_tok, parent=parent)
+                )
+            continue
+        if w in ("type", "exception", "class") and k + 1 < n:
+            j = k + 1
+            while j < n and toks[j].kind == ID and toks[j].text in (
+                "rec", "nonrec", "virtual",
+            ):
+                j += 1
+            if j < n and toks[j].kind == ID:
+                defs.append(
+                    RawDef(toks[j].text, UnitType.CLASS, k, j,
+                           min(j + 1, end_tok), end_tok, parent=parent)
+                )
+            continue
+        if w in ("let", "and", "val", "external") and k + 1 < n:
+            j = k + 1
+            if j < n and toks[j].kind == ID and toks[j].text == "rec":
+                j += 1
+            if j >= n or toks[j].kind != ID:
+                continue
+            name = toks[j].text
+            if name == "_":
+                continue
+            params = []
+            for k2 in range(j + 1, min(end_tok + 1, j + 30)):
+                if toks[k2].kind == PUNCT and toks[k2].text == "=":
+                    params = [
+                        t2.text
+                        for t2 in toks[j + 1 : k2]
+                        if t2.kind == ID
+                    ][:8]
+                    break
+            defs.append(
+                RawDef(
+                    name,
+                    UnitType.METHOD if parent else UnitType.FUNCTION,
+                    k, j, min(j + 1, end_tok), end_tok,
+                    parent=parent, params=params,
+                )
+            )
+    return defs
+
+
+def _find_defs_r(toks: List[Tok]) -> List[RawDef]:
+    """R: `name <- function(args) { ... }` (also `=` / `<<-`), S4
+    setClass/setGeneric/setMethod("name", ...), R6Class assignments."""
+    n = len(toks)
+    defs: List[RawDef] = []
+    for k, t in enumerate(toks):
+        if t.kind != ID:
+            continue
+        # name <- function(...) { ... }
+        if (
+            t.text == "function"
+            and k >= 2
+            and toks[k - 1].kind == PUNCT
+            and toks[k - 1].text in ("<-", "=", "<<-")
+            and toks[k - 2].kind == ID
+            and k + 1 < n
+            and toks[k + 1].text == "("
+        ):
+            name = toks[k - 2].text
+            close = _match_bracket(toks, k + 1, "(", ")")
+            params = _params_from_slice(toks[k + 2 : close], "r")
+            j = close + 1
+            if j < n and toks[j].text == "{":
+                end = _match_bracket(toks, j, "{", "}")
+                defs.append(
+                    RawDef(name, UnitType.FUNCTION, k - 2, k - 2, j, end,
+                           params=params)
+                )
+            else:
+                defs.append(
+                    RawDef(name, UnitType.FUNCTION, k - 2, k - 2,
+                           min(j, n - 1), _line_end_tok(toks, min(j, n - 1)),
+                           params=params)
+                )
+            continue
+        # setClass("Name", ...) / setGeneric("name", ...) / R6Class("Name"
+        if (
+            t.text in ("setClass", "setGeneric", "setMethod", "R6Class")
+            and k + 2 < n
+            and toks[k + 1].text == "("
+            and toks[k + 2].kind == STR
+        ):
+            name = toks[k + 2].text.strip("\"'")
+            close = _match_bracket(toks, k + 1, "(", ")")
+            # R6Class: prefer the assignment target when present.
+            if (
+                t.text == "R6Class"
+                and k >= 2
+                and toks[k - 1].text in ("<-", "=", "<<-")
+                and toks[k - 2].kind == ID
+            ):
+                name = toks[k - 2].text
+            defs.append(
+                RawDef(
+                    name,
+                    UnitType.CLASS
+                    if t.text in ("setClass", "R6Class")
+                    else UnitType.FUNCTION,
+                    k, k, k + 1, close,
+                )
+            )
+    return defs
+
+
+_ZIG_CONTAINERS = frozenset(("struct", "enum", "union", "opaque"))
+
+
+def _find_defs_zig(toks: List[Tok]) -> List[RawDef]:
+    """Zig: `[pub] fn name(...) T { ... }`, `const Name = struct { ... };`,
+    `test "name" { ... }` blocks; container members become methods."""
+    n = len(toks)
+    defs: List[RawDef] = []
+    class_stack: List[Tuple[int, str]] = []
+    k = 0
+    while k < n:
+        t = toks[k]
+        while class_stack and k > class_stack[-1][0]:
+            class_stack.pop()
+        parent = class_stack[-1][1] if class_stack else None
+        if t.kind != ID:
+            k += 1
+            continue
+        w = t.text
+        if w == "fn" and k + 1 < n and toks[k + 1].kind == ID:
+            name = toks[k + 1].text
+            j = k + 2
+            params: List[str] = []
+            rtype = None
+            if j < n and toks[j].text == "(":
+                close = _match_bracket(toks, j, "(", ")")
+                params = [
+                    toks[i2].text
+                    for i2 in range(j + 1, close)
+                    if toks[i2].kind == ID
+                    and i2 + 1 < n
+                    and toks[i2 + 1].text == ":"
+                ][:15]
+                j = close + 1
+            rt0 = j
+            while j < n and not (
+                toks[j].kind == PUNCT and toks[j].text in "{;"
+            ):
+                j += 1
+            if j > rt0:
+                rtype = " ".join(
+                    t2.text for t2 in toks[rt0:j] if t2.kind != COMMENT
+                )[:60] or None
+            di = k
+            if k and toks[k - 1].kind == ID and toks[k - 1].text in (
+                "pub", "export", "extern", "inline",
+            ):
+                di = k - 1
+            if j < n and toks[j].text == "{":
+                end = _match_bracket(toks, j, "{", "}")
+                defs.append(
+                    RawDef(
+                        name,
+                        UnitType.METHOD if parent else UnitType.FUNCTION,
+                        di, k + 1, j, end,
+                        parent=parent, params=params, return_type=rtype,
+                    )
+                )
+                k = j + 1
+                continue
+            k = j + 1
+            continue
+        if (
+            w in ("const", "var")
+            and k + 3 < n
+            and toks[k + 1].kind == ID
+            and toks[k + 2].text == "="
+        ):
+            j = k + 3
+            if (
+                j < n
+                and toks[j].kind == ID
+                and toks[j].text in ("packed", "extern")
+            ):
+                j += 1
+            if j < n and toks[j].kind == ID and toks[j].text in _ZIG_CONTAINERS:
+                j2 = j + 1
+                if j2 < n and toks[j2].text == "(":
+                    j2 = _match_bracket(toks, j2, "(", ")") + 1
+                if j2 < n and toks[j2].text == "{":
+                    end = _match_bracket(toks, j2, "{", "}")
+                    name = toks[k + 1].text
+                    di = (
+                        k - 1
+                        if k and toks[k - 1].kind == ID
+                        and toks[k - 1].text == "pub"
+                        else k
+                    )
+                    defs.append(
+                        RawDef(name, UnitType.CLASS, di, k + 1, j2, end,
+                               parent=parent)
+                    )
+                    class_stack.append((end, name))
+                    k = j2 + 1
+                    continue
+        if w == "test" and k + 1 < n and toks[k + 1].kind == STR:
+            j = k + 2
+            if j < n and toks[j].text == "{":
+                end = _match_bracket(toks, j, "{", "}")
+                defs.append(
+                    RawDef(
+                        toks[k + 1].text.strip('"'),
+                        UnitType.FUNCTION, k, k + 1, j, end,
+                    )
+                )
+                k = j + 1
+                continue
+        k += 1
+    return defs
+
+
+_SQL_OBJECTS = {
+    "function": UnitType.FUNCTION,
+    "procedure": UnitType.FUNCTION,
+    "trigger": UnitType.FUNCTION,
+    "table": UnitType.CLASS,
+    "view": UnitType.CLASS,
+    "type": UnitType.CLASS,
+    "schema": UnitType.CLASS,
+    "index": UnitType.CONSTANT,
+    "sequence": UnitType.CONSTANT,
+}
+_SQL_MODIFIERS = frozenset(
+    "or replace temp temporary materialized unique global local if not "
+    "exists concurrently recursive definer".split()
+)
+
+
+def _find_defs_sql(toks: List[Tok]) -> List[RawDef]:
+    """SQL DDL: CREATE [modifiers] {FUNCTION|PROCEDURE|TABLE|VIEW|TRIGGER|
+    INDEX|TYPE|SCHEMA|SEQUENCE} name ... ; — case-insensitive; dollar-quoted
+    bodies are single tokens so `;` inside plpgsql never ends a statement
+    early."""
+    n = len(toks)
+    defs: List[RawDef] = []
+    k = 0
+    while k < n:
+        t = toks[k]
+        if t.kind != ID or t.text.lower() != "create":
+            k += 1
+            continue
+        j = k + 1
+        while j < n and toks[j].kind == ID and toks[j].text.lower() in _SQL_MODIFIERS:
+            j += 1
+        if j >= n or toks[j].kind != ID:
+            k += 1
+            continue
+        obj = toks[j].text.lower()
+        utype = _SQL_OBJECTS.get(obj)
+        if utype is None:
+            k = j + 1
+            continue
+        j += 1
+        # Name: ID or quoted string; schema-qualified a.b.c keeps last part.
+        name = None
+        chain = []
+        while j < n:
+            t2 = toks[j]
+            if t2.kind == ID:
+                chain.append(t2.text)
+                j += 1
+                if j < n and toks[j].kind == PUNCT and toks[j].text == ".":
+                    j += 1
+                    continue
+                break
+            if t2.kind == STR:
+                chain.append(t2.text.strip("\"'`"))
+                j += 1
+                if j < n and toks[j].kind == PUNCT and toks[j].text == ".":
+                    j += 1
+                    continue
+                break
+            break
+        if chain:
+            name = chain[-1]
+        if not name:
+            k = j
+            continue
+        # Statement extent: to `;` at paren depth 0 (or next CREATE / EOF).
+        depth = 0
+        end = n - 1
+        for i2 in range(j, n):
+            t2 = toks[i2]
+            if t2.kind == PUNCT:
+                if t2.text == "(":
+                    depth += 1
+                elif t2.text == ")":
+                    depth = max(depth - 1, 0)
+                elif t2.text == ";" and depth == 0:
+                    end = i2
+                    break
+            elif (
+                t2.kind == ID
+                and t2.text.lower() == "create"
+                and depth == 0
+            ):
+                end = i2 - 1
+                break
+        params: List[str] = []
+        if utype == UnitType.FUNCTION and j < n and toks[j].text == "(":
+            close = _match_bracket(toks, j, "(", ")")
+            params = [
+                t2.text
+                for t2 in toks[j + 1 : close]
+                if t2.kind == ID
+                and t2.text.lower() not in (
+                    "in", "out", "inout", "int", "integer", "text",
+                    "varchar", "boolean", "bigint", "numeric", "timestamp",
+                )
+            ][:15]
+        defs.append(
+            RawDef(name, utype, k, j - 1, min(j, end), end, params=params)
+        )
+        k = end + 1
+    return defs
+
+
+def _find_defs_css(toks: List[Tok]) -> List[RawDef]:
+    """CSS: every `selector { ... }` rule becomes a section-like unit named
+    by its selector; @media/@supports blocks contribute their inner rules
+    too (the outer at-rule is also emitted)."""
+    n = len(toks)
+    defs: List[RawDef] = []
+
+    def walk(start: int, end: int, parent: Optional[str]):
+        sel_start = start
+        k = start
+        while k < end:
+            t = toks[k]
+            if t.kind == COMMENT:
+                if sel_start == k:
+                    sel_start = k + 1
+                k += 1
+                continue
+            if t.kind == PUNCT and t.text == ";":
+                sel_start = k + 1
+                k += 1
+                continue
+            if t.kind == PUNCT and t.text == "{":
+                sel_toks = [
+                    t2 for t2 in toks[sel_start:k] if t2.kind != COMMENT
+                ]
+                close = _match_bracket(toks, k, "{", "}")
+                name = "".join(
+                    (t2.text if t2.kind != STR else t2.text)
+                    + (" " if t2.kind == ID and t2.text[-1:].isalnum() else "")
+                    for t2 in sel_toks
+                ).strip()[:80]
+                if name:
+                    defs.append(
+                        RawDef(
+                            name, UnitType.SECTION,
+                            sel_start if sel_toks else k,
+                            sel_start if sel_toks else k,
+                            k, close, parent=parent,
+                        )
+                    )
+                    if name.startswith("@"):
+                        walk(k + 1, close, name)
+                sel_start = close + 1
+                k = close + 1
+                continue
+            k += 1
+
+    walk(0, n, None)
+    return defs
+
+
+def _find_defs_qml(toks: List[Tok]) -> List[RawDef]:
+    """QML: capitalized `Component { ... }` object declarations plus
+    embedded JavaScript `function name(...) { ... }` members and
+    `signal name(...)` declarations."""
+    n = len(toks)
+    defs: List[RawDef] = []
+    obj_stack: List[Tuple[int, str]] = []
+    k = 0
+    while k < n:
+        t = toks[k]
+        while obj_stack and k > obj_stack[-1][0]:
+            obj_stack.pop()
+        parent = obj_stack[-1][1] if obj_stack else None
+        if t.kind != ID:
+            k += 1
+            continue
+        w = t.text
+        if w == "function" and k + 1 < n and toks[k + 1].kind == ID:
+            name = toks[k + 1].text
+            j = k + 2
+            params: List[str] = []
+            if j < n and toks[j].text == "(":
+                close = _match_bracket(toks, j, "(", ")")
+                params = _params_from_slice(toks[j + 1 : close], "javascript")
+                j = close + 1
+            while j < n and not (
+                toks[j].kind == PUNCT and toks[j].text in "{;"
+            ):
+                j += 1
+            if j < n and toks[j].text == "{":
+                end = _match_bracket(toks, j, "{", "}")
+                defs.append(
+                    RawDef(name, UnitType.METHOD if parent else
+                           UnitType.FUNCTION, k, k + 1, j, end,
+                           parent=parent, params=params)
+                )
+                k = j + 1
+                continue
+        if w == "signal" and k + 1 < n and toks[k + 1].kind == ID:
+            name = toks[k + 1].text
+            le = _line_end_tok(toks, k)
+            defs.append(
+                RawDef(name, UnitType.FUNCTION, k, k + 1,
+                       min(k + 2, le), le, parent=parent)
+            )
+            k = le + 1
+            continue
+        if (
+            w[0:1].isupper()
+            and k + 1 < n
+            and toks[k + 1].kind == PUNCT
+            and toks[k + 1].text == "{"
+            # property assignment `Foo {` only at declaration position:
+            # previous token is not `:` / `=` (those are bindings).
+            and (k == 0 or toks[k - 1].text not in (":", "=", "(", ","))
+        ):
+            end = _match_bracket(toks, k + 1, "{", "}")
+            defs.append(
+                RawDef(w, UnitType.CLASS, k, k, k + 1, end, parent=parent)
+            )
+            obj_stack.append((end, w))
+            k += 2
+            continue
+        k += 1
+    return defs
+
+
+# ---------------------------------------------------------------------------
 # Entry point
 # ---------------------------------------------------------------------------
 
@@ -1101,6 +2239,16 @@ _IMPORT_HEAD = {
     "swift": ("import",),
     "scala": ("import",),
     "php": ("use", "require", "require_once", "include"),
+    "lua": ("require", "dofile"),
+    "julia": ("using", "import", "include"),
+    "elixir": ("import", "alias", "use", "require"),
+    "r": ("library", "require", "source"),
+    "zig": ("import",),  # @import("std"): `@` lexes as punct, `import` hits
+    "haskell": ("import",),
+    "ocaml": ("open",),
+    "sql": (),
+    "css": (),
+    "qml": ("import",),
 }
 
 
@@ -1136,7 +2284,8 @@ def _imports(toks: Sequence[Tok], language: str, content: str) -> List[str]:
                     break
                 if t2.kind == ID and language in (
                     "rust", "java", "csharp", "go", "kotlin", "swift",
-                    "scala", "php",
+                    "scala", "php", "julia", "elixir", "r", "haskell",
+                    "ocaml", "qml",
                 ):
                     if t2.text not in out and t2.text not in ("static",):
                         out.append(t2.text)
@@ -1157,6 +2306,35 @@ def parse_structured(
         return [], []
     defs = _find_defs(toks, language)
     lines = content.splitlines()
+    if language == "css":
+        # Selector names come from the source text (token-joining mangles
+        # `#header h1, .brand` and `@media (max-width: 600px)`).
+        for d in defs:
+            t0, t1 = toks[d.name_idx], toks[d.body_start]
+            if (t0.line, t0.col) <= (t1.line, t1.col):
+                if t0.line == t1.line:
+                    txt = lines[t0.line - 1][t0.col : t1.col]
+                else:
+                    txt = " ".join(
+                        [lines[t0.line - 1][t0.col :]]
+                        + lines[t0.line : t1.line - 1]
+                        + [lines[t1.line - 1][: t1.col]]
+                    )
+                txt = re.sub(r"\s+", " ", txt).strip().rstrip("{").strip()
+                if txt:
+                    d.name = txt[:80]
+        for d in defs:
+            if d.parent is not None:
+                outer = next(
+                    (
+                        o
+                        for o in defs
+                        if o is not d
+                        and o.body_start < d.name_idx <= o.body_end
+                    ),
+                    None,
+                )
+                d.parent = outer.name if outer else None
     imports = _imports(toks, language, content)
     units: List[CodeUnit] = []
     covered = [False] * len(lines)

@@ -504,3 +504,95 @@ def test_more_language_extraction(tmp_path):
         f.write_text(src)
         names = {u.name for u in extract_units(f)}
         assert expected <= names, (fname, expected, names)
+
+
+# ---------------------------------------------------------------------------
+# E2E over a mixed-language tree (round-3 grammars: lua/julia/elixir/sql/vue)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def polyglot_project(tmp_path_factory):
+    root = tmp_path_factory.mktemp("poly")
+    (root / "geo.lua").write_text(
+        "-- Vector length helper.\n"
+        "local function vector_length(v)\n"
+        "  local total = 0\n"
+        "  for i = 1, #v do total = total + v[i] * v[i] end\n"
+        "  return math.sqrt(total)\n"
+        "end\n"
+        "return vector_length\n"
+    )
+    (root / "stats.jl").write_text(
+        "module Stats\n\n"
+        "function moving_average(xs, window)\n"
+        "    out = similar(xs)\n"
+        "    for i in eachindex(xs)\n"
+        "        lo = max(1, i - window)\n"
+        "        out[i] = sum(xs[lo:i]) / (i - lo + 1)\n"
+        "    end\n"
+        "    return out\n"
+        "end\n\n"
+        "end\n"
+    )
+    (root / "mailer.ex").write_text(
+        "defmodule Mailer do\n"
+        "  def send_welcome_email(user) do\n"
+        "    deliver(user.email, \"welcome\")\n"
+        "  end\n\n"
+        "  defp deliver(addr, subject) do\n"
+        "    {:ok, addr, subject}\n"
+        "  end\n"
+        "end\n"
+    )
+    (root / "schema.sql").write_text(
+        "CREATE TABLE invoices (\n"
+        "    id BIGSERIAL PRIMARY KEY,\n"
+        "    amount_cents BIGINT NOT NULL\n"
+        ");\n\n"
+        "CREATE OR REPLACE FUNCTION total_revenue()\n"
+        "RETURNS BIGINT AS $$\n"
+        "  SELECT sum(amount_cents) FROM invoices;\n"
+        "$$ LANGUAGE sql;\n"
+    )
+    (root / "Counter.vue").write_text(
+        "<template><button @click=\"increment\">+</button></template>\n"
+        "<script>\n"
+        "function increment_counter(state) {\n"
+        "  state.count += 1\n"
+        "}\n"
+        "</script>\n"
+    )
+    return root
+
+
+def test_mixed_language_tree_e2e(polyglot_project, encoder, tmp_path_factory):
+    idx_dir = str(tmp_path_factory.mktemp("polyidx"))
+    indexer = ProjectIndexer(
+        str(polyglot_project), encoder, index_dir=idx_dir, batch_size=16
+    )
+    stats = indexer.update()
+    assert stats["changed"] == 5
+
+    from nextplaid_tpu import filtering
+
+    rows = filtering.get(str(indexer.index_dir))
+    langs = {r.get("language") for r in rows}
+    assert {"lua", "julia", "elixir", "sql"} <= langs
+    by_name = {r.get("name"): r for r in rows}
+    # Structural names (not regex fallbacks) for every language.
+    assert by_name["vector_length"]["language"] == "lua"
+    assert by_name["moving_average"]["language"] == "julia"
+    assert by_name["send_welcome_email"]["unit_type"] == "method"
+    assert by_name["total_revenue"]["language"] == "sql"
+    assert by_name["invoices"]["unit_type"] == "class"
+    # Vue script block parsed as JS with host-file line numbers.
+    inc = by_name["increment_counter"]
+    assert inc["language"] == "javascript"
+    assert inc["line"] == 3
+
+    searcher = Searcher(str(indexer.index_dir), encoder)
+    hits = searcher.search(
+        "compute vector length euclidean norm", SearchOptions(top_k=3)
+    )
+    assert hits

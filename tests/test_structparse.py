@@ -424,14 +424,13 @@ function after() {
 
 def test_unsupported_language_falls_back_to_regex():
     src = (
-        "defmodule MyModule do\n"
-        "  def compute_total(items) do\n"
-        "    Enum.reduce(items, 0, fn x, acc -> acc + x end)\n"
-        "  end\n"
-        "end\n"
+        "#!/bin/sh\n"
+        "do_build() {\n"
+        "  make all\n"
+        "}\n"
     )
-    units = extract_units("m.ex", src)
-    assert units  # elixir -> regex/raw fallback still indexes the file
+    units = extract_units("build.sh", src)
+    assert units  # shell -> regex/raw fallback still indexes the file
 
 
 def test_go_generic_function():
@@ -584,3 +583,464 @@ def test_php_structural():
     assert names["find"].parent_class == "UserRepo"
     # The heredoc's brace and the # comment's brace must not corrupt extents.
     assert names["helper"].line > names["find"].end_line
+
+
+# ---------------------------------------------------------------------------
+# Round-3 grammars (reference types.rs:57-97): Lua, Julia, Elixir, R, Zig,
+# Haskell, OCaml, SQL, CSS, QML + Vue/Svelte/HTML web formats
+# ---------------------------------------------------------------------------
+
+
+def test_lua_extraction():
+    src = '''local M = {}
+
+-- Compute the hypotenuse.
+local function hypot(a, b)
+  local s = a * a + b * b
+  return math.sqrt(s)
+end
+
+function M.norm(v)
+  local total = 0
+  for i = 1, #v do
+    total = total + v[i] * v[i]
+  end
+  if total == 0 then
+    return 0
+  end
+  return math.sqrt(total)
+end
+
+function M:scale(f)
+  self.factor = f
+end
+
+M.helper = function(x)
+  repeat
+    x = x - 1
+  until x <= 0
+  return x  -- "end" inside a string: end
+end
+
+return M
+'''
+    units = _by_name(extract_units("m.lua", src))
+    h = units["hypot"]
+    assert h.unit_type == UnitType.FUNCTION
+    assert h.parameters == ["a", "b"]
+    assert "hypotenuse" in h.docstring
+    assert "sqrt" in h.calls
+    norm = units["norm"]
+    assert norm.unit_type == UnitType.METHOD
+    assert norm.parent_class == "M" or norm.qualified_name == "M.norm"
+    assert norm.has_loops and norm.has_branches
+    helper = units["helper"]
+    assert helper.has_loops  # repeat/until
+    assert helper.line == 24 and helper.end_line == 29
+
+
+def test_julia_extraction():
+    src = '''module Geometry
+
+using LinearAlgebra
+
+abstract type Shape end
+
+mutable struct Circle <: Shape
+    radius::Float64
+end
+
+area(c::Circle) = pi * c.radius^2
+
+function perimeter(c::Circle)
+    if c.radius <= 0
+        return 0.0
+    end
+    return 2pi * c.radius
+end
+
+function total_area(shapes)
+    t = 0.0
+    for s in shapes
+        t += area(s)
+    end
+    last = shapes[end]
+    return t
+end
+
+end
+'''
+    units = _by_name(extract_units("geo.jl", src))
+    c = units["Circle"]
+    assert c.unit_type == UnitType.CLASS
+    assert c.extends == "Shape"
+    assert units["Shape"].unit_type == UnitType.CLASS
+    p = units["perimeter"]
+    assert p.unit_type == UnitType.FUNCTION
+    assert p.parameters == ["c"]
+    assert p.has_branches
+    # `shapes[end]` must not desync the end pairing
+    ta = units["total_area"]
+    assert ta.has_loops and "area" in ta.calls
+    assert ta.end_line == 27
+    assert "LinearAlgebra" in ta.imports
+    assert units["area"].unit_type == UnitType.FUNCTION  # short form
+
+
+def test_elixir_extraction():
+    src = '''defmodule Geometry.Circle do
+  @moduledoc "Circles."
+
+  import Kernel
+
+  def area(radius) when radius > 0 do
+    3.14159 * radius * radius
+  end
+
+  def area(_), do: 0.0
+
+  defp validate!(r) do
+    if r < 0 do
+      raise ArgumentError
+    end
+    r
+  end
+
+  def sum_areas(radii) do
+    radii
+    |> Enum.map(fn r -> area(validate!(r)) end)
+    |> Enum.sum()
+  end
+end
+'''
+    units = extract_units("circle.ex", src)
+    mods = [u for u in units if u.unit_type == UnitType.CLASS]
+    assert mods and mods[0].name == "Geometry.Circle"
+    assert mods[0].end_line == 24
+    by = _by_name(units)
+    a = by["area"]  # block form wins the name slot or the one-liner; both exist
+    areas = [u for u in units if u.name == "area"]
+    assert len(areas) == 2  # guard-clause form + `, do:` one-liner
+    v = by["validate!"]
+    assert v.unit_type == UnitType.METHOD
+    assert v.has_branches and v.has_error_handling
+    s = by["sum_areas"]
+    assert "area" in s.calls and "map" in s.calls
+    assert "Kernel" in s.imports
+
+
+def test_r_extraction():
+    src = '''library(stats)
+
+# Root mean square.
+rms <- function(x) {
+  if (length(x) == 0) {
+    return(0)
+  }
+  sqrt(mean(x^2))
+}
+
+zscore = function(x, mu, sd) {
+  for (i in seq_along(x)) {
+    x[i] <- (x[i] - mu) / sd
+  }
+  x
+}
+
+Point <- R6Class("Point",
+  public = list(
+    x = 0
+  )
+)
+
+setClass("Shape", representation(area = "numeric"))
+'''
+    units = _by_name(extract_units("stats.r", src))
+    r = units["rms"]
+    assert r.unit_type == UnitType.FUNCTION
+    assert r.parameters == ["x"]
+    assert "Root mean square" in r.docstring
+    assert r.has_branches and "sqrt" in r.calls
+    z = units["zscore"]
+    assert z.parameters == ["x", "mu", "sd"]
+    assert z.has_loops
+    assert units["Point"].unit_type == UnitType.CLASS
+    assert units["Shape"].unit_type == UnitType.CLASS
+    assert "stats" in r.imports
+
+
+def test_zig_extraction():
+    src = '''const std = @import("std");
+
+pub const Vec2 = struct {
+    x: f32,
+    y: f32,
+
+    pub fn dot(a: Vec2, b: Vec2) f32 {
+        return a.x * b.x + a.y * b.y;
+    }
+};
+
+fn clamp(v: f32, lo: f32, hi: f32) f32 {
+    if (v < lo) return lo;
+    if (v > hi) return hi;
+    return v;
+}
+
+test "clamp works" {
+    try std.testing.expect(clamp(5, 0, 1) == 1);
+}
+'''
+    units = _by_name(extract_units("vec.zig", src))
+    v = units["Vec2"]
+    assert v.unit_type == UnitType.CLASS
+    d = units["dot"]
+    assert d.unit_type == UnitType.METHOD
+    assert d.parent_class == "Vec2"
+    assert d.parameters == ["a", "b"]
+    assert d.return_type == "f32"
+    c = units["clamp"]
+    assert c.unit_type == UnitType.FUNCTION
+    assert c.parameters == ["v", "lo", "hi"]
+    assert c.has_branches and c.complexity >= 3
+    t = units["clamp works"]
+    assert "clamp" in t.calls
+    assert "std" in t.imports
+
+
+def test_haskell_extraction():
+    src = '''module Geometry (area) where
+
+import Data.List (foldl')
+
+data Shape = Circle Double | Square Double
+  deriving (Show, Eq)
+
+-- | Area of a shape.
+area :: Shape -> Double
+area (Circle r) = pi * r * r
+area (Square s) = s * s
+
+totalArea :: [Shape] -> Double
+totalArea xs = foldl' step 0 xs
+  where
+    step acc s = acc + area s
+'''
+    units = _by_name(extract_units("Geometry.hs", src))
+    s = units["Shape"]
+    assert s.unit_type == UnitType.CLASS
+    a = units["area"]
+    assert a.unit_type == UnitType.FUNCTION
+    assert "Area of a shape" in a.docstring
+    assert a.return_type == "Double"
+    assert a.line == 9 and a.end_line == 11  # sig + both equations, one unit
+    ta = units["totalArea"]
+    assert "xs" in ta.parameters
+    assert "foldl'" in ta.calls  # prime identifier lexed as one name
+    assert "Data" in ta.imports
+
+
+def test_ocaml_extraction():
+    src = """open List
+
+(* A 2D point. *)
+type point = { x : float; y : float }
+
+let dot a b = (a.x *. b.x) +. (a.y *. b.y)
+
+let rec sum_norms pts =
+  match pts with
+  | [] -> 0.0
+  | p :: rest -> sqrt (dot p p) +. sum_norms rest
+
+module Geometry = struct
+  let origin = { x = 0.0; y = 0.0 }
+
+  let distance a b =
+    let dx = a.x -. b.x in
+    let dy = a.y -. b.y in
+    sqrt ((dx *. dx) +. (dy *. dy))
+end
+"""
+    units = _by_name(extract_units("geo.ml", src))
+    assert units["point"].unit_type == UnitType.CLASS
+    d = units["dot"]
+    assert d.unit_type == UnitType.FUNCTION
+    assert d.parameters == ["a", "b"]
+    sn = units["sum_norms"]
+    assert "sqrt" in sn.calls and "dot" in sn.calls
+    g = units["Geometry"]
+    assert g.unit_type == UnitType.CLASS
+    dist = units["distance"]
+    assert dist.unit_type == UnitType.METHOD
+    assert dist.parent_class == "Geometry"
+    # inner `let dx = ... in` must NOT become its own unit
+    assert "dx" not in units and "dy" not in units
+    assert dist.end_line >= 19
+    assert "List" in d.imports
+
+
+def test_sql_extraction():
+    src = """-- Users schema.
+CREATE TABLE users (
+    id BIGSERIAL PRIMARY KEY,
+    email TEXT NOT NULL UNIQUE
+);
+
+CREATE INDEX idx_users_email ON users (email);
+
+CREATE OR REPLACE FUNCTION user_count(min_age INT)
+RETURNS BIGINT AS $$
+BEGIN
+    RETURN (SELECT count(*) FROM users WHERE age >= min_age);
+END;
+$$ LANGUAGE plpgsql;
+
+CREATE VIEW active_users AS
+SELECT * FROM users WHERE active = true;
+"""
+    units = _by_name(extract_units("schema.sql", src))
+    t = units["users"]
+    assert t.unit_type == UnitType.CLASS
+    assert "Users schema" in t.docstring
+    f = units["user_count"]
+    assert f.unit_type == UnitType.FUNCTION
+    assert f.parameters == ["min_age"]
+    # the $$ body's inner `;` must not end the statement early
+    assert f.end_line == 14
+    v = units["active_users"]
+    assert v.unit_type == UnitType.CLASS
+    assert units["idx_users_email"].unit_type == UnitType.CONSTANT
+
+
+def test_css_extraction():
+    src = """/* Base layout */
+.container {
+  display: flex;
+}
+
+#header h1, .brand {
+  font-weight: bold;
+}
+
+@media (max-width: 600px) {
+  .container {
+    flex-direction: column;
+  }
+}
+"""
+    units = extract_units("style.css", src)
+    names = [u.name for u in units]
+    assert ".container" in names
+    assert "#header h1, .brand" in names
+    assert "@media (max-width: 600px)" in names
+    media_inner = [
+        u for u in units if u.name == ".container" and u.line > 9
+    ]
+    assert media_inner and media_inner[0].parent_class in (
+        None, "@media (max-width: 600px)"
+    )
+
+
+def test_qml_extraction():
+    src = """import QtQuick 2.15
+
+Rectangle {
+    id: root
+    width: 320
+
+    signal activated(string name)
+
+    function describe(prefix) {
+        if (root.width > 100) {
+            return prefix + ": wide"
+        }
+        return prefix + ": narrow"
+    }
+
+    Text {
+        id: label
+        text: describe("box")
+    }
+}
+"""
+    units = _by_name(extract_units("Box.qml", src))
+    r = units["Rectangle"]
+    assert r.unit_type == UnitType.CLASS
+    d = units["describe"]
+    assert d.unit_type == UnitType.METHOD
+    assert d.parent_class == "Rectangle"
+    assert d.parameters == ["prefix"]
+    assert d.has_branches
+    assert units["activated"].unit_type == UnitType.FUNCTION
+    assert units["Text"].unit_type == UnitType.CLASS
+    assert "QtQuick" in r.imports
+
+
+def test_vue_sfc_extraction():
+    src = """<template>
+  <div class="counter">
+    <button id="inc" @click="increment">{{ count }}</button>
+  </div>
+</template>
+
+<script lang="ts">
+function format(n: number): string {
+  return n.toFixed(2)
+}
+</script>
+
+<style>
+.counter { padding: 4px; }
+</style>
+"""
+    units = extract_units("Counter.vue", src)
+    by = _by_name(units)
+    f = by["format"]
+    assert f.unit_type == UnitType.FUNCTION
+    assert f.language == "typescript"
+    assert f.line == 8 and f.end_line == 10  # host-file line numbers
+    assert ".counter" in by
+    doc = by["Counter"]
+    assert doc.unit_type == UnitType.DOCUMENT
+    assert doc.language == "vue"
+
+
+def test_svelte_extraction():
+    src = """<script>
+  let count = 0
+  function increment() {
+    count += 1
+  }
+</script>
+
+<button id="counter" on:click={increment}>{count}</button>
+"""
+    units = _by_name(extract_units("Counter.svelte", src))
+    inc = units["increment"]
+    assert inc.unit_type == UnitType.FUNCTION
+    assert inc.line == 3
+    assert units["Counter"].unit_type == UnitType.DOCUMENT
+
+
+def test_html_extraction():
+    src = """<!doctype html>
+<html>
+<head><title>Dashboard</title>
+<script>
+function refresh(panel) {
+  fetch('/api')
+}
+</script>
+</head>
+<body><div id="main"></div></body>
+</html>
+"""
+    units = _by_name(extract_units("index.html", src))
+    r = units["refresh"]
+    assert r.unit_type == UnitType.FUNCTION
+    assert r.line == 5
+    assert "fetch" in r.calls
+    doc = units["Dashboard"]
+    assert doc.unit_type == UnitType.DOCUMENT
+    assert "main" in doc.variables
