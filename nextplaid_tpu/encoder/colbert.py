@@ -67,6 +67,12 @@ class Colbert:
         Override the ColBERT behavior config (otherwise read from model_dir).
     batch_size:
         Max device batch per forward.
+    quantized:
+        INT8 serving mode: backbone Dense layers run int8 x int8 on the MXU
+        (2x bf16 peak) with dynamically quantized activations — the TPU
+        equivalent of the reference's INT8 ONNX sessions (quantize.py /
+        next-plaid-onnx quantized feature). Loaded weights are converted
+        post-training; the output projection stays full precision.
     """
 
     def __init__(
@@ -79,6 +85,7 @@ class Colbert:
         batch_size: int = 32,
         query_length: Optional[int] = None,
         document_length: Optional[int] = None,
+        quantized: bool = False,
     ):
         if model_dir is not None:
             model_dir = Path(model_dir)
@@ -106,9 +113,16 @@ class Colbert:
         if document_length is not None:
             self.config.document_length = document_length
         self.backbone_config.projection_dim = self.config.embedding_dim
+        self.quantized = quantized
+        if quantized:
+            # INT8 serving mode (reference quantize_dynamic parity): convert
+            # the loaded full-precision kernels to int8 + per-column scales.
+            from nextplaid_tpu.encoder.model import quantize_dense_params
+
+            params = quantize_dense_params(params)
         self.params = params
         self.batch_size = batch_size
-        self.model = ColbertModel(self.backbone_config)
+        self.model = ColbertModel(self.backbone_config, quantized=quantized)
         self.skiplist_ids = self._build_skiplist()
         self._query_prefix_id = self._resolve_prefix_id(
             self.config.query_prefix, self.config.query_prefix_id

@@ -89,6 +89,90 @@ def _act(name: str):
 
 
 # ---------------------------------------------------------------------------
+# INT8 dynamic-quantization Dense (reference INT8 ONNX serving mode:
+# next-plaid-onnx quantized sessions; python/src/colbert_export/quantize.py
+# applies onnxruntime quantize_dynamic — weights int8 per-column, activations
+# dynamically quantized per row at runtime). On TPU both operands int8 puts
+# the matmul on the 2x-peak int8 MXU path and halves weight HBM traffic.
+# ---------------------------------------------------------------------------
+
+
+class QuantDense(nn.Module):
+    """Dense with int8 weights + per-output-channel scales and dynamic
+    per-row int8 activation quantization (int8 x int8 -> int32 MXU)."""
+
+    features: int
+    use_bias: bool = True
+    compute_dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        kq = self.param(
+            "kernel_q", nn.initializers.zeros, (in_f, self.features), jnp.int8
+        )
+        ks = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,),
+            jnp.float32,
+        )
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        ascale = jnp.where(amax > 0, amax / 127.0, 1.0)
+        xq = jnp.clip(jnp.round(xf / ascale), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq,
+            kq,
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out = y.astype(jnp.float32) * ascale * ks
+        if self.use_bias:
+            out = out + self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+        return out.astype(self.compute_dtype)
+
+
+def _dense(quantized, features, dtype, name, use_bias=True):
+    if quantized:
+        return QuantDense(
+            features, use_bias=use_bias, compute_dtype=dtype, name=name
+        )
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
+def quantize_dense_params(params, skip=("projection",)):
+    """Post-training conversion of a loaded bf16/f32 param tree: every
+    2-D Dense kernel (outside `skip` paths) becomes int8 weights + per-
+    output-channel f32 scales for QuantDense. The final projection stays
+    full precision — it is tiny and sets output quality."""
+    import jax as _jax
+
+    def rec(tree, path):
+        if isinstance(tree, dict):
+            k = tree.get("kernel")
+            if (
+                k is not None
+                and hasattr(k, "ndim")
+                and k.ndim == 2
+                and not any(sk in path for sk in skip)
+            ):
+                w = np.asarray(k, np.float32)
+                s = np.abs(w).max(axis=0) / 127.0
+                s = np.where(s > 0, s, 1.0).astype(np.float32)
+                q = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+                out = {"kernel_q": q, "kernel_scale": s}
+                if "bias" in tree:
+                    out["bias"] = np.asarray(tree["bias"], np.float32)
+                return out
+            return {kk: rec(vv, path + (kk,)) for kk, vv in tree.items()}
+        return tree
+
+    del _jax
+    return rec(params, ())
+
+
+# ---------------------------------------------------------------------------
 # BERT backbone
 # ---------------------------------------------------------------------------
 
@@ -96,13 +180,14 @@ def _act(name: str):
 class BertSelfAttention(nn.Module):
     config: BackboneConfig
     compute_dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, hidden, mask):
         cfg = self.config
         head_dim = cfg.hidden_size // cfg.num_attention_heads
-        dense = lambda name: nn.Dense(  # noqa: E731
-            cfg.hidden_size, dtype=self.compute_dtype, name=name
+        dense = lambda name: _dense(  # noqa: E731
+            self.quantized, cfg.hidden_size, self.compute_dtype, name
         )
         B, L, _ = hidden.shape
         split = lambda x: x.reshape(B, L, cfg.num_attention_heads, head_dim)  # noqa: E731
@@ -114,28 +199,32 @@ class BertSelfAttention(nn.Module):
         bias = jnp.where(mask[:, None, None, :], 0.0, -1e9).astype(scores.dtype)
         probs = jax.nn.softmax(scores + bias, axis=-1)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, cfg.hidden_size)
-        out = nn.Dense(cfg.hidden_size, dtype=self.compute_dtype, name="output")(ctx)
+        out = dense("output")(ctx)
         return out
 
 
 class BertLayer(nn.Module):
     config: BackboneConfig
     compute_dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, hidden, mask):
         cfg = self.config
-        attn = BertSelfAttention(cfg, self.compute_dtype, name="attention")(
-            hidden, mask
-        )
+        attn = BertSelfAttention(
+            cfg, self.compute_dtype, self.quantized, name="attention"
+        )(hidden, mask)
         hidden = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="attention_norm"
         )(hidden + attn)
-        mlp = nn.Dense(
-            cfg.intermediate_size, dtype=self.compute_dtype, name="intermediate"
+        mlp = _dense(
+            self.quantized, cfg.intermediate_size, self.compute_dtype,
+            "intermediate",
         )(hidden)
         mlp = _act(cfg.hidden_act)(mlp)
-        mlp = nn.Dense(cfg.hidden_size, dtype=self.compute_dtype, name="output")(mlp)
+        mlp = _dense(
+            self.quantized, cfg.hidden_size, self.compute_dtype, "output"
+        )(mlp)
         hidden = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="output_norm"
         )(hidden + mlp)
@@ -145,6 +234,7 @@ class BertLayer(nn.Module):
 class BertBackbone(nn.Module):
     config: BackboneConfig
     compute_dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None):
@@ -166,9 +256,9 @@ class BertBackbone(nn.Module):
         )(emb)
         mask = attention_mask.astype(bool)
         for i in range(cfg.num_hidden_layers):
-            hidden = BertLayer(cfg, self.compute_dtype, name=f"layer_{i}")(
-                hidden, mask
-            )
+            hidden = BertLayer(
+                cfg, self.compute_dtype, self.quantized, name=f"layer_{i}"
+            )(hidden, mask)
         return hidden
 
 
@@ -199,14 +289,16 @@ class ModernBertAttention(nn.Module):
     config: BackboneConfig
     layer_idx: int
     compute_dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, hidden, mask):
         cfg = self.config
         H, D = cfg.num_attention_heads, cfg.hidden_size // cfg.num_attention_heads
         B, L, _ = hidden.shape
-        qkv = nn.Dense(
-            3 * cfg.hidden_size, use_bias=False, dtype=self.compute_dtype, name="Wqkv"
+        qkv = _dense(
+            self.quantized, 3 * cfg.hidden_size, self.compute_dtype, "Wqkv",
+            use_bias=False,
         )(hidden)
         q, k, v = jnp.split(qkv.reshape(B, L, 3 * H, D), 3, axis=2)
         is_global = self.layer_idx % cfg.global_attn_every_n_layers == 0
@@ -222,8 +314,9 @@ class ModernBertAttention(nn.Module):
         bias = jnp.where(allow, 0.0, -1e9).astype(scores.dtype)
         probs = jax.nn.softmax(scores + bias, axis=-1)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, cfg.hidden_size)
-        return nn.Dense(
-            cfg.hidden_size, use_bias=False, dtype=self.compute_dtype, name="Wo"
+        return _dense(
+            self.quantized, cfg.hidden_size, self.compute_dtype, "Wo",
+            use_bias=False,
         )(ctx)
 
 
@@ -231,6 +324,7 @@ class ModernBertLayer(nn.Module):
     config: BackboneConfig
     layer_idx: int
     compute_dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, hidden, mask):
@@ -245,19 +339,21 @@ class ModernBertLayer(nn.Module):
                 name="attn_norm",
             )(hidden)
         hidden = hidden + ModernBertAttention(
-            cfg, self.layer_idx, self.compute_dtype, name="attn"
+            cfg, self.layer_idx, self.compute_dtype, self.quantized,
+            name="attn",
         )(normed, mask)
         normed = nn.LayerNorm(
             epsilon=cfg.norm_eps, use_bias=False, dtype=jnp.float32, name="mlp_norm"
         )(hidden)
         # GeGLU: Wi -> split -> act(a) * b -> Wo.
-        wi = nn.Dense(
-            2 * cfg.intermediate_size, use_bias=False, dtype=self.compute_dtype,
-            name="Wi",
+        wi = _dense(
+            self.quantized, 2 * cfg.intermediate_size, self.compute_dtype,
+            "Wi", use_bias=False,
         )(normed)
         a, b = jnp.split(wi, 2, axis=-1)
-        mlp = nn.Dense(
-            cfg.hidden_size, use_bias=False, dtype=self.compute_dtype, name="Wo"
+        mlp = _dense(
+            self.quantized, cfg.hidden_size, self.compute_dtype, "Wo",
+            use_bias=False,
         )(_act(cfg.hidden_act)(a) * b)
         return hidden + mlp
 
@@ -265,6 +361,7 @@ class ModernBertLayer(nn.Module):
 class ModernBertBackbone(nn.Module):
     config: BackboneConfig
     compute_dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None):
@@ -277,9 +374,9 @@ class ModernBertBackbone(nn.Module):
         )(emb)
         mask = attention_mask.astype(bool)
         for i in range(cfg.num_hidden_layers):
-            hidden = ModernBertLayer(cfg, i, self.compute_dtype, name=f"layer_{i}")(
-                hidden, mask
-            )
+            hidden = ModernBertLayer(
+                cfg, i, self.compute_dtype, self.quantized, name=f"layer_{i}"
+            )(hidden, mask)
         hidden = nn.LayerNorm(
             epsilon=cfg.norm_eps, use_bias=False, dtype=jnp.float32, name="final_norm"
         )(hidden)
@@ -292,19 +389,28 @@ class ModernBertBackbone(nn.Module):
 
 
 class ColbertModel(nn.Module):
-    """Backbone -> Dense(projection_dim, no bias) -> L2 normalize."""
+    """Backbone -> Dense(projection_dim, no bias) -> L2 normalize.
+
+    quantized=True swaps every backbone Dense for QuantDense (int8 weights,
+    dynamic int8 activations — the reference's INT8 ONNX serving mode on
+    the int8 MXU path); the projection stays full precision."""
 
     config: BackboneConfig
     compute_dtype: Any = jnp.bfloat16
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None):
         if self.config.model_type == "modernbert":
             backbone = ModernBertBackbone(
-                self.config, self.compute_dtype, name="backbone"
+                self.config, self.compute_dtype, self.quantized,
+                name="backbone",
             )
         else:
-            backbone = BertBackbone(self.config, self.compute_dtype, name="backbone")
+            backbone = BertBackbone(
+                self.config, self.compute_dtype, self.quantized,
+                name="backbone",
+            )
         hidden = backbone(input_ids, attention_mask, token_type_ids)
         proj = nn.Dense(
             self.config.projection_dim,

@@ -91,9 +91,19 @@ class SearchParameters:
     # its own probes produced (search.rs candidate sets).
     candidate_scope: str = "batch"
     # Per-query approximate-prune depth: each query keeps this many docs
-    # (ranked by summed probed-cell scores) for the exact re-rank. 0 = auto
-    # (n_full_scores/4, the reference's exact-rerank breadth, search.rs:468).
+    # for the exact re-rank. 0 = auto (n_full_scores/4, the reference's
+    # exact-rerank breadth, search.rs:468).
     prune_keep: int = 0
+    # Approximate-score semantics for the prune:
+    #   "cells": a doc's score is the sum of its probed cells' weights —
+    #     cheap (no extra gathers) but rewards docs that merely appear in
+    #     many probed lists; enough at moderate scale.
+    #   "codes": the REFERENCE semantics (search.rs:448-457) as a stage 3b —
+    #     survivors of a 4x-wider cells prune are re-scored by gathering
+    #     each candidate's own token codes and taking the per-query-token
+    #     max over those codes' centroid scores. Sharper prune: at megascale
+    #     the same recall needs a fraction of the exact-rerank breadth.
+    approx_score: str = "cells"
     # Flat posting-stream budget per query (entries gathered across all
     # probed cells). 0 = auto (4x the probe fan-out x average posting
     # length, floor 65536). Overflow is counted, reported, and handled per

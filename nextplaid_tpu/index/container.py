@@ -70,12 +70,49 @@ class DeviceIndex:
     rq_coarse: Optional[jax.Array] = None  # [C, d] f32
     rq_fine: Optional[jax.Array] = None  # [F, d] f32
     rq_inv_norms: Optional[jax.Array] = None  # [C, F] f32, 0 = degenerate
+    # Live counts as TRACED i32 scalars: document/embedding counts change
+    # on every serving append, and a static count would re-key (and
+    # recompile) every jitted search program per 300-doc ingest batch.
+    # Array shapes are CAPACITIES (grown geometrically by append_batch), so
+    # jit keys stay stable across appends within a capacity bucket.
+    n_docs: jax.Array = None  # i32 scalar
+    n_emb: jax.Array = None  # i32 scalar
     # --- static metadata (aux fields: not traced) ---
     nbits: int = dataclasses.field(metadata=dict(static=True), default=4)
-    num_documents: int = dataclasses.field(metadata=dict(static=True), default=0)
-    num_embeddings: int = dataclasses.field(metadata=dict(static=True), default=0)
     max_doclen: int = dataclasses.field(metadata=dict(static=True), default=0)
     max_posting_len: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    def __post_init__(self):
+        if self.n_docs is None:
+            object.__setattr__(self, "n_docs", jnp.zeros((), jnp.int32))
+        if self.n_emb is None:
+            object.__setattr__(self, "n_emb", jnp.zeros((), jnp.int32))
+
+    @property
+    def num_documents(self) -> int:
+        """Host-side document count. Inside jit use `.n_docs` (traced)."""
+        host = getattr(self, "_counts_host", None)
+        if host is not None:
+            return host[0]
+        n = int(self.n_docs)
+        ne = int(self.n_emb)
+        object.__setattr__(self, "_counts_host", (n, ne))
+        return n
+
+    @property
+    def num_embeddings(self) -> int:
+        """Host-side embedding count. Inside jit use `.n_emb` (traced)."""
+        host = getattr(self, "_counts_host", None)
+        if host is not None:
+            return host[1]
+        n = int(self.n_docs)
+        ne = int(self.n_emb)
+        object.__setattr__(self, "_counts_host", (n, ne))
+        return ne
+
+    def _set_host_counts(self, n_docs: int, n_emb: int) -> "DeviceIndex":
+        object.__setattr__(self, "_counts_host", (n_docs, n_emb))
+        return self
 
     @property
     def num_centroids(self) -> int:
@@ -186,6 +223,8 @@ class DeviceIndex:
         pad_tokens: int = 128,
         rq_coarse: Optional[np.ndarray] = None,
         rq_fine: Optional[np.ndarray] = None,
+        doc_capacity: int = 0,
+        token_capacity: int = 0,
     ) -> "DeviceIndex":
         ndocs = int(doclens.shape[0])
         nvec = int(codes.shape[0])
@@ -196,10 +235,15 @@ class DeviceIndex:
             (nvec, packed_dim),
         )
 
-        # +1 so `num_documents` itself is a usable in-bounds sentinel slot
-        # (doclen 0) for padded candidate buffers.
-        ndocs_pad = max(_round_up(ndocs + 1, pad_docs), pad_docs)
-        nvec_pad = max(_round_up(nvec, pad_tokens), pad_tokens)
+        # +1 so the sentinel slot (doclen 0, used for padded candidate
+        # buffers) is always in bounds. doc_capacity/token_capacity reserve
+        # EXTRA padded rows so serving appends (append_batch) can grow the
+        # corpus in place without changing array shapes — shapes are jit
+        # keys, and a shape change recompiles every search program.
+        ndocs_pad = max(_round_up(max(ndocs + 1, doc_capacity), pad_docs),
+                        pad_docs)
+        nvec_pad = max(_round_up(max(nvec, token_capacity), pad_tokens),
+                       pad_tokens)
         nnz = int(ivf_doc_ids.shape[0])
         nnz_pad = max(_round_up(nnz, pad_tokens), pad_tokens)
 
@@ -215,7 +259,10 @@ class DeviceIndex:
 
         ivf_offsets = np.zeros(k + 1, np.int32)
         np.cumsum(np.asarray(ivf_lengths, np.int64), out=ivf_offsets[1:])
-        ivf_p = np.full(nnz_pad, ndocs, np.int32)  # sentinel = ndocs (invalid doc)
+        # Sentinel = last padded slot: doclen 0 there by construction, and
+        # (unlike the former `ndocs` sentinel) it stays invalid after
+        # device appends advance the live count.
+        ivf_p = np.full(nnz_pad, ndocs_pad - 1, np.int32)
         ivf_p[:nnz] = ivf_doc_ids
 
         max_posting = int(np.max(ivf_lengths)) if len(ivf_lengths) else 0
@@ -254,22 +301,190 @@ class DeviceIndex:
             rq_inv_norms=(
                 jnp.asarray(rq_inv) if rq_inv is not None else None
             ),
+            n_docs=jnp.asarray(ndocs, jnp.int32),
+            n_emb=jnp.asarray(nvec, jnp.int32),
             nbits=nbits,
-            num_documents=ndocs,
-            num_embeddings=nvec,
             max_doclen=max_doclen,
             max_posting_len=max_posting,
+        )._set_host_counts(ndocs, nvec)
+
+    # ------------------------------------------------------------------
+    # Incremental device append (serving ingest)
+    # ------------------------------------------------------------------
+    def append_batch(
+        self,
+        codes: np.ndarray,
+        residuals: np.ndarray,
+        doclens: np.ndarray,
+    ) -> Optional["DeviceIndex"]:
+        """Append encoded documents IN PLACE on device: O(batch) host->device
+        traffic instead of the O(corpus) full reload the ingest path paid
+        before (reference reloads are cheap because mmap + merge manifests
+        make them O(changed), mmap.rs:1081-1300; HBM-resident tensors need
+        this device-side equivalent).
+
+        `codes`/`residuals`/`doclens` are the batch encoded against the
+        CURRENT centroids (index.update's encode output). Counts advance via
+        the traced n_docs/n_emb scalars and batch shapes are bucketed, so
+        append does not re-key jitted search programs; capacity growth
+        (geometric) is the only shape-changing event.
+
+        The device IVF is NOT updated here — the caller must mark it stale
+        (`mark_ivf_stale`) and refresh before staged search. The pinned-grid
+        exact path (the serving operating point) never reads the IVF.
+
+        Returns the updated index, or None when the append cannot be done
+        in place (a new document exceeds the grid's token axis) — caller
+        falls back to a full reload.
+        """
+        nd, ne = self.num_documents, self.num_embeddings
+        doclens = np.asarray(doclens, np.int64)
+        bdocs = int(doclens.shape[0])
+        btok = int(doclens.sum())
+        if bdocs == 0:
+            return self
+        if codes.shape[0] != btok or residuals.shape[0] != btok:
+            raise ValueError(
+                f"batch shapes disagree: {codes.shape[0]} codes / "
+                f"{residuals.shape[0]} residuals vs doclens sum {btok}"
+            )
+        if self.token_grid is not None and int(doclens.max()) > self.grid_td():
+            return None  # longer than the grid's token axis: rebuild
+        new_max_doclen = max(self.max_doclen, int(doclens.max()))
+
+        index = self
+        # Bucket the batch shapes so repeat appends hit the jit cache;
+        # geometric capacity growth keeps shape changes amortized O(1).
+        bdocs_pad = _round_up(bdocs, 256)
+        btok_pad = _round_up(btok, 2048)
+        if (
+            nd + bdocs_pad + 1 > index.num_docs_padded
+            or ne + btok_pad > index.codes.shape[0]
+        ):
+            index = index._grow(
+                doc_capacity=max(2 * index.num_docs_padded,
+                                 nd + bdocs_pad + 2),
+                token_capacity=max(2 * index.codes.shape[0], ne + btok_pad),
+            )
+        codes_p = np.zeros(btok_pad, np.int32)
+        codes_p[:btok] = codes
+        res_p = np.zeros((btok_pad, residuals.shape[1]), np.uint8)
+        res_p[:btok] = residuals
+        lens_p = np.zeros(bdocs_pad, np.int32)
+        lens_p[:bdocs] = doclens
+
+        grid_kind = (
+            "int8" if index.token_scales is not None
+            else ("bf16" if index.token_grid is not None else "none")
         )
+        new_codes, new_res, new_doclens, new_offs, new_grid, new_scales = (
+            _append_jit(
+                index.codes,
+                index.residuals,
+                index.doclens,
+                index.doc_offsets,
+                index.token_grid,
+                index.token_scales,
+                index.centroids,
+                index.bucket_weights,
+                jnp.asarray(codes_p),
+                jnp.asarray(res_p),
+                jnp.asarray(lens_p),
+                index.n_docs,
+                index.n_emb,
+                nbits=index.nbits,
+                grid_kind=grid_kind,
+                td=index.grid_td() if index.token_grid is not None else 0,
+            )
+        )
+        out = dataclasses.replace(
+            index,
+            codes=new_codes,
+            residuals=new_res,
+            doclens=new_doclens,
+            doc_offsets=new_offs,
+            token_grid=new_grid,
+            token_scales=new_scales,
+            n_docs=index.n_docs + bdocs,
+            n_emb=index.n_emb + btok,
+            max_doclen=new_max_doclen,
+        )._set_host_counts(nd + bdocs, ne + btok)
+        object.__setattr__(
+            out, "_ivf_stale", True
+        )
+        return out
+
+    def _grow(self, doc_capacity: int, token_capacity: int) -> "DeviceIndex":
+        """Re-pad all capacity arrays (rare; shapes change -> jit re-keys)."""
+        nd_pad_new = max(_round_up(doc_capacity, 8), self.num_docs_padded)
+        nvec_new = max(_round_up(token_capacity, 128), self.codes.shape[0])
+        grown = dataclasses.replace(
+            self,
+            codes=_pad_to(self.codes, nvec_new),
+            residuals=_pad_to(self.residuals, nvec_new),
+            doclens=_pad_to(self.doclens, nd_pad_new),
+            doc_offsets=_pad_to(
+                self.doc_offsets, nd_pad_new + 1, edge=True
+            ),
+            token_grid=None,
+            token_scales=None,
+        )._set_host_counts(self.num_documents, self.num_embeddings)
+        if self.token_grid is not None:
+            dtype = "int8" if self.token_scales is not None else "bf16"
+            grown = grown.with_token_grid(dtype=dtype)
+            grown._set_host_counts(
+                self.num_documents, self.num_embeddings
+            )
+        if getattr(self, "_ivf_stale", False):
+            object.__setattr__(grown, "_ivf_stale", True)
+        return grown
+
+    def mark_ivf_stale(self) -> None:
+        object.__setattr__(self, "_ivf_stale", True)
+
+    @property
+    def ivf_stale(self) -> bool:
+        return bool(getattr(self, "_ivf_stale", False))
+
+    def refresh_ivf(self, index_path: str) -> "DeviceIndex":
+        """Re-stage the IVF (and posting-length static) from disk — the
+        staged pipeline's lazy catch-up after device appends."""
+        from nextplaid_tpu.storage.npy import IndexLayout, load_npy
+
+        layout = IndexLayout(index_path)
+        ivf = np.asarray(load_npy(layout.ivf), np.int32)
+        ivf_lengths = np.asarray(load_npy(layout.ivf_lengths), np.int64)
+        k = self.num_centroids
+        ivf_offsets = np.zeros(k + 1, np.int32)
+        np.cumsum(ivf_lengths[:k], out=ivf_offsets[1:])
+        nnz = int(ivf.shape[0])
+        nnz_pad = max(_round_up(nnz, 128), 128)
+        ivf_p = np.full(nnz_pad, self.num_docs_padded - 1, np.int32)
+        ivf_p[:nnz] = ivf
+        out = dataclasses.replace(
+            self,
+            ivf_offsets=jnp.asarray(ivf_offsets),
+            ivf_doc_ids=jnp.asarray(ivf_p),
+            max_posting_len=int(ivf_lengths.max()) if nnz else 0,
+        )._set_host_counts(self.num_documents, self.num_embeddings)
+        return out
 
     # ------------------------------------------------------------------
     # Load from the reference-compatible on-disk format
     # ------------------------------------------------------------------
     @classmethod
-    def load(cls, index_path: str) -> "DeviceIndex":
+    def load(
+        cls, index_path: str, capacity_factor: float = 1.0
+    ) -> "DeviceIndex":
         """Load an index directory (reference `MmapIndex::load`, index.rs:1026).
 
         Reads chunked codes/residuals/doclens, concatenates, and stages into
         device arrays. Also accepts fast-plaid-written f16 centroids.
+
+        capacity_factor > 1 reserves append headroom (append_batch): a
+        serving process that expects ingest should load with e.g. 1.5 so
+        the first batches don't immediately trigger a capacity growth
+        (growth = full re-pad + grid rebuild + search recompile).
         """
         layout = IndexLayout(index_path)
         meta = Metadata.from_dict(load_json(layout.metadata))
@@ -336,6 +551,7 @@ class DeviceIndex:
                 # table is authoritative.
                 rq_coarse = rq_fine = None
 
+        f = max(capacity_factor, 1.0)
         return cls.from_host(
             rq_coarse=rq_coarse,
             rq_fine=rq_fine,
@@ -349,7 +565,96 @@ class DeviceIndex:
             bucket_weights=weights,
             avg_residual=avg_residual,
             nbits=meta.nbits,
+            doc_capacity=int(len(doclens) * f) + 2 if f > 1.0 else 0,
+            token_capacity=int(len(codes) * f) if f > 1.0 else 0,
         )
+
+
+def _pad_to(arr: jax.Array, n: int, edge: bool = False) -> jax.Array:
+    """Zero- (or edge-) pad the leading axis of `arr` to length n."""
+    if arr.shape[0] >= n:
+        return arr
+    widths = [(0, n - arr.shape[0])] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, widths, mode="edge" if edge else "constant")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nbits", "grid_kind", "td")
+)
+def _append_jit(
+    codes,
+    residuals,
+    doclens,
+    doc_offsets,
+    grid,
+    scales,
+    centroids,
+    bucket_weights,
+    new_codes,  # [btok_pad] i32, zero-padded
+    new_res,  # [btok_pad, pd] u8
+    new_lens,  # [bdocs_pad] i32, zero-padded
+    n_docs,  # traced i32 scalar: docs used BEFORE the append
+    n_emb,  # traced i32 scalar: tokens used BEFORE the append
+    nbits: int,
+    grid_kind: str,
+    td: int,
+):
+    """Write one encoded batch into the capacity arrays (dynamic_update_slice
+    at the traced counts) and decompress its token-grid rows in place.
+
+    Offsets beyond the written window keep earlier totals — they are only
+    ever read behind doclens masks (doclen 0 ⇒ contribution masked), and
+    the next append's base offset read lands inside this append's window.
+    """
+    from nextplaid_tpu.ops import codec as codec_ops
+
+    btok_pad = new_codes.shape[0]
+    codes = jax.lax.dynamic_update_slice(codes, new_codes, (n_emb,))
+    residuals = jax.lax.dynamic_update_slice(residuals, new_res, (n_emb, 0))
+    doclens = jax.lax.dynamic_update_slice(doclens, new_lens, (n_docs,))
+    base = jax.lax.dynamic_slice(doc_offsets, (n_docs,), (1,))[0]
+    new_off = (base + jnp.cumsum(new_lens)).astype(doc_offsets.dtype)
+    doc_offsets = jax.lax.dynamic_update_slice(
+        doc_offsets, new_off, (n_docs + 1,)
+    )
+
+    if grid_kind != "none":
+        offs_local = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(new_lens[:-1])]
+        )
+        t_ar = jnp.arange(td, dtype=jnp.int32)
+        tok_pos = jnp.clip(
+            offs_local[:, None] + t_ar[None, :], 0, btok_pad - 1
+        )
+        tok_valid = t_ar[None, :] < new_lens[:, None]
+        emb = codec_ops.decompress_residuals(
+            new_res[tok_pos],
+            new_codes[tok_pos],
+            centroids,
+            bucket_weights,
+            nbits,
+            normalize=True,
+        )
+        emb = jnp.where(tok_valid[:, :, None], emb, 0.0)
+        if grid_kind == "bf16":
+            grid = jax.lax.dynamic_update_slice(
+                grid, emb.astype(jnp.bfloat16), (n_docs, 0, 0)
+            )
+        else:  # int8 transposed tiles + per-token scales
+            maxabs = jnp.max(jnp.abs(emb), axis=-1)
+            scale = jnp.where(maxabs > 0, maxabs / 127.0, 1.0)
+            q = jnp.clip(jnp.round(emb / scale[:, :, None]), -127, 127)
+            grid = jax.lax.dynamic_update_slice(
+                grid,
+                q.astype(jnp.int8).transpose(0, 2, 1),
+                (n_docs, 0, 0),
+            )
+            scales = jax.lax.dynamic_update_slice(
+                scales,
+                jnp.where(tok_valid, scale, 0.0).astype(jnp.bfloat16),
+                (n_docs, 0),
+            )
+    return codes, residuals, doclens, doc_offsets, grid, scales
 
 
 @functools.partial(jax.jit, static_argnames=("nbits", "td", "tile"))

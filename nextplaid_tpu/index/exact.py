@@ -60,7 +60,7 @@ def exact_all_scores(
     kills single XLA executions beyond ~60 s). Docs outside the range (or
     beyond num_documents) come back -inf. Default: all documents."""
     q_n = queries.shape[0]
-    nd = index.num_documents
+    nd = index.n_docs  # traced live count (stable across serving appends)
     nd_pad = index.num_docs_padded
     td = (
         index.grid_token_axis()
@@ -69,7 +69,9 @@ def exact_all_scores(
     )
     nvec_pad = index.codes.shape[0]
 
-    n_range = doc_range if doc_range is not None else nd
+    # Scan length must be static: default to the CAPACITY; rows beyond
+    # the live count come back NEG_INF via the traced range mask below.
+    n_range = doc_range if doc_range is not None else nd_pad - 1
     n_range = max(n_range, 1)
     doc_lo = jnp.asarray(doc_lo, jnp.int32)
     range_end = jnp.minimum(doc_lo + n_range, nd)
@@ -188,7 +190,6 @@ def exact_search_pipeline(
     transfer overhead amortize across q_scan sub-batches.
     """
     q_n = queries.shape[0]
-    nd = index.num_documents
     nd_pad = index.num_docs_padded
     if use_kernel and index.token_grid is not None:
         return _exact_search_kernel(
@@ -198,9 +199,11 @@ def exact_search_pipeline(
         index, queries, qmask, doc_tile, precision
     )
     if has_subset and subset_mask is not None:
-        all_scores = jnp.where(subset_mask[None, :nd], all_scores, NEG_INF)
+        all_scores = jnp.where(
+            subset_mask[None, : all_scores.shape[1]], all_scores, NEG_INF
+        )
 
-    k = min(top_k, max(nd, 1))
+    k = min(top_k, max(nd_pad - 1, 1))
     final_scores, final_ids = jax.lax.top_k(all_scores, k)
     final_ids = jnp.where(
         jnp.isfinite(final_scores), final_ids.astype(jnp.int32), -1
@@ -226,7 +229,8 @@ def _exact_search_kernel(
     from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores
 
     q_n, tq, d = queries.shape
-    nd = index.num_documents
+    nd = index.n_docs  # traced live count
+    nd_cap = index.num_docs_padded - 1
     grid = index.token_grid
     nd_grid = grid.shape[0]
     doclens = jnp.zeros((nd_grid, 1), jnp.int32)
@@ -283,12 +287,12 @@ def _exact_search_kernel(
             scores = sub_scores.reshape(q_n, nd_grid)
         else:
             scores = maxsim_grid_scores(qflat, grid, doclens, tq=tq)
-    scores = scores[:, : max(nd, 1)]
+    scores = scores[:, : max(nd_cap, 1)]
     valid = jnp.arange(scores.shape[1]) < nd
     if has_subset and subset_mask is not None:
         valid &= subset_mask[: scores.shape[1]]
     scores = jnp.where(valid[None, :], scores, NEG_INF)
-    k = min(top_k, max(nd, 1))
+    k = min(top_k, max(nd_cap, 1))
     final_scores, final_ids = jax.lax.top_k(scores, k)
     final_ids = jnp.where(
         jnp.isfinite(final_scores), final_ids.astype(jnp.int32), -1

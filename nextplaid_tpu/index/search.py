@@ -30,14 +30,18 @@ Re-design of the reference's per-query CPU pipeline
                                           masks the final scores
   stage 5  on-device top-k
 
-Approximate-score semantics (deliberate deviation from the reference):
-the reference ranks candidates by sum-over-query-tokens of the max centroid
-score among the candidate's OWN token codes (search.rs:448-457), which needs
-a gather of every candidate's codes. Here a document's approximate score is
-the sum of the selected-cell scores S[q,t,c] over every probed (t,c) pair
-whose posting list contains it — computable from the posting streams alone.
-Both are prune heuristics ahead of the exact re-rank; recall against the f32
-oracle is the arbiter (tests/test_index_e2e.py, bench.py).
+Approximate-score semantics: the DEFAULT ("cells") scores a document by the
+sum of the selected-cell scores S[q,t,c] over every probed (t,c) pair whose
+posting list contains it — computable from the posting streams alone, no
+per-candidate gathers. SearchParameters.approx_score="codes" adds stage 3b,
+the REFERENCE semantics (search.rs:448-457): survivors of a 4x-wider cells
+prune are re-scored by gathering each candidate's own token codes and
+taking per-query-token maxima over those codes' centroid scores
+(_approx_codes_scores). The cells heuristic rewards docs that merely appear
+in many probed lists, which blunts the prune at megascale; 3b restores the
+sharp per-candidate ranking at the cost of a bounded gather over ~Q x pool
+candidates. Recall against the f32 oracle is the arbiter
+(tests/test_index_e2e.py, bench.py, scripts/profile_megascale.py).
 
 At small scale every probed document survives the prune (prune_keep exceeds
 the probe fan-out) and stage 4 degenerates to exact scoring of the full
@@ -54,6 +58,7 @@ candidate-buffer overflow is counted and returned as a diagnostic.
 from __future__ import annotations
 
 import functools
+import logging
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -88,6 +93,9 @@ class PipelineShapes:
     cand_tile: int  # union candidates decompressed+scored per scan step
     nbits: int
     prune_keep: int = 1024  # M: per-query approx-score survivors
+    prune_pool: int = 1024  # stage-3a pool fed to the 3b re-score (== keep
+    # when approx_score == "cells"; 4x keep for "codes")
+    approx_score: str = "cells"  # "cells" | "codes" (reference semantics)
     candidate_scope: str = "batch"  # "batch" | "per_query"
     overflow_policy: str = "exact"  # on posting-budget overflow: "exact"
     # fallback (re-run exhaustively) | "prune" (lowest-weight cells dropped,
@@ -108,7 +116,9 @@ class PipelineShapes:
         td = max(_round_up(max(index.max_doclen, 1), 8), 8)
         ncells = query_tokens * min(params.n_ivf_probe, index.num_centroids)
         p_cap = max(index.max_posting_len, 1)
-        nd = max(index.num_documents, 1)
+        # Capacity, not live count: shapes must stay stable across
+        # serving appends (live counts are traced — see DeviceIndex).
+        nd = max(index.num_docs_padded - 1, 1)
         # Flat per-query posting budget: postings are gathered as ONE flat
         # [Q, B] stream (average-length driven) instead of padding every cell
         # to the max posting length (skew-driven — a single hot centroid
@@ -130,6 +140,13 @@ class PipelineShapes:
         keep = params.prune_keep or max(params.n_full_scores // 4, 16)
         keep = min(keep, b, max(nd, 1))
         keep = max(keep, min(params.top_k, nd), 1)
+        # Stage-3b pool: the cells prune over-retrieves, so feed it 4x the
+        # final keep and let the reference-semantics re-score cut it down.
+        approx = params.approx_score
+        if approx == "codes":
+            pool = min(4 * keep, b, max(nd, 1))
+        else:
+            pool = keep
         # Union cap: per-query survivor lists concatenated then deduped —
         # Q*keep is an exact upper bound, so the union can never overflow.
         cmax = min(num_queries * keep, nd)
@@ -163,6 +180,8 @@ class PipelineShapes:
             cand_tile=cand_tile,
             nbits=index.nbits,
             prune_keep=keep,
+            prune_pool=pool,
+            approx_score=approx,
             candidate_scope=params.candidate_scope,
             overflow_policy=params.overflow_policy,
             stage1_precision=params.stage1_precision,
@@ -312,11 +331,66 @@ def _select_cells_rq(
     )
 
 
+def _approx_codes_scores(
+    index: DeviceIndex,
+    s_masked: jax.Array,  # [Q, Tq, K] centroid scores (NEG_INF masked rows)
+    qmask: jax.Array,  # [Q, Tq]
+    cand_ids: jax.Array,  # [Q, pool] doc ids (capacity sentinel for empty)
+    shapes: PipelineShapes,
+) -> jax.Array:
+    """Stage 3b: reference approximate scoring (search.rs:448-457) on the
+    pooled survivors. For each candidate, gather its token codes and score
+    sum_t max_{code in doc} S[q, t, code]. Tiled lax.scan over the pool so
+    the [Q, Tq, tile*Td] gather stays ~50 MB."""
+    q_n, pool = cand_ids.shape
+    td = shapes.doc_token_cap
+    nd_pad = index.num_docs_padded
+    nvec_pad = index.codes.shape[0]
+    t_ar = jnp.arange(td, dtype=jnp.int32)
+    # tile targeting ~48 MB gathered blocks
+    tile_budget = (48 << 20) // max(q_n * shapes.query_tokens * td * 4, 1)
+    tile = int(np.clip(tile_budget, 1, pool))
+    while pool % tile:
+        tile -= 1
+    n_tiles = pool // tile
+
+    def step(_, tile_ids):  # tile_ids [Q, tile]
+        safe = jnp.clip(tile_ids, 0, nd_pad - 1)
+        offs = index.doc_offsets[safe]  # [Q, tile]
+        lens = jnp.where(
+            tile_ids < index.n_docs, index.doclens[safe], 0
+        )
+        tok_pos = jnp.clip(
+            offs[:, :, None] + t_ar[None, None, :], 0, nvec_pad - 1
+        )  # [Q, tile, Td]
+        codes = index.codes[tok_pos]  # [Q, tile, Td] i32
+        flat = codes.reshape(q_n, 1, tile * td)
+        g = jnp.take_along_axis(
+            s_masked,
+            jnp.broadcast_to(flat, (q_n, s_masked.shape[1], tile * td)),
+            axis=2,
+        )  # [Q, Tq, tile*Td]
+        g = g.reshape(q_n, s_masked.shape[1], tile, td)
+        tok_valid = t_ar[None, None, :] < lens[:, :, None]  # [Q, tile, Td]
+        g = jnp.where(tok_valid[:, None, :, :], g, NEG_INF)
+        per_tok = jnp.max(g, axis=3)  # [Q, Tq, tile]
+        per_tok = jnp.where(
+            qmask[:, :, None] & jnp.isfinite(per_tok), per_tok, 0.0
+        )
+        return None, jnp.sum(per_tok, axis=1)  # [Q, tile]
+
+    tiles = cand_ids.reshape(q_n, n_tiles, tile).transpose(1, 0, 2)
+    _, out = jax.lax.scan(step, None, tiles)  # [n_tiles, Q, tile]
+    return out.transpose(1, 0, 2).reshape(q_n, pool)
+
+
 def _prune_candidates(
     index: DeviceIndex,
     cells: jax.Array,
     weights: jax.Array,
     shapes: PipelineShapes,
+    s_masked: Optional[jax.Array] = None,  # [Q, Tq, K] for stage 3b "codes"
+    qmask: Optional[jax.Array] = None,  # [Q, Tq]
 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """Stage 3: flat weighted posting gathers -> per-query approximate
     prune -> batch-wide candidate union.
@@ -335,7 +409,8 @@ def _prune_candidates(
     posting mass exceeds the budget B the truncated tail holds the LEAST
     promising cells; the dropped count is still reported as overflow.
 
-    Returns (union_ids [Cmax] int32 — sentinel `num_documents` for empty
+    Returns (union_ids [Cmax] int32 — the zero-doclen capacity slot
+    (num_docs_padded - 1) as sentinel for empty
     slots, overflow [] i32 = posting entries beyond the budget, mine
     [Q, Cmax] bool or None).
 
@@ -350,7 +425,8 @@ def _prune_candidates(
     """
     q_n, ncells = cells.shape
     k = index.num_centroids
-    nd = index.num_documents
+    nd = index.num_docs_padded - 1  # static sentinel slot (doclen 0)
+    nd_live = index.n_docs  # traced live count
     nnz_pad = index.ivf_doc_ids.shape[0]
     b = shapes.posting_budget
     keep = shapes.prune_keep
@@ -404,17 +480,37 @@ def _prune_candidates(
     last = jnp.concatenate(
         [first[:, 1:], jnp.ones((q_n, 1), jnp.bool_)], axis=1
     )
-    approx = jnp.where(last & (ids_s < nd), csum - base, NEG_INF)
+    approx = jnp.where(last & (ids_s < nd_live), csum - base, NEG_INF)
 
-    # Per-query prune: keep the top `keep` docs by approximate score.
+    # Per-query prune: keep the top `pool` docs by cell-weight score.
     # SORT-based selection, not lax.top_k: XLA's large-k TopK expansion at
     # [Q, B~590K] k=256 exploded remote compile beyond any usable time
     # (measured round 2: the compile never returned; sorts lower in
     # milliseconds at the same shape).
+    pool = shapes.prune_pool
     neg = jnp.where(jnp.isfinite(approx), -approx, jnp.inf)
     sorted_neg, qcand_all = jax.lax.sort((neg, ids_s), dimension=1, num_keys=1)
-    top_vals = -sorted_neg[:, :keep]  # [Q, keep], best first
-    qcand = jnp.where(jnp.isfinite(top_vals), qcand_all[:, :keep], nd)
+    pool_vals = -sorted_neg[:, :pool]  # [Q, pool], best first
+    pool_ids = jnp.where(jnp.isfinite(pool_vals), qcand_all[:, :pool], nd)
+
+    if shapes.approx_score == "codes" and s_masked is not None:
+        # Stage 3b: REFERENCE approximate-score semantics
+        # (search.rs:448-457) on the pooled survivors — per query token,
+        # the max centroid score among the candidate's OWN token codes,
+        # summed over query tokens. Re-rank the pool, keep the top `keep`.
+        code_scores = _approx_codes_scores(
+            index, s_masked, qmask, pool_ids, shapes
+        )  # [Q, pool]
+        code_scores = jnp.where(pool_ids < nd_live, code_scores, NEG_INF)
+        neg2 = jnp.where(jnp.isfinite(code_scores), -code_scores, jnp.inf)
+        sorted2, qcand_all2 = jax.lax.sort(
+            (neg2, pool_ids), dimension=1, num_keys=1
+        )
+        top_vals = -sorted2[:, :keep]
+        qcand = jnp.where(jnp.isfinite(top_vals), qcand_all2[:, :keep], nd)
+    else:
+        top_vals = pool_vals[:, :keep]
+        qcand = pool_ids[:, :keep]
 
     # Batch union: sort-dedup the concatenated survivor lists. Q*keep is an
     # exact upper bound, so the union itself cannot overflow (cmax only
@@ -423,7 +519,7 @@ def _prune_candidates(
     uniq_first = jnp.concatenate(
         [jnp.ones((1,), jnp.bool_), flat[1:] != flat[:-1]]
     )
-    real_first = uniq_first & (flat < nd)
+    real_first = uniq_first & (flat < nd_live)
     if cmax < q_n * keep:
         # An explicit max_candidates cap truncates the union: keep the docs
         # with the highest approximate score across queries (run-max over
@@ -493,7 +589,7 @@ def _exact_on_candidates(
     pad = n_tiles * shapes.cand_tile - cmax
     ids_p = (
         jnp.concatenate(
-            [union_ids, jnp.full(pad, index.num_documents, jnp.int32)]
+            [union_ids, jnp.full(pad, nd_pad - 1, jnp.int32)]
         )
         if pad
         else union_ids
@@ -510,7 +606,7 @@ def _exact_on_candidates(
     def score_tile(_, ids):
         safe = jnp.clip(ids, 0, nd_pad - 1)
         offs = index.doc_offsets[safe]
-        lens = jnp.where(ids < index.num_documents, index.doclens[safe], 0)
+        lens = jnp.where(ids < index.n_docs, index.doclens[safe], 0)
         tok_pos = jnp.clip(offs[:, None] + t_arange[None, :], 0, nvec_pad - 1)
         tok_valid = t_arange[None, :] < lens[:, None]  # [tile, Td]
         emb = codec_ops.decompress_residuals(
@@ -566,6 +662,7 @@ def search_pipeline(
         cells, weights = _dedup_cells(
             cells, weights, k, threshold=shapes.threshold
         )
+        s_masked = None  # RQ avoids the [Q,Tq,K] table; 3b falls back
     else:
         # Stage 1: batched centroid scores.
         s_raw = jnp.einsum(
@@ -585,14 +682,15 @@ def search_pipeline(
         cells, weights = _select_cells(s_masked, qmask, shapes, k)
         cells, weights = _dedup_cells(cells, weights, k)
 
-    # Stage 3: weighted posting streams -> approximate prune -> batch union.
+    # Stage 3 (+3b): weighted posting streams -> approximate prune ->
+    # batch union.
     union_ids, overflow, mine = _prune_candidates(
-        index, cells, weights, shapes
+        index, cells, weights, shapes, s_masked=s_masked, qmask=qmask
     )
 
     # Stage 4: exact MaxSim on the union (decompress once per candidate).
     exact = _exact_on_candidates(index, queries, qmask, union_ids, shapes)
-    valid = (union_ids < index.num_documents)[None, :]
+    valid = (union_ids < index.n_docs)[None, :]
     if mine is not None:
         valid = valid & mine
     if has_subset:
@@ -762,6 +860,16 @@ def search_batch_async(
             or index.num_embeddings <= params.exact_max_embeddings
         )
     )
+    if not exact_eligible and index.ivf_stale:
+        # Device appends leave the staged pipeline's IVF stale (the pinned
+        # serving path never reads it; api/state refreshes it eagerly for
+        # unpinned indexes). If a stale index still reaches the staged
+        # route, exhaustive scoring is the correct-albeit-slower answer.
+        logging.getLogger(__name__).warning(
+            "IVF is stale after device appends; routing to exhaustive "
+            "search (call DeviceIndex.refresh_ivf to restore staged mode)"
+        )
+        exact_eligible = True
     q_scan = 1
     if exact_eligible and n > 64:
         # Multiple-of-64 bucketing for mega-batches (320 -> 320, not a 512
@@ -811,7 +919,7 @@ def search_batch_async(
             jnp.asarray(q_arr),
             jnp.asarray(q_mask),
             subset_arr,
-            top_k=min(params.top_k, max(index.num_documents, 1)),
+            top_k=min(params.top_k, max(index.num_docs_padded - 1, 1)),
             doc_tile=default_doc_tile(q_bucket, q_arr.shape[1], td),
             precision=params.stage1_precision,
             has_subset=subset is not None,

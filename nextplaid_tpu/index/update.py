@@ -304,12 +304,18 @@ def update_index(
     index_path: str,
     batch_size: Optional[int] = None,
     update_threshold: bool = True,
+    info_out: Optional[dict] = None,
 ) -> int:
     """Append documents to the on-disk index with the CURRENT centroids.
 
     Encodes on device, appends chunk files (merging into the last chunk when it
     holds < 2000 docs, update.rs:800-827), merges the IVF, and rewrites
     metadata. Returns the number of documents added.
+
+    When `info_out` is a dict, it receives `encoded = (codes i32, residuals
+    u8, doclens i64)` for the just-added documents — the serving layer feeds
+    these to DeviceIndex.append_batch so the device copy advances in O(batch)
+    instead of a full reload.
     """
     batch_size = batch_size or DEFAULT_BATCH_SIZE
     layout = IndexLayout(index_path)
@@ -363,6 +369,7 @@ def update_index(
     all_new_codes_per_doc: List[np.ndarray] = []
     new_doclens: List[int] = []
     residual_norms: List[np.ndarray] = []
+    new_residuals_chunks: List[np.ndarray] = []
 
     n_new_chunks = max(1, math.ceil(num_new / batch_size)) if num_new else 0
     for i in range(n_new_chunks):
@@ -382,6 +389,8 @@ def update_index(
         codes_list = encoded.codes
         residuals_list = encoded.residuals
         doclens_list = list(encoded.doclens)
+        if info_out is not None:
+            new_residuals_chunks.append(encoded.residuals)
 
         offset = 0
         for n in encoded.doclens:
@@ -416,6 +425,22 @@ def update_index(
     if update_threshold and residual_norms:
         update_cluster_threshold(
             index_path, np.concatenate(residual_norms), old_total_emb
+        )
+
+    if info_out is not None:
+        dim = centroids.shape[1]
+        info_out["encoded"] = (
+            (
+                np.concatenate(all_new_codes_per_doc).astype(np.int32)
+                if all_new_codes_per_doc
+                else np.zeros(0, np.int32)
+            ),
+            (
+                np.concatenate(new_residuals_chunks)
+                if new_residuals_chunks
+                else np.zeros((0, dim * meta.nbits // 8), np.uint8)
+            ),
+            np.asarray(new_doclens, np.int64),
         )
 
     # IVF merge (update.rs:1000-1081).
@@ -496,8 +521,15 @@ def update(
     embeddings: Sequence[np.ndarray],
     index_path: str,
     config: Optional[UpdateConfig] = None,
+    info_out: Optional[dict] = None,
 ) -> List[int]:
-    """Add documents to an existing on-disk index. Returns assigned doc ids."""
+    """Add documents to an existing on-disk index. Returns assigned doc ids.
+
+    `info_out` (optional dict) receives `mode` — "scratch" | "expand" |
+    "buffer" — and, for buffer mode, the `encoded` batch (see update_index):
+    buffer-mode appends keep the centroids fixed, so a served DeviceIndex can
+    advance in place; the other modes change centroids/codes and require a
+    reload."""
     from nextplaid_tpu.index import delete as delete_mod
 
     config = config or UpdateConfig()
@@ -537,6 +569,8 @@ def update(
                     and embeddings_npy_exists(index_path)
                 ):
                     clear_embeddings_npy(index_path)
+                if info_out is not None:
+                    info_out["mode"] = "scratch"
                 return list(range(start_id, start_id + num_new))
 
         # --- Buffer / expansion paths.
@@ -563,6 +597,8 @@ def update(
             if threshold is not None:
                 update_centroids(index_path, combined, threshold, config)
             clear_buffer(index_path)
+            if info_out is not None:
+                info_out["mode"] = "expand"
             update_index(
                 combined, index_path, config.batch_size, update_threshold=True
             )
@@ -570,8 +606,11 @@ def update(
             _progress("buffer_append", processed=0, total=num_new)
             start_id = meta.num_documents
             save_buffer(index_path, buffer + embeddings)
+            if info_out is not None:
+                info_out["mode"] = "buffer"
             update_index(
-                embeddings, index_path, config.batch_size, update_threshold=False
+                embeddings, index_path, config.batch_size,
+                update_threshold=False, info_out=info_out,
             )
 
     return list(range(start_id, start_id + num_new))
@@ -582,12 +621,15 @@ def update_or_create(
     index_path: str,
     index_config: Optional[IndexConfig] = None,
     update_config: Optional[UpdateConfig] = None,
+    info_out: Optional[dict] = None,
 ) -> List[int]:
     """Primary ingest entry (index.rs:1644-1665). Returns assigned doc ids."""
     layout = IndexLayout(index_path)
     if layout.metadata.exists():
-        return update(embeddings, index_path, update_config)
+        return update(embeddings, index_path, update_config, info_out=info_out)
     build_mod.create_index(embeddings, index_path, index_config)
+    if info_out is not None:
+        info_out["mode"] = "create"
     return list(range(len(embeddings)))
 
 
@@ -597,6 +639,7 @@ def update_or_create_with_metadata(
     index_config: Optional[IndexConfig] = None,
     update_config: Optional[UpdateConfig] = None,
     metadata: Optional[Sequence[dict]] = None,
+    info_out: Optional[dict] = None,
 ) -> List[int]:
     """Ingest vectors + metadata + FTS in one call (index.rs:1719-1761).
 
@@ -615,7 +658,9 @@ def update_or_create_with_metadata(
             f"({len(embeddings)})"
         )
     index_config = index_config or IndexConfig()
-    doc_ids = update_or_create(embeddings, index_path, index_config, update_config)
+    doc_ids = update_or_create(
+        embeddings, index_path, index_config, update_config, info_out=info_out
+    )
     if metadata is not None:
         try:
             if filtering.exists(index_path):

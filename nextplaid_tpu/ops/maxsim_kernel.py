@@ -100,10 +100,16 @@ def _kernel_int8t(q_ref, grid_ref, lens_ref, dscale_ref, qscale_ref, out_ref,
     out_ref:    [Q, dblk]     f32 — the output grid writes [Q, ND] columns
                                directly; no final transpose
 
-    Per doc: sim = q_i8 @ doc_tile -> [Qf, Td] i32; scale by dscale[k] and
-    mask invalid token LANES; max over lanes -> [Qf, 1]; collect doc columns
-    -> [Qf, dblk]; multiply by qscale and reduce query tokens with the
-    indicator matmul G^T [Q, Qf].
+    Per doc: sim = q_i8 @ doc_tile -> [Qf, Td] i32 on the int8 MXU; scale
+    by dscale[k], mask invalid token LANES, max over lanes -> [Qf, 1];
+    ACCUMULATE the column into a single [Qf, dblk] buffer through a one-hot
+    lane mask. (The earlier formulation collected dblk separate [Qf, 1]
+    columns and concatenated at the end — each [Qf, 1] pads to a full
+    128-lane VMEM tile, so 128 of them held ~1 MB x 128 = the whole ~52 MB
+    scoped-VMEM blowup that kept this kernel interpret-only in round 2.
+    With the accumulator, per-doc temporaries die every iteration.)
+    Finally multiply by qscale and reduce query tokens with the indicator
+    matmul G^T [Q, Qf].
     """
     dblk, d, td = grid_ref.shape
     qf = q_ref.shape[0]
@@ -111,18 +117,22 @@ def _kernel_int8t(q_ref, grid_ref, lens_ref, dscale_ref, qscale_ref, out_ref,
     q = q_ref[:]
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, td), 1)
-    cols = []
+    blk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, dblk), 1)
+    acc = jnp.zeros((qf, dblk), jnp.float32)
     for k in range(dblk):
         doc = grid_ref[k]  # [d, Td]
         sim_i = jnp.dot(q, doc, preferred_element_type=jnp.int32)  # [Qf, Td]
         dsc = dscale_ref[k : k + 1]  # [1, Td]
-        sim = sim_i.astype(jnp.float32) * dsc
         doc_len = lens_ref[k, 0]
-        masked = jnp.where(lane_iota < doc_len, sim, jnp.float32(NEG))
+        masked = jnp.where(
+            lane_iota < doc_len,
+            sim_i.astype(jnp.float32) * dsc,
+            jnp.float32(NEG),
+        )
         m = jnp.max(masked, axis=1, keepdims=True)  # [Qf, 1]
-        cols.append(jnp.where(m > NEG / 2, m, 0.0))
-    scores = jnp.concatenate(cols, axis=1)  # [Qf, dblk]
-    scores = scores * qscale_ref[:]
+        m = jnp.where(m > NEG / 2, m, 0.0)
+        acc = acc + jnp.where(blk_iota == k, m, 0.0)  # [Qf, dblk]
+    scores = acc * qscale_ref[:]
     g = (
         jax.lax.broadcasted_iota(jnp.int32, (q_n, qf), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (q_n, qf), 1) // tq

@@ -98,8 +98,11 @@ class ShardedIndex:
     mesh: Mesh
     arrays: dict
     doc_base: jax.Array  # [n_shards] i32 — global doc id offset of each shard
-    shard_capacity: int  # uniform per-shard num_documents (incl. padding)
+    shard_docs: jax.Array  # [n_shards] i32 — live doc count per shard
+    shard_embs: jax.Array  # [n_shards] i32 — live token count per shard
+    shard_capacity: int  # uniform per-shard doc capacity (incl. padding)
     num_documents: int  # true global doc count
+    max_shard_embeddings: int  # max per-shard token count (host hint)
     static: dict  # static fields for the per-shard DeviceIndex
 
     @property
@@ -151,13 +154,20 @@ class ShardedIndex:
                 )
             )
 
-        # Uniform static metadata + shapes across shards.
+        # Uniform static metadata + shapes across shards. Live counts are
+        # TRACED per-shard scalars (shard_docs/shard_embs below), matching
+        # DeviceIndex's append-stable design.
         static = dict(
             nbits=index.nbits,
-            num_documents=cap,
-            num_embeddings=max(s.num_embeddings for s in shards),
             max_doclen=max(s.max_doclen for s in shards),
             max_posting_len=max(max(s.max_posting_len for s in shards), 1),
+        )
+        max_emb = max(s.num_embeddings for s in shards)
+        shard_docs = np.asarray(
+            [min((i + 1) * cap, nd) - i * cap for i in range(n)], np.int32
+        )
+        shard_embs = np.asarray(
+            [s.num_embeddings for s in shards], np.int32
         )
         arrays = {}
         for f in _ARRAY_FIELDS:
@@ -188,8 +198,15 @@ class ShardedIndex:
             doc_base=jax.device_put(
                 jnp.asarray(doc_base, jnp.int32), NamedSharding(mesh, P(DOC_AXIS))
             ),
+            shard_docs=jax.device_put(
+                jnp.asarray(shard_docs), NamedSharding(mesh, P(DOC_AXIS))
+            ),
+            shard_embs=jax.device_put(
+                jnp.asarray(shard_embs), NamedSharding(mesh, P(DOC_AXIS))
+            ),
             shard_capacity=cap,
             num_documents=nd,
+            max_shard_embeddings=max_emb,
             static=static,
         )
 
@@ -203,7 +220,9 @@ class ShardedIndex:
                 kwargs[f] = a
             else:
                 kwargs[f] = jax.ShapeDtypeStruct(a.shape[1:], a.dtype)
-        return DeviceIndex(**kwargs, **self.static)
+        return DeviceIndex(**kwargs, **self.static)._set_host_counts(
+            self.shard_capacity, self.max_shard_embeddings
+        )
 
 
 @dataclass
@@ -263,6 +282,8 @@ def _shard_search_fn(
         bucket_weights,
         avg_residual,
         doc_base,
+        shard_docs,
+        shard_embs,
         queries,
         qmask,
         subset_mask,
@@ -279,6 +300,8 @@ def _shard_search_fn(
             bucket_cutoffs=bucket_cutoffs,
             bucket_weights=bucket_weights,
             avg_residual=avg_residual,
+            n_docs=shard_docs[0],
+            n_emb=shard_embs[0],
             **static,
         )
         if mode == "exact":
@@ -298,7 +321,7 @@ def _shard_search_fn(
                     all_scores, NEG_INF,
                 )
             overflow = jnp.zeros((), jnp.int32)
-            k_local = min(top_k, max(index.num_documents, 1))
+            k_local = min(top_k, max(index.num_docs_padded - 1, 1))
             local_scores, local_ids = jax.lax.top_k(all_scores, k_local)
             local_ids = jnp.where(
                 jnp.isfinite(local_scores),
@@ -322,12 +345,13 @@ def _shard_search_fn(
             )
             cells, weights = _dedup_cells(cells, weights, index.num_centroids)
             union_ids, overflow, mine = _prune_candidates(
-                index, cells, weights, shapes
+                index, cells, weights, shapes,
+                s_masked=s_masked, qmask=qmask,
             )
             exact = _exact_on_candidates(
                 index, queries, qmask, union_ids, shapes
             )
-            valid = (union_ids < index.num_documents)[None, :]
+            valid = (union_ids < index.n_docs)[None, :]
             if mine is not None:
                 valid = valid & mine
             if has_subset:
@@ -384,7 +408,7 @@ def sharded_search_jit(
     )
     in_specs = (
         [P() if f in _REPLICATED else P(DOC_AXIS) for f in _ARRAY_FIELDS]
-        + [P(DOC_AXIS), P(), P(), P(DOC_AXIS)]
+        + [P(DOC_AXIS), P(DOC_AXIS), P(DOC_AXIS), P(), P(), P(DOC_AXIS)]
     )
     fn = jax.shard_map(
         body,
@@ -434,6 +458,8 @@ def search_batch_sharded(
     ids, scores, overflow = fn(
         *args,
         sindex.doc_base,
+        sindex.shard_docs,
+        sindex.shard_embs,
         jnp.asarray(q_arr),
         jnp.asarray(q_mask),
         jnp.asarray(subset_arr),

@@ -34,6 +34,13 @@ def main() -> None:
     ap.add_argument("--document-length", type=int, default=300)
     ap.add_argument("--dim", type=int, default=128)
     ap.add_argument("--no-query-expansion", action="store_true")
+    ap.add_argument(
+        "--quantize", action="store_true",
+        help="also write model.int8.safetensors: int8 weights + per-"
+        "column scales for the INT8 serving mode (reference "
+        "colbert_export/quantize.py parity; load with "
+        "Colbert(dst, quantized=True))",
+    )
     args = ap.parse_args()
 
     src, dst = Path(args.src), Path(args.dst)
@@ -107,6 +114,47 @@ def main() -> None:
         f"exported to {dst}: backbone={model_type}, "
         f"encoded shape={out[0].shape}"
     )
+
+    if args.quantize:
+        # INT8 quantization step (reference quantize.py: onnxruntime
+        # quantize_dynamic). Kernels become int8 + per-output-column f32
+        # scales; the serving path re-derives them at load
+        # (Colbert(quantized=True) -> quantize_dense_params), so the
+        # artifact is a verification + distribution convenience: it pins
+        # the exact int8 weights this export produced.
+        import numpy as np
+        from safetensors.numpy import save_file
+
+        from nextplaid_tpu.encoder.model import quantize_dense_params
+
+        qparams = quantize_dense_params(enc.params)
+        flat = {}
+
+        def walk(tree, prefix):
+            for k, v in tree.items():
+                key = f"{prefix}.{k}" if prefix else k
+                if isinstance(v, dict):
+                    walk(v, key)
+                else:
+                    flat[key] = np.asarray(v)
+
+        walk(qparams, "")
+        save_file(flat, str(dst / "model.int8.safetensors"))
+        qenc = Colbert(str(dst), quantized=True)
+        qout = qenc.encode_documents(["smoke test document"])
+        a, b = out[0], qout[0]
+        cos = float(
+            np.min(
+                np.sum(a * b, -1)
+                / (
+                    np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+                    + 1e-9
+                )
+            )
+        )
+        print(f"int8 quantized: min per-token cosine vs full precision "
+              f"{cos:.4f}")
+        assert cos >= 0.99, cos
 
 
 if __name__ == "__main__":

@@ -371,3 +371,88 @@ def test_encoder_pool_error_propagates(encoder):
 
     out = asyncio.run(drive())
     assert out[0].shape == (16, 16)
+
+
+def test_quantized_encoder_parity():
+    """INT8 serving mode (reference INT8 ONNX parity): per-token cosine vs
+    the full-precision forward must be >= 0.99 (VERDICT r2 task 7)."""
+    import numpy as np
+
+    from nextplaid_tpu.encoder.model import (
+        BackboneConfig,
+        ColbertModel,
+        init_random_params,
+        quantize_dense_params,
+    )
+    import jax.numpy as jnp
+
+    for mtype in ("bert", "modernbert"):
+        cfg = BackboneConfig(
+            model_type=mtype, vocab_size=200, hidden_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=128, projection_dim=32,
+        )
+        params = init_random_params(cfg, seed=0)
+        qparams = quantize_dense_params(params)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(5, 200, (2, 16)).astype(np.int32)
+        mask = np.ones((2, 16), np.int32)
+        a = np.asarray(
+            ColbertModel(cfg, compute_dtype=jnp.float32).apply(
+                params, ids, mask
+            )
+        )
+        b = np.asarray(
+            ColbertModel(
+                cfg, compute_dtype=jnp.float32, quantized=True
+            ).apply(qparams, ids, mask)
+        )
+        cos = np.sum(a * b, -1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9
+        )
+        assert cos.min() > 0.99, (mtype, cos.min())
+        # int8 kernels actually present (not silently full precision)
+        leaf = qparams["params"]["backbone"]["layer_0"]
+        any_q = any(
+            "kernel_q" in str(leaf)
+            for leaf in [leaf]
+        )
+        assert any_q
+
+
+def test_quantized_colbert_end_to_end(tmp_path):
+    """Colbert(quantized=True) over the tiny random model encodes with high
+    agreement to the bf16 path."""
+    import numpy as np
+
+    from tests.test_encoder import make_tokenizer  # self-import ok in pytest
+    from nextplaid_tpu.encoder import Colbert, ColbertConfig
+    from nextplaid_tpu.encoder.model import BackboneConfig, init_random_params
+
+    tok, vocab = make_tokenizer()
+    bcfg = BackboneConfig(
+        model_type="bert", vocab_size=len(vocab), hidden_size=48,
+        num_hidden_layers=2, num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=64, projection_dim=24,
+    )
+    ccfg = ColbertConfig(
+        query_prefix="[Q]", document_prefix="[D]", query_length=16,
+        document_length=24, embedding_dim=24,
+        mask_token_id=vocab["[MASK]"], pad_token_id=vocab["[PAD]"],
+    )
+    params = init_random_params(bcfg, seed=1)
+    enc = Colbert(
+        config=ccfg, backbone_config=bcfg, tokenizer=tok, params=params,
+        batch_size=4,
+    )
+    qenc = Colbert(
+        config=ccfg, backbone_config=bcfg, tokenizer=tok, params=params,
+        batch_size=4, quantized=True,
+    )
+    texts = ["the quick brown fox", "jumps over the lazy dog"]
+    a = enc.encode_documents(texts)
+    b = qenc.encode_documents(texts)
+    for x, y in zip(a, b):
+        assert x.shape == y.shape
+        cos = np.sum(x * y, -1)  # both L2-normalized
+        assert cos.min() > 0.98, cos.min()

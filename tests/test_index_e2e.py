@@ -526,3 +526,42 @@ def test_int8_kernel_interpret_matches_scan(built):
     np.testing.assert_allclose(
         got, want[:, : g8.num_documents], rtol=2e-2, atol=2e-2
     )
+
+
+def test_staged_codes_approx_score(built):
+    """Stage 3b (approx_score='codes', reference search.rs:448-457): with a
+    deliberately TIGHT prune_keep the code-max semantics must match the
+    exact oracle at least as well as the cells heuristic, and results stay
+    exact-top-k-consistent at default settings."""
+    docs, path, meta, index = built
+    qs, _targets = make_queries(docs)
+    oracle = search_batch(
+        index, qs, SearchParameters(top_k=5, mode="exact")
+    )
+
+    def recall(params):
+        res = search_batch(index, qs, params)
+        return sum(
+            len(set(r.passage_ids) & set(o.passage_ids))
+            for r, o in zip(res, oracle)
+        ) / (5 * len(qs))
+
+    base = dict(
+        top_k=5, mode="staged", n_ivf_probe=4, prune_keep=16,
+        centroid_score_threshold=None,
+    )
+    r_cells = recall(SearchParameters(**base, approx_score="cells"))
+    r_codes = recall(SearchParameters(**base, approx_score="codes"))
+    # Measured on this fixture: cells 0.80, codes 0.90 — the sharper
+    # reference semantics must never lose to the cells heuristic.
+    assert r_codes >= r_cells - 1e-9, (r_codes, r_cells)
+    assert r_codes >= 0.85, r_codes
+
+    # Default (ample) settings: both semantics give the oracle top-k.
+    ample = SearchParameters(top_k=5, mode="staged", approx_score="codes")
+    res = search_batch(index, qs, ample)
+    agree = sum(
+        len(set(r.passage_ids) & set(o.passage_ids))
+        for r, o in zip(res, oracle)
+    )
+    assert agree >= 0.95 * 5 * len(qs), agree

@@ -231,3 +231,62 @@ def test_skewed_shard_doc_distribution(skewed):
     hot_docs = np.where(doc_topics == 0)[0]
     shard_of = hot_docs // sindex.shard_capacity
     assert len(set(shard_of.tolist())) == 8
+
+
+def test_reshard_latency_bound():
+    """Re-shard cost at scale (VERDICT r2 task 5): partitioning a
+    10M-embedding host snapshot onto the 8-device mesh must complete in
+    bounded time (host slicing + per-shard IVF + device_put — no
+    collective), and the sharded index must serve afterwards."""
+    import time
+
+    import jax.numpy as jnp
+
+    from nextplaid_tpu.parallel.sharded import (
+        HostIndexData,
+        ShardedIndex,
+        search_batch_sharded,
+    )
+
+    rng = np.random.default_rng(0)
+    dim, k = 16, 1024
+    n_docs, per_doc = 100_000, 100  # 10M token embeddings
+    nvec = n_docs * per_doc
+    centroids = rng.standard_normal((k, dim)).astype(np.float32)
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    codes = rng.integers(0, k, nvec).astype(np.int32)
+    residuals = rng.integers(0, 255, (nvec, dim * 4 // 8)).astype(np.uint8)
+    doclens = np.full(n_docs, per_doc, np.int32)
+    doc_offsets = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(doclens, out=doc_offsets[1:])
+    host = HostIndexData(
+        centroids=centroids,
+        codes=codes,
+        residuals=residuals,
+        doclens=doclens,
+        doc_offsets=doc_offsets,
+        bucket_cutoffs=np.linspace(-0.1, 0.1, 15).astype(np.float32),
+        bucket_weights=np.linspace(-0.11, 0.11, 16).astype(np.float32),
+        avg_residual=np.zeros(dim, np.float32),
+        nbits=4,
+    )
+    mesh = make_mesh()
+    t0 = time.perf_counter()
+    sindex = ShardedIndex.shard(host, mesh)
+    reshard_s = time.perf_counter() - t0
+    # Generous CI bound — the point is O(corpus/n_shards) host work, not
+    # an accidental O(corpus^2) or collective stall. Measured ~10-20 s for
+    # 10M embeddings on the CPU mesh.
+    assert reshard_s < 120, f"re-shard took {reshard_s:.1f}s"
+
+    qs = [
+        (centroids[rng.integers(0, k, 4)]
+         + 0.05 * rng.standard_normal((4, dim))).astype(np.float32)
+        for _ in range(2)
+    ]
+    res = search_batch_sharded(
+        sindex, qs, SearchParameters(top_k=3, mode="exact",
+                                     stage1_precision="default")
+    )
+    assert all(r.passage_ids for r in res)
+    assert sindex.num_documents == n_docs
