@@ -256,19 +256,21 @@ def _exact_search_kernel(
         if q_scan > 1:
             assert q_n % q_scan == 0, (q_n, q_scan)
             sub_qf = (q_n // q_scan) * tq
-
-            def step8(_, inp):
-                qb, sb = inp
-                return None, run_int8(qb, sb)
-
-            _, sub_scores = jax.lax.scan(
-                step8, None,
-                (
-                    qi8.reshape(q_scan, sub_qf, d),
-                    qscale.reshape(q_scan, sub_qf),
-                ),
+            # UNROLLED sub-blocks, not lax.scan: inside a while-loop fusion
+            # XLA ignores the kernel's raised Mosaic vmem limit and fails
+            # the int8 kernel against the default 16 MB scoped-vmem budget
+            # (round-3 measurement); as separate custom calls each instance
+            # keeps its own 100 MB limit. q_scan is static and small (<=16),
+            # so the unroll costs a handful of identical kernel instances.
+            qi8_blocks = qi8.reshape(q_scan, sub_qf, d)
+            qs_blocks = qscale.reshape(q_scan, sub_qf)
+            scores = jnp.concatenate(
+                [
+                    run_int8(qi8_blocks[i], qs_blocks[i])
+                    for i in range(q_scan)
+                ],
+                axis=0,
             )
-            scores = sub_scores.reshape(q_n, nd_grid)
         else:
             scores = run_int8(qi8, qscale)
     else:

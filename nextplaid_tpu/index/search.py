@@ -839,19 +839,14 @@ def search_batch_async(
     # Kernel path mega-batching: the fused kernel is most efficient at 64
     # queries (bigger similarity blocks hurt, measured in
     # scripts/profile_kernel_variants.py); above that, pad Q to a multiple
-    # of 64 and lax.scan 64-query sub-blocks inside ONE dispatch.
-    # int8 grids use the XLA scan path under "auto": the Pallas int8 kernel's
-    # per-row scale column pads [N,1] f32 to full 128-lane VMEM tiles and
-    # blows the ~16 MB scoped-vmem limit at production shapes (measured);
-    # the scan path dequantizes per tile on the VPU at negligible cost. The
-    # kernel stays available via kernel="pallas" for small grids/experiments.
+    # of 64 and lax.scan 64-query sub-blocks inside ONE dispatch. Both the
+    # bf16 and int8 grid kernels compile on-chip (round 3: the int8
+    # kernel's one-hot-lane accumulator fixed the scoped-VMEM blowup;
+    # measured 31.7 ms / 35.7 TFLOPS at production shapes — 2x the bf16
+    # kernel and above the XLA one-big-dot floor).
     kernel_eligible = index.token_grid is not None and (
         params.kernel == "pallas"
-        or (
-            params.kernel == "auto"
-            and jax.default_backend() != "cpu"
-            and index.token_scales is None
-        )
+        or (params.kernel == "auto" and jax.default_backend() != "cpu")
     )
     exact_eligible = params.mode == "exact" or (
         params.mode == "auto"
