@@ -24,7 +24,7 @@ import functools
 import logging
 import os
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,23 @@ import numpy as np
 
 from nextplaid_tpu.index.config import Metadata
 from nextplaid_tpu.storage.npy import IndexLayout, load_json, load_npy
+
+
+# Geometric probe counts for posting_mass_prefix (see DeviceIndex field).
+_MASS_COUNTS = (64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def _posting_mass_prefix(ivf_lengths: np.ndarray) -> Tuple[int, ...]:
+    """Sum of the top-`c` posting lengths for each c in _MASS_COUNTS."""
+    if ivf_lengths is None or len(ivf_lengths) == 0:
+        return ()
+    desc = np.sort(np.asarray(ivf_lengths, np.int64))[::-1]
+    csum = np.cumsum(desc)
+    total = int(csum[-1])
+    return tuple(
+        int(csum[min(c, len(desc)) - 1]) if c <= len(desc) else total
+        for c in _MASS_COUNTS
+    )
 
 
 def _round_up(x: int, m: int) -> int:
@@ -81,6 +98,16 @@ class DeviceIndex:
     nbits: int = dataclasses.field(metadata=dict(static=True), default=4)
     max_doclen: int = dataclasses.field(metadata=dict(static=True), default=0)
     max_posting_len: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # Prefix sums of the DESCENDING posting-length distribution at geometric
+    # counts (_MASS_COUNTS): posting_mass_prefix[i] = sum of the
+    # _MASS_COUNTS[i] longest posting lists. A skew-proof upper bound on the
+    # posting mass any ncells-cell probe can select — lets staged search size
+    # its flat stream budget to the corpus's actual skew instead of a 4x
+    # average-mass guess (see PipelineShapes.derive). Empty = unknown
+    # (derive falls back to the average heuristic).
+    posting_mass_prefix: Tuple[int, ...] = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
 
     def __post_init__(self):
         if self.n_docs is None:
@@ -117,6 +144,18 @@ class DeviceIndex:
     @property
     def num_centroids(self) -> int:
         return self.centroids.shape[0]
+
+    def posting_mass_bound(self, ncells: int) -> Optional[int]:
+        """Upper bound on the posting mass of any `ncells`-cell probe: the
+        sum of the `ncells` longest posting lists (rounded up to the next
+        geometric prefix count). None when the stat is absent or `ncells`
+        exceeds the recorded counts."""
+        if not self.posting_mass_prefix:
+            return None
+        for c, mass in zip(_MASS_COUNTS, self.posting_mass_prefix):
+            if ncells <= c:
+                return mass
+        return None
 
     @property
     def dim(self) -> int:
@@ -306,6 +345,7 @@ class DeviceIndex:
             nbits=nbits,
             max_doclen=max_doclen,
             max_posting_len=max_posting,
+            posting_mass_prefix=_posting_mass_prefix(ivf_lengths),
         )._set_host_counts(ndocs, nvec)
 
     # ------------------------------------------------------------------
@@ -466,6 +506,7 @@ class DeviceIndex:
             ivf_offsets=jnp.asarray(ivf_offsets),
             ivf_doc_ids=jnp.asarray(ivf_p),
             max_posting_len=int(ivf_lengths.max()) if nnz else 0,
+            posting_mass_prefix=_posting_mass_prefix(ivf_lengths[:k]),
         )._set_host_counts(self.num_documents, self.num_embeddings)
         return out
 

@@ -59,6 +59,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 from dataclasses import dataclass
 from typing import List, Optional, Sequence, Tuple
 
@@ -104,6 +105,10 @@ class PipelineShapes:
     # "highest" = full f32 (reference parity); "default" = TPU bf16 passes
     # (faster; only affects which candidates reach the exact re-rank).
     stage1_precision: str = "highest"
+    # Stage 4 via the fused Pallas kernel over a transient bf16 union grid
+    # (see _exact_on_candidates_kernel). Derived: TPU backend + grid fits
+    # the HBM budget + kernel not explicitly disabled.
+    rerank_kernel: bool = False
 
     @classmethod
     def derive(
@@ -132,7 +137,22 @@ class PipelineShapes:
         if params.posting_budget:
             b = min(b_full, params.posting_budget)
         else:
-            b = min(b_full, max(1 << 16, 4 * ncells * avg_post))
+            # 2x the average-length estimate: cell dedup makes
+            # ncells*avg_post itself an overestimate (~2x at the measured
+            # 72M operating point), overflow falls back per overflow_policy
+            # with the dropped cells being the lowest-weighted, and every
+            # budget slot pays O(B) sort/scan cost even when masked.
+            b = min(b_full, max(1 << 16, 2 * ncells * avg_post))
+            # Skew-proof tightening: the sum of the ncells LONGEST posting
+            # lists bounds the mass any probe can select, so a budget at
+            # that bound can never overflow — and on balanced corpora it is
+            # several times smaller than the 4x-average guess above (every
+            # slot beyond the real mass still pays its gather; at 72M
+            # embeddings the loose budget made stage 3 the pipeline
+            # bottleneck — round-3 profile).
+            bound = index.posting_mass_bound(ncells)
+            if bound is not None:
+                b = min(b, max(1 << 16, bound))
         b = max(_round_up(b, 128), 128)
         # Per-query approximate-prune depth: mirrors the reference's exact
         # re-rank breadth n_full_scores/4 (search.rs:468). Every probed doc
@@ -167,6 +187,19 @@ class PipelineShapes:
         posting_chunk = max(
             128, min(b, _round_up((64 << 20) // max(num_queries * 4, 1), 128))
         )
+        # Stage-4 kernel re-rank: staged search runs in the unpinned regime,
+        # so HBM is free for a transient bf16 union grid; the fused kernel
+        # cuts stage 4's HBM traffic ~25x vs the tiled XLA scan (round-3
+        # profile at 72M embeddings: 2.2 s -> ~0.3 s/batch).
+        td_k = _round_up(td, 128)
+        grid_bytes = _round_up(cmax, 64) * td_k * index.dim * 2
+        rerank_kernel = (
+            params.kernel != "xla"
+            and jax.default_backend() != "cpu"
+            and grid_bytes <= int(
+                os.environ.get("NEXT_PLAID_RERANK_GRID_MB", "6144")
+            ) * (1 << 20)
+        )
         return cls(
             num_queries=num_queries,
             query_tokens=query_tokens,
@@ -182,6 +215,7 @@ class PipelineShapes:
             prune_keep=keep,
             prune_pool=pool,
             approx_score=approx,
+            rerank_kernel=rerank_kernel,
             candidate_scope=params.candidate_scope,
             overflow_policy=params.overflow_policy,
             stage1_precision=params.stage1_precision,
@@ -441,18 +475,41 @@ def _prune_candidates(
     posting_overflow = jnp.max(jnp.maximum(total - b, 0))
 
     j = jnp.arange(b, dtype=jnp.int32)  # [B] flat slot ids
-    cell_pos = jax.vmap(
-        lambda c: jnp.searchsorted(c, j, side="right")
-    )(cum)  # [Q, B]
-    cell_pos_c = jnp.minimum(cell_pos, ncells - 1)
+    # Slot -> cell mapping WITHOUT searchsorted: scatter each cell's index
+    # at its run-start slot (cum of the previous cell), then cummax along
+    # the slot axis — max{c : start(c) <= j} == searchsorted(cum, j,
+    # "right") for every in-range slot (zero-length cells cede to the next
+    # cell starting at the same slot; out-of-range slots are masked by
+    # in_range below). The vmap'd binary search this replaces was 4.1 s of
+    # the 7.9 s stage-3 cost at 72M embeddings (round-3 profile) — the
+    # scatter is Q x ncells = ~16K updates, the cummax one O(B) pass.
+    run_starts = jnp.concatenate(
+        [jnp.zeros((q_n, 1), cum.dtype), cum[:, :-1]], axis=1
+    )  # [Q, C]
+    rows = jnp.broadcast_to(jnp.arange(q_n)[:, None], (q_n, ncells))
+    cell_idx = jnp.broadcast_to(
+        jnp.arange(ncells, dtype=jnp.int32)[None, :], (q_n, ncells)
+    )
+    mark = jnp.zeros((q_n, b), jnp.int32).at[rows, run_starts].max(
+        cell_idx, mode="drop"
+    )
+    cell_pos = jax.lax.cummax(mark, axis=1)  # [Q, B]
+    # Out-of-range slots (budget padding beyond the query's real posting
+    # mass) are pointed at index 0 BEFORE every gather: a padding slot's
+    # gather then re-reads one cached row instead of a random address. The
+    # budget is an over-allocation (4x average, or worse when the mass
+    # bound is skew-driven) — measured at 72M embeddings/nprobe=16, 87% of
+    # slots were padding and the unmasked gathers cost 4.8 s of the batch.
+    in_range = j[None, :] < jnp.minimum(total, b)[:, None]
+    cell_pos_c = jnp.where(in_range, jnp.minimum(cell_pos, ncells - 1), 0)
     before = jnp.where(
         cell_pos_c > 0,
         jnp.take_along_axis(cum, jnp.maximum(cell_pos_c - 1, 0), axis=1),
         0,
     )
-    in_range = j[None, :] < jnp.minimum(total, b)[:, None]
     pos = jnp.take_along_axis(starts, cell_pos_c, axis=1) + (j[None, :] - before)
-    ids = index.ivf_doc_ids[jnp.clip(pos, 0, nnz_pad - 1)]
+    pos = jnp.where(in_range, jnp.clip(pos, 0, nnz_pad - 1), 0)
+    ids = index.ivf_doc_ids[pos]
     ids = jnp.where(in_range, ids, nd)
     w = jnp.where(
         in_range, jnp.take_along_axis(weights, cell_pos_c, axis=1), 0.0
@@ -564,6 +621,86 @@ def _prune_candidates(
     return union_ids, posting_overflow, mine
 
 
+def _exact_on_candidates_kernel(
+    index: DeviceIndex,
+    queries: jax.Array,
+    qmask: jax.Array,
+    union_ids: jax.Array,
+    shapes: PipelineShapes,
+) -> jax.Array:
+    """Stage 4 via the fused Pallas MaxSim kernel: decompress the union
+    ONCE into a transient bf16 token grid, then score it exactly like the
+    pinned-grid exhaustive path.
+
+    The XLA scan variant below materializes a [Q, tile, Tq, Td] f32
+    similarity block per tile (~134 MB x ~900 tiles = ~120 GB of HBM
+    traffic at the 72M-embedding operating point — measured 2.2 s of the
+    batch, the staged bottleneck after the round-3 stage-3 fixes). The
+    kernel keeps similarity tiles in VMEM, so stage 4 pays one grid write
+    (~4 GB bf16 at cmax=64K) plus the same MXU FLOPs. Enabled by
+    PipelineShapes.derive when the transient grid fits the HBM budget
+    (staged runs in the unpinned regime, so the budget is free)."""
+    from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores
+
+    q_n, tq, d = queries.shape
+    cmax = union_ids.shape[0]
+    td = shapes.doc_token_cap
+    td_k = _round_up(td, 128)  # kernel lane contract
+    nvec_pad = index.codes.shape[0]
+    nd_pad = index.num_docs_padded
+
+    # Decompress tiles sized for the grid build (no [Q, ...] similarity
+    # intermediate here, so tiles can be much larger than cand_tile).
+    tile = min(512, cmax)
+    while cmax % tile:
+        tile -= 1
+    n_tiles = cmax // tile
+    nd_k = max(_round_up(cmax, 64), 64)  # kernel DBLK contract
+    tiles = union_ids.reshape(n_tiles, tile)
+    t_arange = jnp.arange(td, dtype=jnp.int32)
+
+    def build_tile(grid, inp):
+        i, ids = inp
+        safe = jnp.clip(ids, 0, nd_pad - 1)
+        offs = index.doc_offsets[safe]
+        lens = jnp.where(ids < index.n_docs, index.doclens[safe], 0)
+        tok_pos = jnp.clip(offs[:, None] + t_arange[None, :], 0, nvec_pad - 1)
+        emb = codec_ops.decompress_residuals(
+            index.residuals[tok_pos],
+            index.codes[tok_pos],
+            index.centroids,
+            index.bucket_weights,
+            shapes.nbits,
+            normalize=True,
+        )  # [tile, td, d] f32
+        tok_valid = t_arange[None, :] < lens[:, None]
+        emb = jnp.where(tok_valid[:, :, None], emb, 0.0).astype(jnp.bfloat16)
+        if td_k > td:
+            emb = jnp.pad(emb, ((0, 0), (0, td_k - td), (0, 0)))
+        grid = jax.lax.dynamic_update_slice(grid, emb, (i * tile, 0, 0))
+        return grid, None
+
+    grid0 = jnp.zeros((nd_k, td_k, d), jnp.bfloat16)
+    grid, _ = jax.lax.scan(
+        build_tile, grid0, (jnp.arange(n_tiles, dtype=jnp.int32), tiles)
+    )
+
+    safe_u = jnp.clip(union_ids, 0, nd_pad - 1)
+    lens_u = jnp.where(union_ids < index.n_docs, index.doclens[safe_u], 0)
+    doclens = jnp.zeros((nd_k, 1), jnp.int32).at[:cmax, 0].set(lens_u)
+
+    qflat = (
+        jnp.where(qmask[:, :, None], queries, 0.0)
+        .reshape(q_n * tq, d)
+        .astype(jnp.bfloat16)
+    )
+    scores = maxsim_grid_scores(
+        qflat, grid, doclens, tq=tq,
+        interpret=jax.default_backend() == "cpu",
+    )  # [Q, nd_k]
+    return scores[:, :cmax]
+
+
 def _exact_on_candidates(
     index: DeviceIndex,
     queries: jax.Array,
@@ -584,6 +721,11 @@ def _exact_on_candidates(
     td = shapes.doc_token_cap
     nvec_pad = index.codes.shape[0]
     nd_pad = index.num_docs_padded
+
+    if shapes.rerank_kernel:
+        return _exact_on_candidates_kernel(
+            index, queries, qmask, union_ids, shapes
+        )
 
     n_tiles = -(-cmax // shapes.cand_tile)
     pad = n_tiles * shapes.cand_tile - cmax

@@ -222,17 +222,22 @@ def search_phase(build_s):
     print(f"exhaustive bf16 batch64: {t_ex:.1f}s -> {64/t_ex:.2f} QPS", flush=True)
     results["exhaustive_bf16_qps"] = round(64 / t_ex, 3)
 
-    for approx, keeps in (
-        ("cells", (256, 1024)),
+    for approx, nprobe, keeps in (
+        ("cells", 8, (256, 1024)),
         # Stage 3b (reference approximate-score semantics, search.rs:448-457):
         # the sharper per-candidate ranking should reach the same recall at a
         # fraction of the exact-rerank breadth — the round-2 verdict's task 3.
-        ("codes", (64, 128, 256)),
+        ("codes", 8, (256,)),
+        # The >=0.99-recall operating point (round 2: 0.9906 at 3.52 QPS
+        # with the loose posting budget; the skew-bounded budget + scatter
+        # slot mapping should put it past the exhaustive fallback).
+        ("cells", 16, (1024,)),
     ):
         for keep in keeps:
             params = SearchParameters(
                 top_k=10,
                 mode="staged",
+                n_ivf_probe=nprobe,
                 overflow_policy="prune",
                 prune_keep=keep,
                 approx_score=approx,
@@ -248,11 +253,13 @@ def search_phase(build_s):
                 )
             )
             print(
-                f"staged {approx} keep={keep}: {qps:.2f} QPS, "
+                f"staged {approx} nprobe={nprobe} keep={keep}: {qps:.2f} QPS, "
                 f"recall@10={recall:.4f}",
                 flush=True,
             )
             tag = f"staged_{approx}_keep{keep}"
+            if nprobe != 8:
+                tag = f"staged_{approx}_nprobe{nprobe}_keep{keep}"
             results[f"{tag}_qps"] = round(qps, 3)
             results[f"{tag}_recall_at_10"] = round(recall, 4)
 

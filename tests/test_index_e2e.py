@@ -565,3 +565,35 @@ def test_staged_codes_approx_score(built):
         for r, o in zip(res, oracle)
     )
     assert agree >= 0.95 * 5 * len(qs), agree
+
+
+def test_staged_kernel_rerank_matches_scan(built, monkeypatch):
+    """Stage 4's fused-kernel re-rank (_exact_on_candidates_kernel,
+    interpret mode on CPU) must return the same documents and scores as the
+    tiled XLA scan it replaces."""
+    import dataclasses
+
+    from nextplaid_tpu.index import search as S
+
+    docs, path, meta, index = built
+    qs, _targets = make_queries(docs)
+    params = SearchParameters(
+        top_k=5, mode="staged", stage1_precision="default", n_full_scores=64
+    )
+
+    orig = S.PipelineShapes.derive.__func__
+    results = {}
+    for flag in (False, True):
+        monkeypatch.setattr(
+            S.PipelineShapes,
+            "derive",
+            classmethod(
+                lambda cls, i, p, nq, qt, _f=flag: dataclasses.replace(
+                    orig(cls, i, p, nq, qt), rerank_kernel=_f
+                )
+            ),
+        )
+        results[flag] = search_batch(index, qs, params)
+    for a, b in zip(results[False], results[True]):
+        assert a.passage_ids == b.passage_ids, (a, b)
+        np.testing.assert_allclose(a.scores, b.scores, rtol=2e-2, atol=2e-2)
