@@ -271,15 +271,20 @@ def _session_hook(path_, model, index_dir):
 @cli.command("set-model")
 @click.argument("model")
 def set_model(model):
-    """Persist MODEL (a local checkpoint dir) as the default encoder
-    (reference commands/config.rs:22 cmd_set_model)."""
-    if not os.path.isdir(model):
+    """Persist MODEL (a local checkpoint dir or HF hub repo id) as the
+    default encoder (reference commands/config.rs:22 cmd_set_model).
+
+    Hub ids are resolved through the HF cache on first use — the download
+    happens at index/search time, not here (matching the reference, which
+    also defers the fetch to the ORT bootstrap)."""
+    if os.path.isdir(model):
+        model = os.path.abspath(model)
+    elif "/" not in model or model.count("/") > 1:
         raise click.ClickException(
-            f"{model!r} is not a directory (offline image: models must be "
-            "local checkpoint dirs; HF hub ids need network access)"
+            f"{model!r} is neither a directory nor an 'org/name' hub id"
         )
     cfg = CgrepConfig.load()
-    cfg.default_model = os.path.abspath(model)
+    cfg.default_model = model
     p = cfg.save()
     click.echo(f"default_model = {cfg.default_model}\nwrote {p}")
 

@@ -88,7 +88,9 @@ class Colbert:
         quantized: bool = False,
     ):
         if model_dir is not None:
-            model_dir = Path(model_dir)
+            from nextplaid_tpu.encoder.hub import resolve_model_dir
+
+            model_dir = resolve_model_dir(model_dir)
             self.config = config or ColbertConfig.from_model_dir(model_dir)
             self.backbone_config = backbone_config or BackboneConfig.from_model_dir(
                 model_dir

@@ -456,3 +456,40 @@ def test_quantized_colbert_end_to_end(tmp_path):
         assert x.shape == y.shape
         cos = np.sum(x * y, -1)  # both L2-normalized
         assert cos.min() > 0.98, cos.min()
+
+
+def test_hub_resolution(tmp_path, monkeypatch):
+    """resolve_model_dir: local dirs pass through; non-dirs go through
+    snapshot_download (cache-first, then network); failures raise the
+    typed EncodingError with the repo id in the message."""
+    from nextplaid_tpu.encoder import hub
+    from nextplaid_tpu.utils.errors import EncodingError
+
+    # Local directory passes through untouched, no hub involved.
+    local = tmp_path / "model"
+    local.mkdir()
+    assert hub.resolve_model_dir(local) == local
+    assert hub.resolve_model_dir(str(local)) == local
+
+    # Hub id: cache miss -> download path returns the snapshot dir.
+    calls = []
+
+    def fake_snapshot(repo, allow_patterns=None, local_files_only=False):
+        calls.append(local_files_only)
+        if local_files_only:
+            raise FileNotFoundError("not cached")
+        return str(tmp_path / "snap")
+
+    import huggingface_hub
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download", fake_snapshot)
+    assert hub.resolve_model_dir("org/repo") == tmp_path / "snap"
+    assert calls == [True, False]  # cache-first, then network
+
+    # Fully offline and not cached: actionable typed error.
+    def offline(repo, allow_patterns=None, local_files_only=False):
+        raise OSError("offline")
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download", offline)
+    with pytest.raises(EncodingError, match="org/nope"):
+        hub.resolve_model_dir("org/nope")
