@@ -191,7 +191,7 @@ class PipelineShapes:
         # so HBM is free for a transient bf16 union grid; the fused kernel
         # cuts stage 4's HBM traffic ~25x vs the tiled XLA scan (round-3
         # profile at 72M embeddings: 2.2 s -> ~0.3 s/batch).
-        td_k = _round_up(td, 128)
+        td_k = _round_up(td, 8)  # Td on sublanes in the bf16 kernel
         grid_bytes = _round_up(cmax, 64) * td_k * index.dim * 2
         rerank_kernel = (
             params.kernel != "xla"
@@ -645,7 +645,7 @@ def _exact_on_candidates_kernel(
     q_n, tq, d = queries.shape
     cmax = union_ids.shape[0]
     td = shapes.doc_token_cap
-    td_k = _round_up(td, 128)  # kernel lane contract
+    td_k = _round_up(td, 8)  # Td on sublanes in the bf16 kernel
     nvec_pad = index.codes.shape[0]
     nd_pad = index.num_docs_padded
 
@@ -1039,6 +1039,19 @@ def search_batch_async(
         subset_arr = jnp.asarray(mask)
     else:
         subset_arr = None
+
+    # h2d in bf16 when every downstream consumer casts to bf16 anyway
+    # (pinned bf16 grid or decompress-scan at default precision): halves
+    # the query transfer — 5.2 MB -> 2.6 MB per 320-query mega-batch, a
+    # direct cut to the serialized per-dispatch h2d that dominates the
+    # tunnel's pass latency. "highest" precision (the f32 oracle) and the
+    # int8 grid (device-side quantization from f32) keep f32 queries.
+    if (
+        exact_eligible
+        and params.stage1_precision != "highest"
+        and index.token_scales is None
+    ):
+        q_arr = q_arr.astype(jnp.bfloat16)
 
     if exact_eligible:
         from nextplaid_tpu.index.exact import (

@@ -18,7 +18,9 @@ reshapes like [Qf, D, Td] (relayout errors), so the doc axis lives on
 sublanes and queries arrive PRE-TRANSPOSED as [d, Q*Tq].
 
 Layout contract (matches DeviceIndex.token_grid):
-  bf16 grid   [ND, Td, d], Td a multiple of 128, ND a multiple of 8,
+  bf16 grid   [ND, Td, d], Td a multiple of 8 (Td lives on SUBLANES — d=128
+              is the lane axis — so sublane alignment suffices; verified
+              on-chip, scripts/profile_td_align.py), ND a multiple of 8,
               invalid token rows zeroed;
   int8 grid   TRANSPOSED doc tiles [ND, d, Td] + per-token scales
               [ND, Td] (see _kernel_int8t — the transposed layout makes the

@@ -454,7 +454,12 @@ def test_int8_token_grid_matches(built):
     g8 = index.with_token_grid(budget_mb=10_000, dtype="int8")
     assert g8.token_grid.dtype.name == "int8"
     assert g8.token_scales is not None
-    assert g8.grid_bytes("int8") < g16.grid_bytes("bf16")
+    # Per-token cost halves (d+2 vs 2d bytes). Total grid bytes only
+    # follow at realistic doclens: the int8 layout pads Td to 128 lanes
+    # while bf16 pads to 8 sublanes, which dominates at this toy scale.
+    assert g8.grid_bytes("int8") // g8.grid_td("int8") < (
+        g16.grid_bytes("bf16") // g16.grid_td("bf16")
+    )
     params = SearchParameters(top_k=10, mode="exact")
     r16 = search_batch(g16, queries, params)
     r8 = search_batch(g8, queries, params)
@@ -474,7 +479,17 @@ def test_int8_token_grid_matches(built):
 def test_int8_auto_budget_fallback(built):
     """dtype='auto': picks bf16 when it fits, int8 when only int8 fits,
     nothing when neither fits."""
+    import dataclasses
+
     docs, path, meta, index = built
+    # At realistic doclens int8 is the smaller grid (d+2 vs 2d bytes per
+    # token); at this fixture's max_doclen=12 the int8 layout's 128-lane Td
+    # padding inverts that, so the int8-only budget window would be empty.
+    # Stretch max_doclen to a SciFact-like 290 — the grid builders pad to
+    # grid_td(max_doclen) regardless of actual doclens, so the real build
+    # path still runs (just with more padding rows).
+    index = dataclasses.replace(index, max_doclen=290)
+    assert index.grid_bytes("int8") < index.grid_bytes("bf16")
     bf16_mb = index.grid_bytes("bf16") >> 20
     int8_mb = index.grid_bytes("int8") >> 20
     auto_big = index.with_token_grid(budget_mb=bf16_mb + 2, dtype="auto")
