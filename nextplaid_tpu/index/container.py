@@ -553,14 +553,28 @@ class DeviceIndex:
             np.asarray(load_json(layout.chunk_doclens(i)), np.int64)
             for i in range(meta.num_chunks)
         ]
-        # Chunk merge goes through the native mmap+memcpy pass when the host
-        # library is built (reference merge_*_chunks, mmap.rs:1266-1704);
-        # numpy concatenation otherwise.
-        from nextplaid_tpu.storage import native
+        # Merged-chunk cache first (reference manifest fast path,
+        # mmap.rs:1081-1300): when no chunk changed since the last merge,
+        # load is an mmap of the merged payloads — O(changed) host work.
+        from nextplaid_tpu.storage import merge_cache, native
 
         codes = None
         residuals = None
-        if meta.num_chunks and native.available():
+        chunk_bytes = sum(
+            os.path.getsize(p)
+            for p in code_paths + res_paths
+            if os.path.exists(p)
+        )
+        cache_on = merge_cache.enabled(chunk_bytes, meta.num_chunks)
+        cache_hit = False
+        if cache_on:
+            hit = merge_cache.load_merged(
+                layout.root, code_paths, res_paths
+            )
+            if hit is not None:
+                codes, residuals = hit
+                cache_hit = True
+        if codes is None and meta.num_chunks and native.available():
             first_codes = np.asarray(load_npy(code_paths[0], mmap=True))
             codes = native.merge_chunk_payloads(
                 code_paths, first_codes.dtype
@@ -583,6 +597,11 @@ class DeviceIndex:
                 np.concatenate(res_list)
                 if res_list
                 else np.zeros((0, packed_dim), np.uint8)
+            )
+        if cache_on and not cache_hit:
+            # Freshly merged (native or numpy): persist for the next start.
+            merge_cache.store_merged(
+                layout.root, codes, residuals, code_paths, res_paths
             )
         codes = codes.astype(np.int32)
         doclens = (

@@ -165,3 +165,67 @@ def test_create_index_from_device(corpus, tmp_path):
         create_index_from_device(
             tokens, doclens[:-1], str(tmp_path / "bad"), IndexConfig()
         )
+
+
+def test_merge_cache_roundtrip(corpus, tmp_path, monkeypatch):
+    """Merged-chunk manifest cache (reference mmap.rs mtime fast path):
+    second load serves from the merged mmap without re-merging; touching a
+    chunk invalidates the manifest and triggers a re-merge + refresh."""
+    import os
+    import time
+
+    from nextplaid_tpu.storage import merge_cache
+
+    docs, topics = corpus
+    path = str(tmp_path / "idx")
+    sample = jnp.asarray(np.concatenate(docs))
+    create_index_streamed(
+        _chunks(docs), path, IndexConfig(nbits=2, seed=0),
+        sample_tokens=sample,
+        est_total_tokens=sum(d.shape[0] for d in docs),
+    )
+    monkeypatch.setenv("NEXT_PLAID_MERGE_CACHE", "1")
+
+    base = DeviceIndex.load(path)
+    manifest = tmp_path / "idx" / "merged" / "manifest.json"
+    assert manifest.exists(), "first load must write the merge cache"
+
+    # Second load must come from the cache: poison the native merge (the
+    # payload-merge fast path) and the cache refresh (which only runs on a
+    # cache MISS) — a valid cache touches neither.
+    from nextplaid_tpu.storage import native
+
+    def boom(*a, **k):
+        raise AssertionError("merge ran despite a valid cache")
+
+    with pytest.MonkeyPatch.context() as poison:
+        poison.setattr(native, "merge_chunk_payloads", boom)
+        poison.setattr(merge_cache, "store_merged", boom)
+        cached = DeviceIndex.load(path)
+    np.testing.assert_array_equal(
+        np.asarray(base.codes), np.asarray(cached.codes)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base.residuals), np.asarray(cached.residuals)
+    )
+
+    # Chunk mtime change -> manifest mismatch -> fresh merge + refresh.
+    chunk0 = tmp_path / "idx" / "0.codes.npy"
+    t = time.time() + 5
+    os.utime(chunk0, (t, t))
+    from nextplaid_tpu.storage.npy import IndexLayout
+
+    layout = IndexLayout(tmp_path / "idx")
+    from nextplaid_tpu.storage.npy import load_json
+
+    n_chunks = load_json(layout.metadata)["num_chunks"]
+    code_paths = [str(layout.chunk_codes(i)) for i in range(n_chunks)]
+    res_paths = [str(layout.chunk_residuals(i)) for i in range(n_chunks)]
+    assert merge_cache.load_merged(layout.root, code_paths, res_paths) is None
+    refreshed = DeviceIndex.load(path)
+    np.testing.assert_array_equal(
+        np.asarray(base.codes), np.asarray(refreshed.codes)
+    )
+    assert merge_cache.load_merged(
+        layout.root, code_paths, res_paths
+    ) is not None
