@@ -41,6 +41,11 @@ def main() -> None:
         "colbert_export/quantize.py parity; load with "
         "Colbert(dst, quantized=True))",
     )
+    ap.add_argument(
+        "--push-to-hub", metavar="REPO_ID", default=None,
+        help="upload the exported directory to a HF hub repo (reference "
+        "colbert_export/hub.py parity; needs network + HF_TOKEN)",
+    )
     args = ap.parse_args()
 
     src, dst = Path(args.src), Path(args.dst)
@@ -155,6 +160,24 @@ def main() -> None:
         print(f"int8 quantized: min per-token cosine vs full precision "
               f"{cos:.4f}")
         assert cos >= 0.99, cos
+
+    if args.push_to_hub:
+        # Hub upload (reference colbert_export/hub.py push_to_hub): create
+        # the repo if needed and upload the whole export directory. Fails
+        # with an actionable message in offline environments.
+        try:
+            from huggingface_hub import HfApi
+
+            api = HfApi()
+            api.create_repo(args.push_to_hub, exist_ok=True)
+            api.upload_folder(
+                folder_path=str(dst), repo_id=args.push_to_hub
+            )
+            print(f"pushed to hub: {args.push_to_hub}")
+        except Exception as e:
+            sys.exit(
+                f"hub push failed (offline? missing HF_TOKEN?): {e}"
+            )
 
 
 if __name__ == "__main__":
