@@ -1,0 +1,145 @@
+"""End-to-end API serving throughput: HTTP -> SDK -> server -> device.
+
+The library-level bench (bench.py) measures `search_batch` directly; this
+drives the FULL serving stack the way a reference deployment is measured
+(its Docker benchmark hits the REST API): aiohttp server in-process,
+`NextPlaidClient` SDK with base64 embeddings, per-request JSON marshalling,
+metadata attach, tracing middleware — everything between a user's HTTP
+request and the TPU dispatch.
+
+Usage: python scripts/profile_api_e2e.py [BENCH_INDEX_DIR]
+  BENCH_INDEX_DIR defaults to the newest /tmp/bench_idx_*/scifact_scale;
+  pass a path to reuse a specific prebuilt bench index. Results print as
+  one JSON line and are recorded in docs/BENCHMARKS.md.
+"""
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def newest_bench_index() -> str:
+    cands = sorted(
+        glob.glob("/tmp/bench_idx_*/scifact_scale"),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    for c in cands:
+        if os.path.exists(c + "/metadata.json"):
+            return c
+    raise SystemExit("no prebuilt bench index; run bench.py first")
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    src = sys.argv[1] if len(sys.argv) > 1 else newest_bench_index()
+    indices = "/tmp/api_e2e_indices"
+    dst = indices + "/bench"
+    if not os.path.exists(dst + "/metadata.json"):
+        os.makedirs(indices, exist_ok=True)
+        shutil.copytree(src, dst, dirs_exist_ok=True)
+
+    # Server in a thread (the tests' harness pattern).
+    import asyncio
+    import threading
+
+    from nextplaid_tpu.api.server import build_app
+
+    started = threading.Event()
+    state = {}
+
+    def run():
+        from aiohttp import web
+
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+
+        async def start():
+            app = build_app(indices)
+            runner = web.AppRunner(app)
+            await runner.setup()
+            site = web.TCPSite(runner, "127.0.0.1", 0)
+            await site.start()
+            state["port"] = runner.addresses[0][1]
+            started.set()
+
+        loop.run_until_complete(start())
+        state["loop"] = loop
+        loop.run_forever()
+
+    threading.Thread(target=run, daemon=True).start()
+    assert started.wait(30)
+
+    from bench import make_corpus_device, make_doclens, make_queries
+    from nextplaid_tpu.client import NextPlaidClient
+
+    _, topics = make_corpus_device(make_doclens())
+    queries = make_queries(topics)  # 320 x [32, 128]
+
+    c = NextPlaidClient(f"http://127.0.0.1:{state['port']}")
+    print("health:", c.health()["status"], flush=True)
+
+    batch = 64
+    n_batches = len(queries) // batch
+    # Warm: compile + grid pin on first search.
+    t0 = time.perf_counter()
+    c.search("bench", queries[:batch], top_k=10)
+    print(f"warm search: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    # Concurrent clients: the server pipelines device dispatch internally;
+    # measure sustained HTTP-level QPS over several passes with a small
+    # thread pool (the SDK is sync; concurrency via threads mirrors real
+    # multi-client load).
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_passes = 8
+    pass_qps = []
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for _ in range(n_passes):
+            t0 = time.perf_counter()
+            futs = [
+                pool.submit(
+                    c.search, "bench", queries[s : s + batch], top_k=10
+                )
+                for s in range(0, len(queries), batch)
+            ]
+            outs = [f.result() for f in futs]
+            dt = time.perf_counter() - t0
+            n = sum(len(o["results"]) for o in outs)
+            pass_qps.append(n / dt)
+    pass_qps.sort()
+    p50 = float(np.median(pass_qps))
+    print(
+        json.dumps(
+            {
+                "metric": "api_e2e_search_qps",
+                "value": round(p50, 2),
+                "unit": "qps",
+                "detail": {
+                    "batch": batch,
+                    "batches_per_pass": n_batches,
+                    "passes": n_passes,
+                    "qps_p50": round(p50, 2),
+                    "qps_worst": round(pass_qps[0], 2),
+                    "qps_best": round(pass_qps[-1], 2),
+                    "transport": "HTTP + base64 f32 embeddings, 4 "
+                    "concurrent clients",
+                },
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
