@@ -10,7 +10,10 @@ from nextplaid_tpu.index.config import (  # noqa: F401
     Metadata,
     SearchParameters,
 )
-from nextplaid_tpu.index.container import DeviceIndex  # noqa: F401
+from nextplaid_tpu.index.container import (  # noqa: F401
+    DeviceIndex,
+    load_grid_only,
+)
 from nextplaid_tpu.index.search import (  # noqa: F401
     PendingSearch,
     QueryResult,

@@ -108,6 +108,11 @@ class DeviceIndex:
     posting_mass_prefix: Tuple[int, ...] = dataclasses.field(
         metadata=dict(static=True), default=()
     )
+    # Grid-only serving mode (`load_grid_only`): codes/residuals/IVF are
+    # 0-row placeholders; only the exact pinned-grid path is valid.
+    grid_only: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
 
     def __post_init__(self):
         if self.n_docs is None:
@@ -381,6 +386,13 @@ class DeviceIndex:
         in place (a new document exceeds the grid's token axis) — caller
         falls back to a full reload.
         """
+        if self.grid_only:
+            from nextplaid_tpu.utils.errors import UpdateError
+
+            raise UpdateError(
+                "grid-only index is immutable; reload with DeviceIndex.load "
+                "to append"
+            )
         nd, ne = self.num_documents, self.num_embeddings
         doclens = np.asarray(doclens, np.int64)
         bdocs = int(doclens.shape[0])
@@ -499,6 +511,13 @@ class DeviceIndex:
         """Re-stage the IVF (and posting-length static) from disk — the
         staged pipeline's lazy catch-up after device appends."""
         from nextplaid_tpu.storage.npy import IndexLayout, load_npy
+
+        if self.grid_only:
+            from nextplaid_tpu.utils.errors import UpdateError
+
+            raise UpdateError(
+                "grid-only index has no IVF; reload with DeviceIndex.load"
+            )
 
         layout = IndexLayout(index_path)
         ivf = np.asarray(load_npy(layout.ivf), np.int32)
@@ -841,3 +860,210 @@ def _build_token_grid(index: "DeviceIndex", td: int) -> jax.Array:
         td,
         tile=64,
     )
+
+
+# ----------------------------------------------------------------------
+# Grid-only loading: serve huge corpora exactly from the pinned grid with
+# codes/residuals never resident in HBM.
+# ----------------------------------------------------------------------
+@functools.partial(
+    jax.jit,
+    static_argnames=("nbits", "td", "tile", "kind"),
+    donate_argnames=("grid", "scales"),
+)
+def _grid_only_chunk_jit(
+    grid, scales, codes_c, res_c, doclens_c, centroids, bucket_weights,
+    row_offset, nbits, td, tile, kind,
+):
+    """Decompress ONE on-disk chunk into grid rows [row_offset, ...).
+
+    grid (and scales for int8) are DONATED: at mega-scale the grid is most
+    of HBM, and a functional update would need 2x. doclens_c is padded to a
+    fixed per-chunk doc count and res/codes to a fixed token count so every
+    chunk dispatch hits the same compiled program; padding docs have len 0
+    and land as zero rows past the live range (the grid is preallocated
+    zeroed, and row_offset advances by the REAL doc count).
+    """
+    from nextplaid_tpu.ops import codec as codec_ops
+
+    cdoc = doclens_c.shape[0]
+    ctok = codes_c.shape[0]
+    offs_c = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(doclens_c.astype(jnp.int32))]
+    )
+    t_arange = jnp.arange(td, dtype=jnp.int32)
+    n_tiles = -(-cdoc // tile)
+
+    def build_tile(_, start):
+        ids = start + jnp.arange(tile, dtype=jnp.int32)
+        safe = jnp.minimum(ids, cdoc - 1)
+        offs = offs_c[safe]
+        lens = jnp.where(ids < cdoc, doclens_c[safe], 0)
+        tok_pos = jnp.clip(offs[:, None] + t_arange[None, :], 0, ctok - 1)
+        tok_valid = t_arange[None, :] < lens[:, None]
+        emb = codec_ops.decompress_residuals(
+            res_c[tok_pos], codes_c[tok_pos], centroids, bucket_weights,
+            nbits, normalize=True,
+        )
+        emb = jnp.where(tok_valid[:, :, None], emb, 0.0)
+        if kind == "bf16":
+            return None, (emb.astype(jnp.bfloat16), emb[..., :0])
+        maxabs = jnp.max(jnp.abs(emb), axis=-1)
+        scale = jnp.where(maxabs > 0, maxabs / 127.0, 1.0)
+        q = jnp.clip(jnp.round(emb / scale[:, :, None]), -127, 127)
+        return None, (
+            q.astype(jnp.int8).transpose(0, 2, 1),
+            jnp.where(tok_valid, scale, 0.0).astype(jnp.bfloat16),
+        )
+
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    _, (tiles, sc) = jax.lax.scan(build_tile, None, starts)
+    if kind == "bf16":
+        rows = tiles.reshape(n_tiles * tile, td, -1)
+    else:
+        rows = tiles.reshape(n_tiles * tile, -1, td)
+        scales = jax.lax.dynamic_update_slice(
+            scales, sc.reshape(n_tiles * tile, td), (row_offset, 0)
+        )
+    grid = jax.lax.dynamic_update_slice(grid, rows, (row_offset, 0, 0))
+    return grid, scales
+
+
+def load_grid_only(
+    index_path: str,
+    dtype: str = "int8",
+    chunk_token_bucket: int = 1 << 18,
+) -> "DeviceIndex":
+    """Load an index for EXACT-ONLY serving: stream the on-disk chunks
+    through the decompress+quantize pipeline into a pinned token grid, with
+    codes/residuals/IVF never resident in HBM.
+
+    Rationale: the pinned grid is all the exact kernel path needs, and at
+    mega scale the compressed arrays are GBs of dead weight next to it —
+    dropping them raises the one-chip exact-serving ceiling to wherever the
+    grid alone fits (72M embeddings: 13 GB int8 grid vs 16 GB HBM, where
+    the full DeviceIndex + grid could never coexist). The reference has no
+    analogue (its corpus lives in host mmaps; HBM residency is the
+    TPU-design constraint being optimized here).
+
+    The returned index serves `search_batch`/`search_batch_async` in exact
+    mode only; staged search, appends, and IVF refresh raise UpdateError /
+    SearchError (reload with `DeviceIndex.load` for mutation). Peak HBM
+    during the build is grid + one padded chunk + one decompress tile.
+    """
+    from nextplaid_tpu.utils.errors import StorageError
+
+    layout = IndexLayout(index_path)
+    meta = Metadata.from_dict(load_json(layout.metadata))
+    if dtype not in ("bf16", "int8"):
+        raise StorageError(f"grid-only dtype must be bf16|int8: {dtype}")
+
+    centroids = jnp.asarray(
+        np.asarray(load_npy(layout.centroids), np.float32)
+    )
+    cutoffs = jnp.asarray(
+        np.asarray(load_npy(layout.bucket_cutoffs), np.float32)
+    )
+    weights = jnp.asarray(
+        np.asarray(load_npy(layout.bucket_weights), np.float32)
+    )
+    avg_residual = jnp.asarray(
+        np.asarray(load_npy(layout.avg_residual), np.float32)
+    )
+    dim = centroids.shape[1]
+    packed_dim = dim * meta.nbits // 8
+
+    doclens_list = [
+        np.asarray(load_json(layout.chunk_doclens(i)), np.int64)
+        for i in range(meta.num_chunks)
+    ]
+    doclens_all = (
+        np.concatenate(doclens_list)
+        if doclens_list
+        else np.zeros(0, np.int64)
+    ).astype(np.int32)
+    nd = int(doclens_all.shape[0])
+    n_emb = int(doclens_all.sum())
+    max_doclen = int(doclens_all.max()) if nd else 0
+    mult = 128 if dtype == "int8" else 8
+    td = max(_round_up(max(max_doclen, 1), mult), mult)
+
+    # Same row geometry as the in-memory grid builders: capacity + 512 of
+    # slack rounded to the build tile, so exact-search windows never clamp.
+    tile = 128
+    nd_pad = max(_round_up(nd + 1, 8), 8)
+    nd_grid = ((nd_pad + 512 + tile - 1) // tile) * tile
+
+    if dtype == "bf16":
+        grid = jnp.zeros((nd_grid, td, dim), jnp.bfloat16)
+        scales = jnp.zeros((0, 0), jnp.bfloat16)
+    else:
+        grid = jnp.zeros((nd_grid, dim, td), jnp.int8)
+        scales = jnp.zeros((nd_grid, td), jnp.bfloat16)
+
+    cdoc_pad = max(
+        _round_up(max((len(d) for d in doclens_list), default=1), tile),
+        tile,
+    )
+    ctok_pad = max(
+        _round_up(
+            max((int(d.sum()) for d in doclens_list), default=1),
+            chunk_token_bucket,
+        ),
+        chunk_token_bucket,
+    )
+
+    row = 0
+    for i in range(meta.num_chunks):
+        codes_c = np.asarray(load_npy(layout.chunk_codes(i))).astype(
+            np.int32
+        )
+        res_c = np.asarray(load_npy(layout.chunk_residuals(i)))
+        dl = doclens_list[i]
+        codes_p = np.zeros(ctok_pad, np.int32)
+        codes_p[: codes_c.shape[0]] = codes_c
+        res_p = np.zeros((ctok_pad, packed_dim), np.uint8)
+        res_p[: res_c.shape[0]] = res_c
+        dl_p = np.zeros(cdoc_pad, np.int32)
+        dl_p[: dl.shape[0]] = dl
+        grid, scales = _grid_only_chunk_jit(
+            grid,
+            scales,
+            jnp.asarray(codes_p),
+            jnp.asarray(res_p),
+            jnp.asarray(dl_p),
+            centroids,
+            weights,
+            jnp.asarray(row, jnp.int32),
+            nbits=meta.nbits,
+            td=td,
+            tile=tile,
+            kind=dtype,
+        )
+        row += int(dl.shape[0])
+
+    doclens_p = np.zeros(nd_pad, np.int32)
+    doclens_p[:nd] = doclens_all
+    doc_offsets = np.zeros(nd_pad + 1, np.int64)
+    np.cumsum(doclens_p, out=doc_offsets[1:])
+
+    out = DeviceIndex(
+        centroids=centroids,
+        codes=jnp.zeros((0,), jnp.int32),
+        residuals=jnp.zeros((0, packed_dim), jnp.uint8),
+        doc_offsets=jnp.asarray(doc_offsets.astype(np.int32)),
+        doclens=jnp.asarray(doclens_p),
+        ivf_offsets=jnp.zeros(centroids.shape[0] + 1, jnp.int32),
+        ivf_doc_ids=jnp.zeros((0,), jnp.int32),
+        bucket_cutoffs=cutoffs,
+        bucket_weights=weights,
+        avg_residual=avg_residual,
+        token_grid=grid,
+        token_scales=scales if dtype == "int8" else None,
+        n_docs=jnp.asarray(nd, jnp.int32),
+        n_emb=jnp.asarray(n_emb, jnp.int32),
+        nbits=meta.nbits,
+        max_doclen=max_doclen,
+        grid_only=True,
+    )
+    return out._set_host_counts(nd, n_emb)

@@ -41,6 +41,28 @@ def default_doc_tile(num_queries: int, query_tokens: int, td: int) -> int:
     return int(np.clip(tile, 8, 512))
 
 
+
+
+def _topk_wide(scores: jax.Array, k: int, wide: int = 8192):
+    """Top-k over very wide score rows without XLA's TopK expansion bomb.
+
+    XLA's TopK lowering explodes TPU compile time as the axis width grows:
+    measured at [64, 473727] k=10, plain lax.top_k hung the remote compile
+    for 10+ minutes and even a blockwise 8192-wide top_k variant took 161 s
+    to compile. `lax.approx_max_k` with recall_target=1.0 lowers to the
+    TPU-native PartialReduce op instead: 5.8 s compile at the same shape,
+    and exact results (recall_target=1.0 selects full-recall binning; the
+    CPU lowering is an exact sort). Narrow rows keep plain top_k.
+    """
+    q_n, n = scores.shape
+    if n <= wide:
+        return jax.lax.top_k(scores, min(k, n))
+    vals, ids = jax.lax.approx_max_k(
+        scores, min(k, n), recall_target=1.0
+    )
+    return vals, ids.astype(jnp.int32)
+
+
 def exact_all_scores(
     index: DeviceIndex,
     queries: jax.Array,
@@ -204,7 +226,7 @@ def exact_search_pipeline(
         )
 
     k = min(top_k, max(nd_pad - 1, 1))
-    final_scores, final_ids = jax.lax.top_k(all_scores, k)
+    final_scores, final_ids = _topk_wide(all_scores, k)
     final_ids = jnp.where(
         jnp.isfinite(final_scores), final_ids.astype(jnp.int32), -1
     )
@@ -246,7 +268,10 @@ def _exact_search_kernel(
             jnp.round(qf32 / jnp.where(qscale > 0, qscale, 1.0)[:, None]),
             -127, 127,
         ).astype(jnp.int8)
-        dscales = index.token_scales.astype(jnp.float32)  # [nd_grid, Td]
+        # bf16 scales go straight into the kernel (cast per-block in
+        # VMEM): an f32 copy of [nd_grid, Td] is ~0.5 GB at 72M embeddings
+        # - fatal when the int8 grid already fills HBM (grid-only serving).
+        dscales = index.token_scales  # [nd_grid, Td] bf16
 
         def run_int8(qi_block, qs_block):
             return maxsim_grid_scores_int8t(
@@ -295,8 +320,101 @@ def _exact_search_kernel(
         valid &= subset_mask[: scores.shape[1]]
     scores = jnp.where(valid[None, :], scores, NEG_INF)
     k = min(top_k, max(nd_cap, 1))
-    final_scores, final_ids = jax.lax.top_k(scores, k)
+    final_scores, final_ids = _topk_wide(scores, k)
     final_ids = jnp.where(
         jnp.isfinite(final_scores), final_ids.astype(jnp.int32), -1
     )
     return final_ids, final_scores
+
+
+# ----------------------------------------------------------------------
+# Split-dispatch exact search for mega grids (grid-only serving)
+# ----------------------------------------------------------------------
+# One fused jit of [kernel -> mask -> top-k] at 473K-doc grid shapes hung
+# the remote XLA compile for 18+ minutes, while the SAME pieces compiled
+# standalone in ~70 s total (kernel 63 s, approx_max_k top-k 6 s). The
+# mega path therefore runs as separate dispatches orchestrated from the
+# host: the Pallas kernel under its own jit, then a small finalize jit.
+# The extra dispatch costs one [Q, ND] f32 HBM round trip (~120 MB at
+# 473K docs) — noise next to the 0.9 s kernel pass.
+
+SPLIT_DISPATCH_SLOTS = 32 * 1024 * 1024  # grid rows x Td above which to split
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "has_subset"))
+def _finalize_topk(scores, doclens, n_docs, subset_mask, top_k, has_subset):
+    """Mask padding/subset and take top-k over a [Q, ND_grid] score block."""
+    nd_cap = doclens.shape[0] - 1
+    scores = scores[:, : max(nd_cap, 1)]
+    valid = jnp.arange(scores.shape[1]) < n_docs
+    if has_subset and subset_mask is not None:
+        valid &= subset_mask[: scores.shape[1]]
+    scores = jnp.where(valid[None, :], scores, NEG_INF)
+    k = min(top_k, max(nd_cap, 1))
+    final_scores, final_ids = _topk_wide(scores, k)
+    final_ids = jnp.where(
+        jnp.isfinite(final_scores), final_ids.astype(jnp.int32), -1
+    )
+    return final_ids, final_scores
+
+
+def exact_search_split(
+    index: DeviceIndex,
+    queries: jax.Array,  # [Q, Tq, d]
+    subset_mask: Optional[jax.Array],
+    top_k: int,
+    has_subset: bool,
+    q_block: int = 64,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact kernel search as separate dispatches (see note above).
+
+    Queries run in `q_block`-query blocks, all blocks dispatched before the
+    first result is touched (device executes them back to back)."""
+    from nextplaid_tpu.ops.maxsim_kernel import (
+        maxsim_grid_scores,
+        maxsim_grid_scores_int8t,
+    )
+
+    q_n, tq, d = queries.shape
+    grid = index.token_grid
+    nd_grid = grid.shape[0]
+    doclens = jnp.zeros((nd_grid, 1), jnp.int32)
+    doclens = doclens.at[: index.num_docs_padded, 0].set(index.doclens)
+
+    outs = []
+    for s in range(0, q_n, q_block):
+        q = queries[s : s + q_block]
+        qb = q.shape[0]
+        if grid.dtype == jnp.int8:
+            qf32 = q.reshape(qb * tq, d).astype(jnp.float32)
+            maxabs = jnp.max(jnp.abs(qf32), axis=-1)
+            qscale = jnp.where(maxabs > 0, maxabs / 127.0, 0.0)
+            qi8 = jnp.clip(
+                jnp.round(
+                    qf32 / jnp.where(qscale > 0, qscale, 1.0)[:, None]
+                ),
+                -127, 127,
+            ).astype(jnp.int8)
+            scores = maxsim_grid_scores_int8t(
+                qi8, qscale, grid, doclens, index.token_scales, tq=tq,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            scores = maxsim_grid_scores(
+                q.reshape(qb * tq, d).astype(jnp.bfloat16),
+                grid, doclens, tq=tq,
+                interpret=jax.default_backend() == "cpu",
+            )
+        outs.append(
+            _finalize_topk(
+                scores,
+                doclens,
+                index.n_docs,
+                subset_mask,
+                top_k=min(top_k, max(nd_grid - 1, 1)),
+                has_subset=has_subset,
+            )
+        )
+    ids = jnp.concatenate([o[0] for o in outs], axis=0)
+    scores = jnp.concatenate([o[1] for o in outs], axis=0)
+    return ids, scores

@@ -70,6 +70,7 @@ import numpy as np
 from nextplaid_tpu.index.config import SearchParameters
 from nextplaid_tpu.index.container import DeviceIndex
 from nextplaid_tpu.ops import codec as codec_ops
+from nextplaid_tpu.utils.errors import SearchError
 
 NEG_INF = jnp.float32(-jnp.inf)
 
@@ -997,6 +998,12 @@ def search_batch_async(
             or index.num_embeddings <= params.exact_max_embeddings
         )
     )
+    if index.grid_only and not exact_eligible:
+        raise SearchError(
+            "grid-only index serves exact search only (codes/IVF are not "
+            "resident); use mode='exact'/'auto' or reload with "
+            "DeviceIndex.load for staged search"
+        )
     if not exact_eligible and index.ivf_stale:
         # Device appends leave the staged pipeline's IVF stale (the pinned
         # serving path never reads it; api/state refreshes it eagerly for
@@ -1055,9 +1062,31 @@ def search_batch_async(
 
     if exact_eligible:
         from nextplaid_tpu.index.exact import (
+            SPLIT_DISPATCH_SLOTS,
             default_doc_tile,
             exact_search_pipeline,
+            exact_search_split,
         )
+
+        if (
+            kernel_eligible
+            and index.token_grid is not None
+            and index.token_grid.shape[0] * index.grid_token_axis()
+            > SPLIT_DISPATCH_SLOTS
+        ):
+            # Mega grids: one fused [kernel+mask+topk] jit hangs the XLA
+            # compile at 473K-doc shapes; split dispatches compile in
+            # ~70 s and execute back to back (exact.py note).
+            ids, scores = exact_search_split(
+                index,
+                jnp.asarray(q_arr),
+                subset_arr,
+                top_k=params.top_k,
+                has_subset=subset is not None,
+            )
+            return PendingSearch(
+                index, queries, params, subset, n, ids, scores, None, None
+            )
 
         td = (
             index.grid_token_axis()

@@ -95,7 +95,8 @@ def _kernel_int8t(q_ref, grid_ref, lens_ref, dscale_ref, qscale_ref, out_ref,
     grid_ref:   [dblk, d, Td] int8 (each doc a [d, Td] tile: d on sublanes,
                                tokens on LANES)
     lens_ref:   [dblk, 1]     int32
-    dscale_ref: [dblk, Td]    f32 — row k broadcasts over sim's LANE axis,
+    dscale_ref: [dblk, Td]    f32 or bf16 (cast in-kernel) — row k
+                               broadcasts over sim's LANE axis,
                                so no [N,1] lane-padded column is ever needed
                                (that layout cost ~25 MB of scoped VMEM and
                                sank the row-major int8 kernel)
@@ -125,7 +126,7 @@ def _kernel_int8t(q_ref, grid_ref, lens_ref, dscale_ref, qscale_ref, out_ref,
     for k in range(dblk):
         doc = grid_ref[k]  # [d, Td]
         sim_i = jnp.dot(q, doc, preferred_element_type=jnp.int32)  # [Qf, Td]
-        dsc = dscale_ref[k : k + 1]  # [1, Td]
+        dsc = dscale_ref[k : k + 1].astype(jnp.float32)  # [1, Td]
         doc_len = lens_ref[k, 0]
         masked = jnp.where(
             lane_iota < doc_len,
@@ -152,7 +153,7 @@ def maxsim_grid_scores_int8t(
     qscales: jax.Array,  # [Q*Tq] f32 per-query-token scales (0 for padding)
     grid_t: jax.Array,  # [ND, d, Td] int8 (TRANSPOSED doc tiles)
     doclens: jax.Array,  # [ND, 1] int32
-    dscales: jax.Array,  # [ND, Td] f32 (0 for invalid tokens)
+    dscales: jax.Array,  # [ND, Td] f32/bf16 (0 for invalid tokens)
     tq: int,
     interpret: bool = False,
 ) -> jax.Array:

@@ -229,3 +229,96 @@ def test_merge_cache_roundtrip(corpus, tmp_path, monkeypatch):
     assert merge_cache.load_merged(
         layout.root, code_paths, res_paths
     ) is not None
+
+
+def test_load_grid_only_matches_pinned(corpus, tmp_path):
+    """Grid-only serving (chunk-streamed grid build, codes/residuals never
+    resident): search results must match the normally-loaded pinned index
+    for both grid dtypes; mutations and staged mode raise typed errors."""
+    from nextplaid_tpu.index import (
+        SearchParameters,
+        load_grid_only,
+        search_batch,
+    )
+    from nextplaid_tpu.utils.errors import SearchError, UpdateError
+
+    docs, topics = corpus
+    path = str(tmp_path / "idx")
+    sample = jnp.asarray(np.concatenate(docs))
+    create_index_streamed(
+        _chunks(docs), path, IndexConfig(nbits=2, seed=0),
+        sample_tokens=sample,
+        est_total_tokens=sum(d.shape[0] for d in docs),
+    )
+    queries = [d[:6] for d in docs[:8]]
+    params = SearchParameters(top_k=5, mode="exact")
+
+    full = DeviceIndex.load(path)
+    for dtype in ("bf16", "int8"):
+        ref = search_batch(
+            full.with_token_grid(budget_mb=10_000, dtype=dtype),
+            queries, params,
+        )
+        go = load_grid_only(path, dtype=dtype)
+        assert go.grid_only and go.codes.shape[0] == 0
+        assert go.num_documents == full.num_documents
+        assert go.num_embeddings == full.num_embeddings
+        got = search_batch(go, queries, params)
+        for a, b in zip(ref, got):
+            assert a.passage_ids == b.passage_ids, (dtype, a, b)
+            np.testing.assert_allclose(
+                a.scores, b.scores, rtol=1e-3, atol=1e-3
+            )
+
+    go = load_grid_only(path, dtype="bf16")
+    with pytest.raises(UpdateError):
+        go.append_batch(
+            np.zeros(3, np.int32),
+            np.zeros((3, go.residuals.shape[1]), np.uint8),
+            np.asarray([3]),
+        )
+    with pytest.raises(UpdateError):
+        go.refresh_ivf(path)
+    with pytest.raises(SearchError):
+        search_batch(go, queries, SearchParameters(top_k=5, mode="staged"))
+
+
+def test_exact_search_split_matches_pipeline(corpus, tmp_path):
+    """The mega-grid split-dispatch path must produce the same results as
+    the fused exact pipeline (it exists only to dodge a compile hang)."""
+    from nextplaid_tpu.index import SearchParameters, search_batch
+    from nextplaid_tpu.index.exact import exact_search_split
+    from nextplaid_tpu.index.search import _pad_queries
+
+    docs, topics = corpus
+    path = str(tmp_path / "idx")
+    sample = jnp.asarray(np.concatenate(docs))
+    create_index_streamed(
+        _chunks(docs), path, IndexConfig(nbits=2, seed=0),
+        sample_tokens=sample,
+        est_total_tokens=sum(d.shape[0] for d in docs),
+    )
+    queries = [d[:6] for d in docs[:5]]
+    index = DeviceIndex.load(path)
+    for dtype in ("bf16", "int8"):
+        pinned = index.with_token_grid(budget_mb=10_000, dtype=dtype)
+        ref = search_batch(
+            pinned, queries, SearchParameters(top_k=5, mode="exact")
+        )
+        q_arr, _ = _pad_queries(queries, index.dim)
+        ids, scores = exact_search_split(
+            pinned, jnp.asarray(q_arr), None, top_k=5, has_subset=False,
+            q_block=2,  # force multiple blocks
+        )
+        ids, scores = np.asarray(ids), np.asarray(scores)
+        # The fused pipeline scores at f32 HIGHEST precision while the
+        # kernel uses bf16 dots, so near-ties may swap adjacent ranks:
+        # require score-level agreement and >=4/5 id overlap.
+        for i, r in enumerate(ref):
+            k = len(r.passage_ids)
+            np.testing.assert_allclose(
+                scores[i][:k], r.scores, rtol=5e-3, atol=5e-3
+            )
+            assert len(set(ids[i][:k]) & set(r.passage_ids)) >= k - 1, (
+                dtype, i, ids[i][:k], r.passage_ids
+            )
