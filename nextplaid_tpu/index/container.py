@@ -113,6 +113,20 @@ class DeviceIndex:
     grid_only: bool = dataclasses.field(
         metadata=dict(static=True), default=False
     )
+    # Bucketed-Td grids (`load_grid_only(..., buckets=)`): instead of one
+    # grid padded to the GLOBAL max doclen, docs are partitioned into
+    # length buckets, each with its own Td — at skewed doclen
+    # distributions (72M corpus: avg 160, max 300 -> int8 Td=384) a single
+    # Td wastes >50% of kernel FLOPs and grid HBM on padding. Rows are
+    # bucket-major; `grid_perm` maps concatenated grid row -> original doc
+    # id (-1 for per-bucket alignment padding) and `grid_doclens` carries
+    # the row-aligned lengths the kernels need. When buckets are present,
+    # token_grid/token_scales are None and exact search routes through
+    # `exact_search_split` (the only consumer of the bucket layout).
+    grid_buckets: Tuple[jax.Array, ...] = ()
+    scale_buckets: Tuple[jax.Array, ...] = ()
+    grid_perm: Optional[jax.Array] = None  # [total_rows] i32
+    grid_doclens: Optional[jax.Array] = None  # [total_rows, 1] i32
 
     def __post_init__(self):
         if self.n_docs is None:
@@ -192,6 +206,15 @@ class DeviceIndex:
             else self.token_grid.shape[1]
         )
 
+    @property
+    def has_grid(self) -> bool:
+        """True when a pinned token grid (single or bucketed) is present."""
+        return self.token_grid is not None or bool(self.grid_buckets)
+
+    @property
+    def grid_is_int8(self) -> bool:
+        return self.token_scales is not None or bool(self.scale_buckets)
+
     def grid_bytes(self, dtype: str = "bf16") -> int:
         per_tok = self.dim * 2 if dtype == "bf16" else self.dim + 2
         return self.num_docs_padded * self.grid_td(dtype) * per_tok
@@ -208,7 +231,7 @@ class DeviceIndex:
         grid HBM (per-token symmetric quantization with a bf16 scale per
         token; the int8 MXU path has 2x the bf16 peak). int8 doubles the
         corpus size one chip can serve exactly."""
-        if self.token_grid is not None or self.num_documents == 0:
+        if self.has_grid or self.num_documents == 0:
             return self
         if budget_mb is None:
             budget_mb = int(
@@ -872,32 +895,32 @@ def _build_token_grid(index: "DeviceIndex", td: int) -> jax.Array:
     donate_argnames=("grid", "scales"),
 )
 def _grid_only_chunk_jit(
-    grid, scales, codes_c, res_c, doclens_c, centroids, bucket_weights,
-    row_offset, nbits, td, tile, kind,
+    grid, scales, codes_c, res_c, doclens_c, tok_offs_c, centroids,
+    bucket_weights, row_offset, nbits, td, tile, kind,
 ):
-    """Decompress ONE on-disk chunk into grid rows [row_offset, ...).
+    """Decompress chunk docs into grid rows [row_offset, ...).
 
     grid (and scales for int8) are DONATED: at mega-scale the grid is most
-    of HBM, and a functional update would need 2x. doclens_c is padded to a
-    fixed per-chunk doc count and res/codes to a fixed token count so every
-    chunk dispatch hits the same compiled program; padding docs have len 0
-    and land as zero rows past the live range (the grid is preallocated
-    zeroed, and row_offset advances by the REAL doc count).
+    of HBM, and a functional update would need 2x. doclens_c/tok_offs_c are
+    padded to a fixed per-chunk doc count and res/codes to a fixed token
+    count so every chunk dispatch hits the same compiled program; padding
+    docs have len 0 and land as zero rows past the live range (the grid is
+    preallocated zeroed, and row_offset advances by the REAL doc count).
+    tok_offs_c gives each doc's first-token position in the chunk token
+    arrays explicitly, so callers can select a SUBSET of a chunk's docs
+    (bucketed grids) — the gather handles non-contiguity for free.
     """
     from nextplaid_tpu.ops import codec as codec_ops
 
     cdoc = doclens_c.shape[0]
     ctok = codes_c.shape[0]
-    offs_c = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(doclens_c.astype(jnp.int32))]
-    )
     t_arange = jnp.arange(td, dtype=jnp.int32)
     n_tiles = -(-cdoc // tile)
 
     def build_tile(_, start):
         ids = start + jnp.arange(tile, dtype=jnp.int32)
         safe = jnp.minimum(ids, cdoc - 1)
-        offs = offs_c[safe]
+        offs = tok_offs_c[safe]
         lens = jnp.where(ids < cdoc, doclens_c[safe], 0)
         tok_pos = jnp.clip(offs[:, None] + t_arange[None, :], 0, ctok - 1)
         tok_valid = t_arange[None, :] < lens[:, None]
@@ -929,10 +952,93 @@ def _grid_only_chunk_jit(
     return grid, scales
 
 
+def choose_bucket_tds(
+    doclens: np.ndarray,
+    mult: int,
+    max_buckets: int = 4,
+    min_gain: float = 0.08,
+    row_pad: int = 128,
+) -> List[int]:
+    """Pick ascending Td boundaries minimizing total grid token slots.
+
+    Candidates are the distinct per-doc round_up(len, mult) values
+    (subsampled to <=24 plus the max). Exact DP over (candidate, bucket
+    count); each bucket charges `row_pad` extra rows of its Td for the
+    per-bucket row alignment, which prices tiny buckets out. Falls back to
+    a single global Td when the best bucketing saves < min_gain of slots.
+    """
+    nd = int(doclens.shape[0])
+    if nd == 0:
+        return [mult]
+    per_doc = np.maximum(
+        ((np.maximum(doclens.astype(np.int64), 1) + mult - 1) // mult)
+        * mult,
+        mult,
+    )
+    cands, counts = np.unique(per_doc, return_counts=True)
+    if len(cands) > 24:
+        keep = np.unique(
+            np.concatenate(
+                [
+                    cands[
+                        np.searchsorted(
+                            np.cumsum(counts),
+                            np.linspace(0, nd - 1, 23).astype(np.int64),
+                            side="right",
+                        ).clip(0, len(cands) - 1)
+                    ],
+                    cands[-1:],
+                ]
+            )
+        )
+        # Re-bin counts onto the kept boundaries (docs go to the first
+        # boundary >= their Td).
+        idx = np.searchsorted(keep, cands, side="left")
+        counts = np.bincount(idx, weights=counts, minlength=len(keep))
+        cands = keep
+    single_cost = nd * int(cands[-1])
+    n_c = len(cands)
+    max_b = min(max_buckets, n_c)
+    # f[b][j] = min slots covering candidate prefix 0..j with b buckets,
+    # the last bucket's Td = cands[j].
+    csum = np.concatenate([[0], np.cumsum(counts)])
+    INF = float("inf")
+    f = [[INF] * n_c for _ in range(max_b + 1)]
+    parent = [[-1] * n_c for _ in range(max_b + 1)]
+    for j in range(n_c):
+        f[1][j] = csum[j + 1] * int(cands[j]) + row_pad * int(cands[j])
+    for b in range(2, max_b + 1):
+        for j in range(b - 1, n_c):
+            for i in range(b - 2, j):
+                c = (
+                    f[b - 1][i]
+                    + (csum[j + 1] - csum[i + 1]) * int(cands[j])
+                    + row_pad * int(cands[j])
+                )
+                if c < f[b][j]:
+                    f[b][j] = c
+                    parent[b][j] = i
+    best_b = min(
+        range(1, max_b + 1), key=lambda b: f[b][n_c - 1]
+    )
+    if f[best_b][n_c - 1] >= single_cost * (1.0 - min_gain):
+        return [int(cands[-1])]
+    tds = []
+    b, j = best_b, n_c - 1
+    while j >= 0 and b >= 1:
+        tds.append(int(cands[j]))
+        j = parent[b][j]
+        b -= 1
+    return sorted(tds)
+
+
 def load_grid_only(
     index_path: str,
     dtype: str = "int8",
     chunk_token_bucket: int = 1 << 18,
+    buckets: int = 4,
+    bucket_min_gain: float = 0.08,
+    bucket_row_pad: int = 128,
 ) -> "DeviceIndex":
     """Load an index for EXACT-ONLY serving: stream the on-disk chunks
     through the decompress+quantize pipeline into a pinned token grid, with
@@ -946,10 +1052,16 @@ def load_grid_only(
     analogue (its corpus lives in host mmaps; HBM residency is the
     TPU-design constraint being optimized here).
 
+    `buckets` > 1 additionally partitions docs into up to that many doclen
+    buckets, each with its own Td (`choose_bucket_tds`): at the 72M corpus
+    (avg doclen 160, max 300 -> int8 Td=384) a single global Td pads >50%
+    of kernel FLOPs and grid HBM away. Bucketing is applied only when it
+    saves >=8% of token slots; `buckets=1` forces the single-grid layout.
+
     The returned index serves `search_batch`/`search_batch_async` in exact
     mode only; staged search, appends, and IVF refresh raise UpdateError /
     SearchError (reload with `DeviceIndex.load` for mutation). Peak HBM
-    during the build is grid + one padded chunk + one decompress tile.
+    during the build is grid(s) + one padded chunk + one decompress tile.
     """
     from nextplaid_tpu.utils.errors import StorageError
 
@@ -986,68 +1098,27 @@ def load_grid_only(
     n_emb = int(doclens_all.sum())
     max_doclen = int(doclens_all.max()) if nd else 0
     mult = 128 if dtype == "int8" else 8
-    td = max(_round_up(max(max_doclen, 1), mult), mult)
-
-    # Same row geometry as the in-memory grid builders: capacity + 512 of
-    # slack rounded to the build tile, so exact-search windows never clamp.
     tile = 128
+
+    tds = (
+        choose_bucket_tds(
+            doclens_all,
+            mult,
+            max_buckets=buckets,
+            min_gain=bucket_min_gain,
+            row_pad=bucket_row_pad,
+        )
+        if buckets > 1 and nd > 0
+        else [max(_round_up(max(max_doclen, 1), mult), mult)]
+    )
+
     nd_pad = max(_round_up(nd + 1, 8), 8)
-    nd_grid = ((nd_pad + 512 + tile - 1) // tile) * tile
-
-    if dtype == "bf16":
-        grid = jnp.zeros((nd_grid, td, dim), jnp.bfloat16)
-        scales = jnp.zeros((0, 0), jnp.bfloat16)
-    else:
-        grid = jnp.zeros((nd_grid, dim, td), jnp.int8)
-        scales = jnp.zeros((nd_grid, td), jnp.bfloat16)
-
-    cdoc_pad = max(
-        _round_up(max((len(d) for d in doclens_list), default=1), tile),
-        tile,
-    )
-    ctok_pad = max(
-        _round_up(
-            max((int(d.sum()) for d in doclens_list), default=1),
-            chunk_token_bucket,
-        ),
-        chunk_token_bucket,
-    )
-
-    row = 0
-    for i in range(meta.num_chunks):
-        codes_c = np.asarray(load_npy(layout.chunk_codes(i))).astype(
-            np.int32
-        )
-        res_c = np.asarray(load_npy(layout.chunk_residuals(i)))
-        dl = doclens_list[i]
-        codes_p = np.zeros(ctok_pad, np.int32)
-        codes_p[: codes_c.shape[0]] = codes_c
-        res_p = np.zeros((ctok_pad, packed_dim), np.uint8)
-        res_p[: res_c.shape[0]] = res_c
-        dl_p = np.zeros(cdoc_pad, np.int32)
-        dl_p[: dl.shape[0]] = dl
-        grid, scales = _grid_only_chunk_jit(
-            grid,
-            scales,
-            jnp.asarray(codes_p),
-            jnp.asarray(res_p),
-            jnp.asarray(dl_p),
-            centroids,
-            weights,
-            jnp.asarray(row, jnp.int32),
-            nbits=meta.nbits,
-            td=td,
-            tile=tile,
-            kind=dtype,
-        )
-        row += int(dl.shape[0])
-
     doclens_p = np.zeros(nd_pad, np.int32)
     doclens_p[:nd] = doclens_all
     doc_offsets = np.zeros(nd_pad + 1, np.int64)
     np.cumsum(doclens_p, out=doc_offsets[1:])
 
-    out = DeviceIndex(
+    common = dict(
         centroids=centroids,
         codes=jnp.zeros((0,), jnp.int32),
         residuals=jnp.zeros((0, packed_dim), jnp.uint8),
@@ -1058,12 +1129,176 @@ def load_grid_only(
         bucket_cutoffs=cutoffs,
         bucket_weights=weights,
         avg_residual=avg_residual,
-        token_grid=grid,
-        token_scales=scales if dtype == "int8" else None,
         n_docs=jnp.asarray(nd, jnp.int32),
         n_emb=jnp.asarray(n_emb, jnp.int32),
         nbits=meta.nbits,
         max_doclen=max_doclen,
         grid_only=True,
+    )
+
+    ctok_pad = max(
+        _round_up(
+            max((int(d.sum()) for d in doclens_list), default=1),
+            chunk_token_bucket,
+        ),
+        chunk_token_bucket,
+    )
+
+    def load_chunk(i):
+        codes_c = np.asarray(load_npy(layout.chunk_codes(i))).astype(
+            np.int32
+        )
+        res_c = np.asarray(load_npy(layout.chunk_residuals(i)))
+        codes_p = np.zeros(ctok_pad, np.int32)
+        codes_p[: codes_c.shape[0]] = codes_c
+        res_p = np.zeros((ctok_pad, packed_dim), np.uint8)
+        res_p[: res_c.shape[0]] = res_c
+        return jnp.asarray(codes_p), jnp.asarray(res_p)
+
+    if len(tds) == 1:
+        td = tds[0]
+        cdoc_pad = max(
+            _round_up(max((len(d) for d in doclens_list), default=1), tile),
+            tile,
+        )
+        # Row geometry: capacity + 512 slack rounded to the build tile (so
+        # search windows never clamp) + cdoc_pad EXTRA slack rows. The
+        # extra slack is load-bearing: each chunk dispatch writes a fixed
+        # cdoc_pad rows (real docs + zero padding); the padding of chunk i
+        # is overwritten by chunk i+1, but the LAST chunk's padding runs
+        # past the live rows, and dynamic_update_slice CLAMPS an
+        # out-of-bounds write start — silently shifting the last chunk's
+        # rows backward over earlier docs. With cdoc_pad slack no write
+        # ever clamps; the slack rows stay zero and are masked by the
+        # n_docs bound at search time.
+        nd_grid = ((nd_pad + 512 + tile - 1) // tile) * tile + cdoc_pad
+        if dtype == "bf16":
+            grid = jnp.zeros((nd_grid, td, dim), jnp.bfloat16)
+            scales = jnp.zeros((0, 0), jnp.bfloat16)
+        else:
+            grid = jnp.zeros((nd_grid, dim, td), jnp.int8)
+            scales = jnp.zeros((nd_grid, td), jnp.bfloat16)
+        row = 0
+        for i in range(meta.num_chunks):
+            codes_p, res_p = load_chunk(i)
+            dl = doclens_list[i]
+            dl_p = np.zeros(cdoc_pad, np.int32)
+            dl_p[: dl.shape[0]] = dl
+            offs_p = np.zeros(cdoc_pad, np.int32)
+            np.cumsum(dl[:-1], out=offs_p[1 : dl.shape[0]])
+            grid, scales = _grid_only_chunk_jit(
+                grid,
+                scales,
+                codes_p,
+                res_p,
+                jnp.asarray(dl_p),
+                jnp.asarray(offs_p),
+                centroids,
+                weights,
+                jnp.asarray(row, jnp.int32),
+                nbits=meta.nbits,
+                td=td,
+                tile=tile,
+                kind=dtype,
+            )
+            row += int(dl.shape[0])
+        out = DeviceIndex(
+            token_grid=grid,
+            token_scales=scales if dtype == "int8" else None,
+            **common,
+        )
+        return out._set_host_counts(nd, n_emb)
+
+    # ---------------- bucketed layout ----------------
+    tds_arr = np.asarray(tds, np.int64)
+    # Each doc goes to the first bucket whose Td fits it.
+    per_doc_td = np.maximum(
+        ((np.maximum(doclens_all.astype(np.int64), 1) + mult - 1) // mult)
+        * mult,
+        mult,
+    )
+    bucket_of = np.searchsorted(tds_arr, per_doc_td, side="left")
+    assert bucket_of.max(initial=0) < len(tds), (per_doc_td.max(), tds)
+    chunk_starts = np.concatenate(
+        [[0], np.cumsum([len(d) for d in doclens_list])]
+    ).astype(np.int64)
+
+    grids = []
+    scale_grids = []
+    perm_parts = []
+    doclen_parts = []
+    for b, td in enumerate(tds):
+        ids = np.nonzero(bucket_of == b)[0].astype(np.int32)
+        # Per-chunk doc-count pad for THIS bucket (fixed across chunks so
+        # each bucket has one compiled program).
+        per_chunk_counts = [
+            int(
+                np.count_nonzero(
+                    (bucket_of[chunk_starts[i] : chunk_starts[i + 1]] == b)
+                )
+            )
+            for i in range(meta.num_chunks)
+        ]
+        cdoc_pad = max(
+            _round_up(max(per_chunk_counts, default=1), tile), tile
+        )
+        # + cdoc_pad slack so the last chunk's padded write never clamps
+        # (see the single-grid branch note on dynamic_update_slice).
+        rows = max(_round_up(max(len(ids), 1), tile), tile) + cdoc_pad
+        if dtype == "bf16":
+            grid = jnp.zeros((rows, td, dim), jnp.bfloat16)
+            scales = jnp.zeros((0, 0), jnp.bfloat16)
+        else:
+            grid = jnp.zeros((rows, dim, td), jnp.int8)
+            scales = jnp.zeros((rows, td), jnp.bfloat16)
+        row = 0
+        for i in range(meta.num_chunks):
+            if per_chunk_counts[i] == 0:
+                continue
+            codes_p, res_p = load_chunk(i)
+            dl = doclens_list[i]
+            local = np.nonzero(
+                bucket_of[chunk_starts[i] : chunk_starts[i + 1]] == b
+            )[0]
+            offs_chunk = np.zeros(len(dl), np.int64)
+            np.cumsum(dl[:-1], out=offs_chunk[1:])
+            dl_p = np.zeros(cdoc_pad, np.int32)
+            dl_p[: len(local)] = dl[local]
+            offs_p = np.zeros(cdoc_pad, np.int32)
+            offs_p[: len(local)] = offs_chunk[local]
+            grid, scales = _grid_only_chunk_jit(
+                grid,
+                scales,
+                codes_p,
+                res_p,
+                jnp.asarray(dl_p),
+                jnp.asarray(offs_p),
+                centroids,
+                weights,
+                jnp.asarray(row, jnp.int32),
+                nbits=meta.nbits,
+                td=td,
+                tile=tile,
+                kind=dtype,
+            )
+            row += len(local)
+        grids.append(grid)
+        if dtype == "int8":
+            scale_grids.append(scales)
+        perm_b = np.full(rows, -1, np.int32)
+        perm_b[: len(ids)] = ids
+        perm_parts.append(perm_b)
+        dls_b = np.zeros(rows, np.int32)
+        dls_b[: len(ids)] = doclens_all[ids]
+        doclen_parts.append(dls_b)
+
+    out = DeviceIndex(
+        grid_buckets=tuple(grids),
+        scale_buckets=tuple(scale_grids),
+        grid_perm=jnp.asarray(np.concatenate(perm_parts)),
+        grid_doclens=jnp.asarray(
+            np.concatenate(doclen_parts).reshape(-1, 1)
+        ),
+        **common,
     )
     return out._set_host_counts(nd, n_emb)

@@ -358,6 +358,26 @@ def _finalize_topk(scores, doclens, n_docs, subset_mask, top_k, has_subset):
     return final_ids, final_scores
 
 
+@functools.partial(jax.jit, static_argnames=("top_k", "has_subset"))
+def _finalize_topk_perm(
+    score_blocks, perm, subset_mask, top_k, has_subset
+):
+    """Bucketed finalize: concat per-bucket [Q, rows_b] score blocks,
+    mask alignment-padding rows (perm < 0) and the subset, top-k over the
+    concatenated row axis, then translate row ids to doc ids via perm."""
+    scores = jnp.concatenate(score_blocks, axis=1)  # [Q, R]
+    valid = perm >= 0
+    if has_subset and subset_mask is not None:
+        valid &= subset_mask[jnp.clip(perm, 0, subset_mask.shape[0] - 1)]
+    scores = jnp.where(valid[None, :], scores, NEG_INF)
+    k = min(top_k, scores.shape[1])
+    final_scores, rows = _topk_wide(scores, k)
+    final_ids = jnp.where(
+        jnp.isfinite(final_scores), perm[rows], -1
+    )
+    return final_ids, final_scores
+
+
 def exact_search_split(
     index: DeviceIndex,
     queries: jax.Array,  # [Q, Tq, d]
@@ -369,13 +389,73 @@ def exact_search_split(
     """Exact kernel search as separate dispatches (see note above).
 
     Queries run in `q_block`-query blocks, all blocks dispatched before the
-    first result is touched (device executes them back to back)."""
+    first result is touched (device executes them back to back). Handles
+    both the single pinned grid and the bucketed-Td layout
+    (DeviceIndex.grid_buckets): buckets run as one kernel dispatch each and
+    meet in `_finalize_topk_perm`."""
     from nextplaid_tpu.ops.maxsim_kernel import (
         maxsim_grid_scores,
         maxsim_grid_scores_int8t,
     )
 
+    interpret = jax.default_backend() == "cpu"
     q_n, tq, d = queries.shape
+
+    if index.grid_buckets:
+        is_int8 = bool(index.scale_buckets)
+        row_offs = np.concatenate(
+            [[0], np.cumsum([g.shape[0] for g in index.grid_buckets])]
+        )
+        dl_slices = [
+            index.grid_doclens[int(row_offs[b]) : int(row_offs[b + 1])]
+            for b in range(len(index.grid_buckets))
+        ]
+        outs = []
+        for s in range(0, q_n, q_block):
+            q = queries[s : s + q_block]
+            qb = q.shape[0]
+            if is_int8:
+                qf32 = q.reshape(qb * tq, d).astype(jnp.float32)
+                maxabs = jnp.max(jnp.abs(qf32), axis=-1)
+                qscale = jnp.where(maxabs > 0, maxabs / 127.0, 0.0)
+                qi8 = jnp.clip(
+                    jnp.round(
+                        qf32 / jnp.where(qscale > 0, qscale, 1.0)[:, None]
+                    ),
+                    -127, 127,
+                ).astype(jnp.int8)
+            else:
+                qflat = q.reshape(qb * tq, d).astype(jnp.bfloat16)
+            blocks = []
+            for b, grid in enumerate(index.grid_buckets):
+                dl_b = dl_slices[b]
+                if is_int8:
+                    blocks.append(
+                        maxsim_grid_scores_int8t(
+                            qi8, qscale, grid, dl_b,
+                            index.scale_buckets[b], tq=tq,
+                            interpret=interpret,
+                        )
+                    )
+                else:
+                    blocks.append(
+                        maxsim_grid_scores(
+                            qflat, grid, dl_b, tq=tq, interpret=interpret
+                        )
+                    )
+            outs.append(
+                _finalize_topk_perm(
+                    tuple(blocks),
+                    index.grid_perm,
+                    subset_mask,
+                    top_k=top_k,
+                    has_subset=has_subset,
+                )
+            )
+        ids = jnp.concatenate([o[0] for o in outs], axis=0)
+        scores = jnp.concatenate([o[1] for o in outs], axis=0)
+        return ids, scores
+
     grid = index.token_grid
     nd_grid = grid.shape[0]
     doclens = jnp.zeros((nd_grid, 1), jnp.int32)
@@ -397,13 +477,13 @@ def exact_search_split(
             ).astype(jnp.int8)
             scores = maxsim_grid_scores_int8t(
                 qi8, qscale, grid, doclens, index.token_scales, tq=tq,
-                interpret=jax.default_backend() == "cpu",
+                interpret=interpret,
             )
         else:
             scores = maxsim_grid_scores(
                 q.reshape(qb * tq, d).astype(jnp.bfloat16),
                 grid, doclens, tq=tq,
-                interpret=jax.default_backend() == "cpu",
+                interpret=interpret,
             )
         outs.append(
             _finalize_topk(

@@ -987,14 +987,14 @@ def search_batch_async(
     # kernel's one-hot-lane accumulator fixed the scoped-VMEM blowup;
     # measured 31.7 ms / 35.7 TFLOPS at production shapes — 2x the bf16
     # kernel and above the XLA one-big-dot floor).
-    kernel_eligible = index.token_grid is not None and (
+    kernel_eligible = index.has_grid and (
         params.kernel == "pallas"
         or (params.kernel == "auto" and jax.default_backend() != "cpu")
     )
     exact_eligible = params.mode == "exact" or (
         params.mode == "auto"
         and (
-            index.token_grid is not None
+            index.has_grid
             or index.num_embeddings <= params.exact_max_embeddings
         )
     )
@@ -1056,7 +1056,7 @@ def search_batch_async(
     if (
         exact_eligible
         and params.stage1_precision != "highest"
-        and index.token_scales is None
+        and not index.grid_is_int8
     ):
         q_arr = q_arr.astype(jnp.bfloat16)
 
@@ -1068,14 +1068,16 @@ def search_batch_async(
             exact_search_split,
         )
 
-        if (
+        if index.grid_buckets or (
             kernel_eligible
             and index.token_grid is not None
             and index.token_grid.shape[0] * index.grid_token_axis()
             > SPLIT_DISPATCH_SLOTS
         ):
-            # Mega grids: one fused [kernel+mask+topk] jit hangs the XLA
-            # compile at 473K-doc shapes; split dispatches compile in
+            # Bucketed-Td grids always take the split path (the only
+            # consumer of the bucket layout; interpret-mode on CPU). Mega
+            # single grids too: one fused [kernel+mask+topk] jit hangs the
+            # XLA compile at 473K-doc shapes; split dispatches compile in
             # ~70 s and execute back to back (exact.py note).
             ids, scores = exact_search_split(
                 index,

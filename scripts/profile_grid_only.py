@@ -58,12 +58,21 @@ def phase_oracle():
 
 
 def phase_serve():
+    buckets = int(os.environ.get("GRID_BUCKETS", "1"))
     t0 = time.perf_counter()
-    index = load_grid_only(PATH, dtype="int8")
+    index = load_grid_only(PATH, dtype="int8", buckets=buckets)
     t_load = time.perf_counter() - t0
-    gb = index.token_grid.nbytes / 1e9
+    if index.grid_buckets:
+        gb = (
+            sum(g.nbytes for g in index.grid_buckets)
+            + sum(s.nbytes for s in index.scale_buckets)
+        ) / 1e9
+        shapes = [g.shape for g in index.grid_buckets]
+    else:
+        gb = index.token_grid.nbytes / 1e9
+        shapes = [index.token_grid.shape]
     print(
-        f"grid-only load: {t_load:.1f}s, grid {gb:.1f} GB int8 "
+        f"grid-only load: {t_load:.1f}s, grid {gb:.1f} GB int8 {shapes} "
         f"({index.num_documents} docs / {index.num_embeddings} emb)",
         flush=True,
     )
@@ -118,11 +127,13 @@ def phase_serve():
     p50_lat = lat[len(lat) // 2] * 1000
     print(f"batch-1 latency p50: {p50_lat:.0f} ms", flush=True)
 
+    out_path = OUT.replace(".json", f"_b{buckets}.json") if buckets > 1 else OUT
     json.dump(
         {
             "what": "grid-only int8 exact serving at 72M embeddings, one "
             "v5e chip (load_grid_only: chunk-streamed grid build, "
             "codes/residuals never resident)",
+            "buckets": [list(s) for s in shapes],
             "grid_gb": round(gb, 2),
             "load_seconds": round(t_load, 1),
             "batch64_qps_p50": round(p50, 2),
@@ -136,10 +147,10 @@ def phase_serve():
                 "staged_recall": 0.991,
             },
         },
-        open(OUT, "w"),
+        open(out_path, "w"),
         indent=2,
     )
-    print(f"wrote {OUT}", flush=True)
+    print(f"wrote {out_path}", flush=True)
 
 
 if __name__ == "__main__":

@@ -322,3 +322,108 @@ def test_exact_search_split_matches_pipeline(corpus, tmp_path):
             assert len(set(ids[i][:k]) & set(r.passage_ids)) >= k - 1, (
                 dtype, i, ids[i][:k], r.passage_ids
             )
+
+
+def test_choose_bucket_tds():
+    from nextplaid_tpu.index.container import choose_bucket_tds
+
+    rng = np.random.default_rng(3)
+    # Skewed distribution like the mega corpus: avg ~160, max 300.
+    lens = np.clip(rng.lognormal(5.0, 0.35, 5000), 20, 300).astype(np.int64)
+    tds = choose_bucket_tds(lens, mult=128, max_buckets=4)
+    assert tds[-1] == 384 and len(tds) >= 2, tds
+    # Every doc fits some bucket; slots strictly better than single-Td.
+    per_doc = np.maximum(((lens + 127) // 128) * 128, 128)
+    slots = sum(
+        int(np.sum((per_doc <= td) & (per_doc > (tds[i - 1] if i else 0))))
+        * td
+        for i, td in enumerate(tds)
+    )
+    assert slots < len(lens) * 384 * 0.92
+    # Uniform short docs: single bucket.
+    assert choose_bucket_tds(
+        np.full(1000, 100, np.int64), mult=128, max_buckets=4
+    ) == [128]
+    # Empty corpus.
+    assert choose_bucket_tds(np.zeros(0, np.int64), 8, 4) == [8]
+
+
+@pytest.fixture(scope="module")
+def spread_corpus():
+    """Corpus with a wide doclen spread (8..200 tokens) so both bf16
+    bucketing (mult=8) and int8 bucketing (mult=128: buckets split at the
+    128-token line) have real slot savings to find."""
+    rng = np.random.default_rng(7)
+    topics = _unit(rng.standard_normal((20, 24)).astype(np.float32))
+    docs = []
+    for _ in range(200):
+        n = int(np.clip(rng.lognormal(3.6, 0.6), 8, 200))
+        t = topics[rng.integers(0, 20, size=n)]
+        docs.append(
+            _unit(t + 0.2 * rng.standard_normal((n, 24))).astype(np.float32)
+        )
+    return docs, topics
+
+
+def test_load_grid_only_bucketed_matches_pinned(spread_corpus, tmp_path):
+    """Bucketed-Td grid-only serving must return the same results as the
+    single-grid pinned index, for both dtypes, with and without subsets."""
+    from nextplaid_tpu.index import (
+        SearchParameters,
+        load_grid_only,
+        search_batch,
+    )
+
+    docs, topics = spread_corpus
+    path = str(tmp_path / "idx")
+    sample = jnp.asarray(np.concatenate(docs))
+    create_index_streamed(
+        _chunks(docs), path, IndexConfig(nbits=2, seed=0),
+        sample_tokens=sample,
+        est_total_tokens=sum(d.shape[0] for d in docs),
+    )
+    queries = [d[:6] for d in docs[:6]]
+    params = SearchParameters(top_k=5, mode="exact")
+    full = DeviceIndex.load(path)
+
+    for dtype in ("bf16", "int8"):
+        ref = search_batch(
+            full.with_token_grid(budget_mb=10_000, dtype=dtype),
+            queries, params,
+        )
+        go = load_grid_only(
+            path, dtype=dtype, buckets=3,
+            bucket_min_gain=0.0, bucket_row_pad=0,
+        )
+        assert len(go.grid_buckets) >= 2, (
+            dtype, [g.shape for g in go.grid_buckets]
+        )
+        assert go.token_grid is None
+        got = search_batch(go, queries, params)
+        # int8 quantizes through a slightly different op order in the two
+        # builders, so near-ties may swap adjacent ranks: require
+        # score-level agreement and >=k-1 id overlap per query.
+        for a, b in zip(ref, got):
+            k = len(a.passage_ids)
+            np.testing.assert_allclose(
+                sorted(a.scores), sorted(b.scores), rtol=2e-3, atol=2e-3
+            )
+            assert len(set(a.passage_ids) & set(b.passage_ids)) >= k - 1, (
+                dtype, a, b
+            )
+
+    # Subset filtering through the perm translation.
+    go = load_grid_only(
+        path, dtype="bf16", buckets=3,
+        bucket_min_gain=0.0, bucket_row_pad=0,
+    )
+    subset = list(range(0, len(docs), 3))
+    got = search_batch(go, queries, params, subset=subset)
+    ref = search_batch(
+        full.with_token_grid(budget_mb=10_000, dtype="bf16"),
+        queries, params, subset=subset,
+    )
+    for a, b in zip(ref, got):
+        k = len(a.passage_ids)
+        assert len(set(a.passage_ids) & set(b.passage_ids)) >= k - 1, (a, b)
+        assert all(p in set(subset) for p in b.passage_ids)
