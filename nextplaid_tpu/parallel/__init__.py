@@ -3,7 +3,9 @@
 from nextplaid_tpu.parallel.mesh import DOC_AXIS, make_mesh  # noqa: F401
 from nextplaid_tpu.parallel.sharded import (  # noqa: F401
     HostIndexData,
+    ShardedGridIndex,
     ShardedIndex,
     lloyd_sharded,
     search_batch_sharded,
+    search_batch_sharded_grid,
 )

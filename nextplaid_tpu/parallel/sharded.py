@@ -561,3 +561,242 @@ def lloyd_sharded(
     out = np.asarray(out)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     return (out / np.maximum(norms, 1e-12)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Sharded grid-only exact serving (multi-chip mega scale)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ShardedGridIndex:
+    """Doc-range-sharded pinned token grid for EXACT multi-chip serving.
+
+    Multiplies the one-chip grid-only ceiling (`load_grid_only`: ~75M
+    embeddings int8 in 16 GB HBM) by the mesh size: each device holds a
+    contiguous doc-range shard of the decompressed grid, scores it with the
+    fused MaxSim Pallas kernel, and per-shard top-k results merge with an
+    `all_gather` over ICI + replicated final top-k. The merge is exact —
+    every shard brute-forces its local docs, so there is no cross-shard
+    recall loss (recall@k == the kernel's own quantization recall).
+
+    Like ShardedIndex this is LOAD-TIME sharding with storage-is-the-truth
+    mutations (see module docstring). Multi-host note: `shard_grid_only`
+    builds the full grid on the calling process before scattering — the
+    single-controller pattern for one-host meshes. A multi-host (DCN)
+    deployment would build only the local doc range per host via the same
+    chunk-streamed decompress (chunks are doc-contiguous, so each host
+    reads only its chunks); see docs/MULTIHOST.md.
+    """
+
+    mesh: Mesh
+    grid: jax.Array  # [S, rows, Td, d] bf16 | [S, rows, d, Td] int8
+    scales: jax.Array  # [S, rows, Td] bf16 (int8) | [S, 0, 0] (bf16 grid)
+    doclens: jax.Array  # [S, rows, 1] i32 (0 = padding row)
+    doc_base: jax.Array  # [S] i32
+    shard_docs: jax.Array  # [S] i32
+    num_documents: int
+    num_embeddings: int
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.devices.size
+
+    @property
+    def is_int8(self) -> bool:
+        return self.scales.shape[1] > 0
+
+    @property
+    def dim(self) -> int:
+        return self.grid.shape[2] if self.is_int8 else self.grid.shape[3]
+
+    @classmethod
+    def shard_grid_only(
+        cls, index_path: str, mesh: Mesh, dtype: str = "int8"
+    ) -> "ShardedGridIndex":
+        """Load an on-disk index as doc-range grid shards over the mesh."""
+        from nextplaid_tpu.index.container import load_grid_only
+
+        full = load_grid_only(index_path, dtype=dtype, buckets=1)
+        nd, ne = full.num_documents, full.num_embeddings
+        n = mesh.devices.size
+        cap = max(-(-nd // n), 1)
+        rows = max(_round_up(cap, 128), 128)
+
+        g_host = np.asarray(full.token_grid)
+        sc_host = (
+            np.asarray(full.token_scales) if dtype == "int8" else None
+        )
+        dl_host = np.zeros(g_host.shape[0], np.int32)
+        dl_host[: full.num_docs_padded] = np.asarray(full.doclens)
+        del full
+
+        grid_stack = np.zeros((n, rows, *g_host.shape[1:]), g_host.dtype)
+        dl_stack = np.zeros((n, rows, 1), np.int32)
+        if sc_host is not None:
+            sc_stack = np.zeros((n, rows, sc_host.shape[1]), sc_host.dtype)
+        doc_base, shard_docs = [], []
+        for s in range(n):
+            lo, hi = s * cap, min((s + 1) * cap, nd)
+            cnt = max(hi - lo, 0)
+            doc_base.append(lo)
+            shard_docs.append(cnt)
+            grid_stack[s, :cnt] = g_host[lo:hi]
+            dl_stack[s, :cnt, 0] = dl_host[lo:hi]
+            if sc_host is not None:
+                sc_stack[s, :cnt] = sc_host[lo:hi]
+        del g_host
+
+        def put(a, ndim_tail):
+            return jax.device_put(
+                jnp.asarray(a),
+                NamedSharding(mesh, P(DOC_AXIS, *([None] * ndim_tail))),
+            )
+
+        return cls(
+            mesh=mesh,
+            grid=put(grid_stack, grid_stack.ndim - 1),
+            scales=(
+                put(sc_stack, 2)
+                if sc_host is not None
+                else put(
+                    np.zeros((n, 0, 0), np.float32).astype(jnp.bfloat16), 2
+                )
+            ),
+            doclens=put(dl_stack, 2),
+            doc_base=put(np.asarray(doc_base, np.int32), 0),
+            shard_docs=put(np.asarray(shard_docs, np.int32), 0),
+            num_documents=nd,
+            num_embeddings=ne,
+        )
+
+
+def _sharded_grid_search_jit(
+    sg: ShardedGridIndex, top_k: int, has_subset: bool
+):
+    """One shard_map jit: per-shard kernel scores + local top-k, all_gather
+    merge, replicated final top-k. Compile-size note: per-shard grids are
+    1/n_shards of the mega single-chip shapes that forced the split-
+    dispatch path (index/exact.py), which keeps the fused program inside
+    XLA's practical compile budget at the 8-way recipe scale."""
+    from nextplaid_tpu.index.exact import _topk_wide
+    from nextplaid_tpu.ops.maxsim_kernel import (
+        maxsim_grid_scores,
+        maxsim_grid_scores_int8t,
+    )
+
+    is_int8 = sg.is_int8
+    interpret = jax.default_backend() == "cpu"
+
+    def body(grid, scales, doclens, doc_base, shard_docs, queries,
+             subset_mask):
+        g, dl = grid[0], doclens[0]
+        q_n, tq, d = queries.shape
+        if is_int8:
+            qf32 = queries.reshape(q_n * tq, d).astype(jnp.float32)
+            maxabs = jnp.max(jnp.abs(qf32), axis=-1)
+            qscale = jnp.where(maxabs > 0, maxabs / 127.0, 0.0)
+            qi8 = jnp.clip(
+                jnp.round(
+                    qf32 / jnp.where(qscale > 0, qscale, 1.0)[:, None]
+                ),
+                -127, 127,
+            ).astype(jnp.int8)
+            scores = maxsim_grid_scores_int8t(
+                qi8, qscale, g, dl, scales[0], tq=tq, interpret=interpret
+            )
+        else:
+            scores = maxsim_grid_scores(
+                queries.reshape(q_n * tq, d).astype(jnp.bfloat16),
+                g, dl, tq=tq, interpret=interpret,
+            )
+        valid = jnp.arange(scores.shape[1]) < shard_docs[0]
+        if has_subset:
+            valid &= subset_mask[0][: scores.shape[1]]
+        scores = jnp.where(valid[None, :], scores, NEG_INF)
+        k_local = min(top_k, scores.shape[1])
+        local_scores, local_ids = _topk_wide(scores, k_local)
+        local_ids = jnp.where(
+            jnp.isfinite(local_scores),
+            local_ids.astype(jnp.int32) + doc_base[0],
+            -1,
+        )
+        all_scores = jax.lax.all_gather(local_scores, DOC_AXIS)
+        all_ids = jax.lax.all_gather(local_ids, DOC_AXIS)
+        merged_s = all_scores.transpose(1, 0, 2).reshape(q_n, -1)
+        merged_i = all_ids.transpose(1, 0, 2).reshape(q_n, -1)
+        final_scores, slots = jax.lax.top_k(
+            merged_s, min(top_k, merged_s.shape[1])
+        )
+        final_ids = jnp.take_along_axis(merged_i, slots, axis=1)
+        final_ids = jnp.where(jnp.isfinite(final_scores), final_ids, -1)
+        return final_ids, final_scores
+
+    grid_tail = sg.grid.ndim - 1
+    fn = jax.shard_map(
+        body,
+        mesh=sg.mesh,
+        in_specs=(
+            P(DOC_AXIS, *([None] * grid_tail)),
+            P(DOC_AXIS, None, None),
+            P(DOC_AXIS, None, None),
+            P(DOC_AXIS),
+            P(DOC_AXIS),
+            P(),
+            P(DOC_AXIS, None),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def search_batch_sharded_grid(
+    sg: ShardedGridIndex,
+    queries: Sequence[np.ndarray],
+    params: Optional[SearchParameters] = None,
+    subset: Optional[Sequence[int]] = None,
+) -> List[QueryResult]:
+    """Exact multi-chip search over the sharded grid."""
+    params = params or SearchParameters()
+    if not queries:
+        return []
+    n = len(queries)
+    q_bucket = max(8, 1 << (n - 1).bit_length())
+    q_arr, _ = _pad_queries(queries, sg.dim)
+    if q_bucket != n:
+        q_arr = np.concatenate(
+            [q_arr, np.zeros((q_bucket - n, *q_arr.shape[1:]), np.float32)]
+        )
+
+    rows = sg.grid.shape[1]
+    cap = max(-(-sg.num_documents // sg.n_shards), 1)
+    subset_arr = np.zeros((sg.n_shards, rows), bool)
+    if subset is not None:
+        ids = np.asarray(list(subset), np.int64)
+        ids = ids[(ids >= 0) & (ids < sg.num_documents)]
+        subset_arr[ids // cap, ids % cap] = True
+
+    fn = _sharded_grid_search_jit(sg, params.top_k, subset is not None)
+    ids, scores = fn(
+        sg.grid,
+        sg.scales,
+        sg.doclens,
+        sg.doc_base,
+        sg.shard_docs,
+        jnp.asarray(q_arr),
+        jnp.asarray(subset_arr),
+    )
+    ids = np.asarray(ids)[:n]
+    scores = np.asarray(scores)[:n]
+    results = []
+    for i in range(n):
+        valid = ids[i] >= 0
+        results.append(
+            QueryResult(
+                query_id=i,
+                passage_ids=[int(x) for x in ids[i][valid]],
+                scores=[float(s) for s in scores[i][valid]],
+            )
+        )
+    return results

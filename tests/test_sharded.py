@@ -18,6 +18,7 @@ from nextplaid_tpu.parallel import (
     lloyd_sharded,
     make_mesh,
     search_batch_sharded,
+    search_batch_sharded_grid,
 )
 from tests.test_index_e2e import make_corpus, make_queries
 
@@ -30,18 +31,18 @@ def built(tmp_path_factory):
     index = DeviceIndex.load(path)
     mesh = make_mesh()
     sindex = ShardedIndex.shard(HostIndexData.from_device_index(index), mesh)
-    return docs, index, sindex
+    return docs, index, sindex, path
 
 
 def test_mesh_has_8_devices(built):
-    _, _, sindex = built
+    sindex = built[2]
     assert sindex.n_shards == 8
 
 
 def test_sharded_matches_single_device_exhaustive(built):
     """Exhaustive mode: sharded and single-device pipelines must return the
     same documents and scores."""
-    docs, index, sindex = built
+    docs, index, sindex = built[:3]
     queries, _ = make_queries(docs, num_queries=4)
     params = SearchParameters(
         n_ivf_probe=index.num_centroids,
@@ -57,7 +58,7 @@ def test_sharded_matches_single_device_exhaustive(built):
 
 
 def test_sharded_default_params_finds_targets(built):
-    docs, index, sindex = built
+    docs, index, sindex = built[:3]
     queries, targets = make_queries(docs, num_queries=8)
     results = search_batch_sharded(sindex, queries, SearchParameters(top_k=10))
     hits = sum(t in r.passage_ids for t, r in zip(targets, results))
@@ -65,7 +66,7 @@ def test_sharded_default_params_finds_targets(built):
 
 
 def test_sharded_subset_filter(built):
-    docs, index, sindex = built
+    docs, index, sindex = built[:3]
     queries, targets = make_queries(docs, num_queries=4)
     subset = sorted(set(range(0, len(docs), 2)) | set(targets))
     results = search_batch_sharded(
@@ -93,7 +94,7 @@ def test_lloyd_sharded_matches_single(built):
 
 def test_sharded_staged_mode_matches_exact(built):
     """Force staged mode on the mesh; must agree with per-shard exact mode."""
-    docs, index, sindex = built
+    docs, index, sindex = built[:3]
     queries, _ = make_queries(docs, num_queries=4)
     exact = search_batch_sharded(
         sindex, queries, SearchParameters(top_k=5, mode="exact")
@@ -113,7 +114,7 @@ def test_sharded_staged_mode_matches_exact(built):
 
 def test_sharded_exact_subset(built):
     """Subset filtering applies per shard in exact mode on the mesh."""
-    docs, index, sindex = built
+    docs, index, sindex = built[:3]
     queries, targets = make_queries(docs, num_queries=4)
     subset = sorted(set(range(0, len(docs), 2)) | set(targets))
     res = search_batch_sharded(
@@ -290,3 +291,58 @@ def test_reshard_latency_bound():
     )
     assert all(r.passage_ids for r in res)
     assert sindex.num_documents == n_docs
+
+
+@pytest.fixture(scope="module")
+def grid_sharded(built):
+    """Sharded pinned grids (bf16 + int8) over the same corpus/mesh."""
+    docs, index, sindex = built[:3]
+    from nextplaid_tpu.parallel import ShardedGridIndex
+
+    path = built[3]
+    return {
+        dtype: ShardedGridIndex.shard_grid_only(path, sindex.mesh, dtype)
+        for dtype in ("bf16", "int8")
+    }
+
+
+def test_sharded_grid_matches_single_exact(built, grid_sharded):
+    """Per-shard kernel + all_gather merge must agree with the single-
+    device exhaustive oracle (near-tie rank swaps allowed: bf16/int8
+    kernel accumulation order differs from the f32 einsum oracle)."""
+    docs, index = built[0], built[1]
+    queries, targets = make_queries(docs, num_queries=6)
+    oracle = search_batch(
+        index, queries, SearchParameters(top_k=10, mode="exact")
+    )
+    for dtype, sg in grid_sharded.items():
+        assert sg.n_shards == 8
+        got = search_batch_sharded_grid(
+            sg, queries, SearchParameters(top_k=10)
+        )
+        for a, b in zip(oracle, got):
+            k = len(a.passage_ids)
+            assert (
+                len(set(a.passage_ids) & set(b.passage_ids)) >= k - 1
+            ), (dtype, a, b)
+            np.testing.assert_allclose(
+                sorted(a.scores), sorted(b.scores), rtol=5e-3, atol=5e-3
+            )
+
+
+def test_sharded_grid_finds_targets_and_subset(built, grid_sharded):
+    docs, index = built[0], built[1]
+    queries, targets = make_queries(docs, num_queries=6)
+    sg = grid_sharded["int8"]
+    results = search_batch_sharded_grid(
+        sg, queries, SearchParameters(top_k=10)
+    )
+    hits = sum(t in r.passage_ids for t, r in zip(targets, results))
+    assert hits >= 5
+    subset = sorted(set(range(0, len(docs), 2)) | set(targets))
+    results = search_batch_sharded_grid(
+        sg, queries, SearchParameters(top_k=5), subset=subset
+    )
+    for t, r in zip(targets, results):
+        assert set(r.passage_ids) <= set(subset)
+        assert t in r.passage_ids
