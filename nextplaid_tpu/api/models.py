@@ -84,6 +84,13 @@ class IndexConfigStored(ApiModel):
     start_from_scratch: int = 999
     max_documents: Optional[int] = None
     fts_tokenizer: str = "unicode61"
+    # TPU-only extension (ignored by the reference, which tolerates extra
+    # config.json fields): "auto" = DeviceIndex.load + with_token_grid
+    # (full serving: staged + exact + O(batch) appends); "grid_only" =
+    # load_grid_only (exact-only mega serving — codes/IVF never in HBM,
+    # ~2x corpus per chip; ingest falls back to mutate-on-disk + reload).
+    # NEXT_PLAID_SERVE_MODE overrides for all indexes.
+    serve_mode: str = "auto"
 
 
 class UpdateIndexConfigRequest(ApiModel):

@@ -198,17 +198,32 @@ class AppState:
             if not self.index_exists(name):
                 raise KeyError(name)
             loop = asyncio.get_running_loop()
-            def _load() -> DeviceIndex:
-                # Pin the decompressed token grid when it fits the HBM
-                # budget: exhaustive search then skips per-batch decompress.
-                return DeviceIndex.load(
-                    str(self.index_path(name)),
-                    capacity_factor=SERVE_CAPACITY_FACTOR,
-                ).with_token_grid()
-
-            index = await loop.run_in_executor(None, _load)
+            index = await loop.run_in_executor(
+                None, self._load_index_sync, name
+            )
             self._indices[name] = index
             return index
+
+    def _load_index_sync(self, name: str) -> DeviceIndex:
+        """Serving load: full index + pinned grid by default; exact-only
+        grid streaming when serve_mode (config.json or
+        NEXT_PLAID_SERVE_MODE) is "grid_only"."""
+        mode = os.environ.get(
+            "NEXT_PLAID_SERVE_MODE", self.get_config(name).serve_mode
+        )
+        if mode == "grid_only":
+            from nextplaid_tpu.index.container import load_grid_only
+
+            dtype = os.environ.get("NEXT_PLAID_PIN_DTYPE", "int8")
+            if dtype not in ("bf16", "int8"):
+                dtype = "int8"
+            return load_grid_only(str(self.index_path(name)), dtype=dtype)
+        # Pin the decompressed token grid when it fits the HBM budget:
+        # exhaustive search then skips per-batch decompress.
+        return DeviceIndex.load(
+            str(self.index_path(name)),
+            capacity_factor=SERVE_CAPACITY_FACTOR,
+        ).with_token_grid()
 
     def register(self, name: str, index: DeviceIndex) -> None:
         self._indices[name] = index  # atomic swap; readers never block
@@ -495,12 +510,7 @@ class AppState:
         evicted = self._evict_oldest(name, cfg)
         appended = self._try_device_append(name, info, evicted)
         if not appended:
-            self.register(
-                name,
-                DeviceIndex.load(
-                    path, capacity_factor=SERVE_CAPACITY_FACTOR
-                ).with_token_grid(),
-            )
+            self.register(name, self._load_index_sync(name))
         return doc_ids
 
     def _try_device_append(
@@ -517,6 +527,7 @@ class AppState:
         encoded = info.get("encoded")
         if (
             served is None
+            or served.grid_only  # immutable; mutate on disk + reload
             or evicted
             or info.get("mode") != "buffer"
             or encoded is None

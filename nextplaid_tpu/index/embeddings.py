@@ -29,6 +29,11 @@ def reconstruct_embeddings(
 
     `doc_ids=None` reconstructs the whole index in document order.
     """
+    if index.grid_only:
+        raise DeleteError(
+            "grid-only index has no compressed arrays to reconstruct "
+            "from; reload with DeviceIndex.load"
+        )
     if doc_ids is None:
         doc_ids = range(index.num_documents)
     doc_offsets = np.asarray(index.doc_offsets)

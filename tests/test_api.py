@@ -604,3 +604,51 @@ def test_delete_batching_coalesces(server):
         json={"condition": "k >= ?", "parameters": [0]},
     )
     assert r.json()["count"] == 7
+
+
+def test_grid_only_serve_mode(server):
+    """serve_mode=grid_only (NEXT_PLAID_SERVE_MODE) serves the exact-only
+    grid index: searches work and ingest falls back to mutate-on-disk +
+    grid-only reload (device append is skipped for the immutable grid)."""
+    import os
+
+    os.environ["NEXT_PLAID_SERVE_MODE"] = "grid_only"
+    try:
+        r = requests.post(
+            server.url + "/indices",
+            json={"name": "gridonly", "config": {"nbits": 4}},
+        )
+        assert r.status_code == 201, r.text
+        docs = make_docs(24, seed=11)
+        r = requests.post(
+            server.url + "/indices/gridonly/documents",
+            json={"documents": [doc_payload(d) for d in docs]},
+        )
+        assert r.status_code == 202, r.text
+
+        q = docs[3][:6]
+        r = requests.post(
+            server.url + "/indices/gridonly/search",
+            json={"queries": [doc_payload(q)], "params": {"top_k": 5}},
+        )
+        assert r.status_code == 200, r.text
+        hits = r.json()["results"][0]
+        assert hits["document_ids"][0] == 3, hits
+
+        # Ingest again: served index is grid-only (immutable), so the
+        # worker mutates on disk and re-loads grid-only.
+        more = make_docs(4, seed=12)
+        r = requests.post(
+            server.url + "/indices/gridonly/documents",
+            json={"documents": [doc_payload(d) for d in more]},
+        )
+        assert r.status_code == 202, r.text
+        q2 = more[0][:6]
+        r = requests.post(
+            server.url + "/indices/gridonly/search",
+            json={"queries": [doc_payload(q2)], "params": {"top_k": 5}},
+        )
+        assert r.status_code == 200
+        assert r.json()["results"][0]["document_ids"][0] == 24
+    finally:
+        os.environ.pop("NEXT_PLAID_SERVE_MODE", None)
