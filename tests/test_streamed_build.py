@@ -377,8 +377,11 @@ def test_load_grid_only_bucketed_matches_pinned(spread_corpus, tmp_path):
     docs, topics = spread_corpus
     path = str(tmp_path / "idx")
     sample = jnp.asarray(np.concatenate(docs))
+    # chunk_docs=48 leaves a RAGGED last chunk (200 = 4*48 + 8): the
+    # scenario where a padded chunk write used to clamp at the grid end
+    # and silently shift rows (container.py slack-rows note).
     create_index_streamed(
-        _chunks(docs), path, IndexConfig(nbits=2, seed=0),
+        _chunks(docs, chunk_docs=48), path, IndexConfig(nbits=2, seed=0),
         sample_tokens=sample,
         est_total_tokens=sum(d.shape[0] for d in docs),
     )
@@ -427,3 +430,49 @@ def test_load_grid_only_bucketed_matches_pinned(spread_corpus, tmp_path):
         k = len(a.passage_ids)
         assert len(set(a.passage_ids) & set(b.passage_ids)) >= k - 1, (a, b)
         assert all(p in set(subset) for p in b.passage_ids)
+
+
+def test_mega_split_route_forced(corpus, tmp_path, monkeypatch):
+    """Force the mega routing thresholds down so the CPU run covers the
+    exact dispatch plan the 72M path uses: split-dispatch kernel +
+    approx_max_k wide top-k + perm finalize, single-grid AND bucketed."""
+    import nextplaid_tpu.index.exact as exact_mod
+    from nextplaid_tpu.index import (
+        SearchParameters,
+        load_grid_only,
+        search_batch,
+    )
+
+    docs, topics = corpus
+    path = str(tmp_path / "idx")
+    sample = jnp.asarray(np.concatenate(docs))
+    create_index_streamed(
+        _chunks(docs), path, IndexConfig(nbits=2, seed=0),
+        sample_tokens=sample,
+        est_total_tokens=sum(d.shape[0] for d in docs),
+    )
+    full = DeviceIndex.load(path)
+    queries = [d[:6] for d in docs[:8]]
+    params = SearchParameters(top_k=5, mode="exact")
+    ref = search_batch(full, queries, params)
+
+    # Split route: trip the slot threshold (search.py imports it from
+    # exact at call time, so patching the exact module is enough).
+    monkeypatch.setattr(exact_mod, "SPLIT_DISPATCH_SLOTS", 1)
+
+    go = load_grid_only(path, dtype="bf16")
+    got = search_batch(
+        go, queries, SearchParameters(top_k=5, mode="exact", kernel="pallas")
+    )
+    for a, b in zip(ref, got):
+        k = len(a.passage_ids)
+        assert len(set(a.passage_ids) & set(b.passage_ids)) >= k - 1, (a, b)
+
+    # Wide top-k branch (approx_max_k lowering) on a fat score row.
+    import jax
+    scores = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 9000)).astype(np.float32)
+    )
+    vals, ids = exact_mod._topk_wide(scores, 7, wide=8192)
+    ref_ids = np.argsort(-np.asarray(scores), axis=1)[:, :7]
+    np.testing.assert_array_equal(np.sort(ids, 1), np.sort(ref_ids, 1))
