@@ -360,21 +360,32 @@ def _finalize_topk(scores, doclens, n_docs, subset_mask, top_k, has_subset):
 
 @functools.partial(jax.jit, static_argnames=("top_k", "has_subset"))
 def _finalize_topk_perm(
-    score_blocks, perm, subset_mask, top_k, has_subset
+    score_blocks, perm_blocks, subset_mask, top_k, has_subset
 ):
-    """Bucketed finalize: concat per-bucket [Q, rows_b] score blocks,
-    mask alignment-padding rows (perm < 0) and the subset, top-k over the
-    concatenated row axis, then translate row ids to doc ids via perm."""
-    scores = jnp.concatenate(score_blocks, axis=1)  # [Q, R]
-    valid = perm >= 0
-    if has_subset and subset_mask is not None:
-        valid &= subset_mask[jnp.clip(perm, 0, subset_mask.shape[0] - 1)]
-    scores = jnp.where(valid[None, :], scores, NEG_INF)
-    k = min(top_k, scores.shape[1])
-    final_scores, rows = _topk_wide(scores, k)
-    final_ids = jnp.where(
-        jnp.isfinite(final_scores), perm[rows], -1
-    )
+    """Bucketed finalize: per-bucket mask (alignment-padding rows have
+    perm < 0) + top-k, translate row ids to doc ids via the bucket's perm
+    slice, then a final top-k over the concatenated [Q, B*k] candidates.
+    Top-k per bucket FIRST keeps the big [Q, rows_b] score blocks from
+    being re-materialized as one [Q, R] concat (~128 MB HBM round trip at
+    the 72M scale) — only tiny winner blocks are ever concatenated."""
+    parts_s, parts_i = [], []
+    for scores, perm in zip(score_blocks, perm_blocks):
+        valid = perm >= 0
+        if has_subset and subset_mask is not None:
+            valid &= subset_mask[
+                jnp.clip(perm, 0, subset_mask.shape[0] - 1)
+            ]
+        scores = jnp.where(valid[None, :], scores, NEG_INF)
+        k_b = min(top_k, scores.shape[1])
+        s_b, rows = _topk_wide(scores, k_b)
+        parts_s.append(s_b)
+        parts_i.append(jnp.where(jnp.isfinite(s_b), perm[rows], -1))
+    merged_s = jnp.concatenate(parts_s, axis=1)  # [Q, sum k_b]
+    merged_i = jnp.concatenate(parts_i, axis=1)
+    k = min(top_k, merged_s.shape[1])
+    final_scores, slots = jax.lax.top_k(merged_s, k)
+    final_ids = jnp.take_along_axis(merged_i, slots, axis=1)
+    final_ids = jnp.where(jnp.isfinite(final_scores), final_ids, -1)
     return final_ids, final_scores
 
 
@@ -410,6 +421,10 @@ def exact_search_split(
             index.grid_doclens[int(row_offs[b]) : int(row_offs[b + 1])]
             for b in range(len(index.grid_buckets))
         ]
+        perm_slices = tuple(
+            index.grid_perm[int(row_offs[b]) : int(row_offs[b + 1])]
+            for b in range(len(index.grid_buckets))
+        )
         outs = []
         for s in range(0, q_n, q_block):
             q = queries[s : s + q_block]
@@ -446,7 +461,7 @@ def exact_search_split(
             outs.append(
                 _finalize_topk_perm(
                     tuple(blocks),
-                    index.grid_perm,
+                    perm_slices,
                     subset_mask,
                     top_k=top_k,
                     has_subset=has_subset,
