@@ -581,12 +581,17 @@ class ShardedGridIndex:
     recall loss (recall@k == the kernel's own quantization recall).
 
     Like ShardedIndex this is LOAD-TIME sharding with storage-is-the-truth
-    mutations (see module docstring). Multi-host note: `shard_grid_only`
-    builds the full grid on the calling process before scattering — the
-    single-controller pattern for one-host meshes. A multi-host (DCN)
-    deployment would build only the local doc range per host via the same
-    chunk-streamed decompress (chunks are doc-contiguous, so each host
-    reads only its chunks); see docs/MULTIHOST.md.
+    mutations (see module docstring). `shard_grid_only` never materializes
+    the full grid anywhere: each shard's doc range streams from its
+    overlapping on-disk chunks through the decompress+quantize jit
+    (container._grid_only_chunk_jit) into ONE shard-sized grid, which is
+    transferred to its mesh device before the next shard builds; the
+    global sharded array assembles via make_array_from_single_device_
+    arrays. Peak memory is one shard (HBM on the staging device, nothing
+    host-side), so the aggregate grid can exceed every individual chip.
+    Multi-host (DCN): the same loop restricted to locally-addressable
+    shards per process; chunks are doc-contiguous so each host reads only
+    its ranges (see docs/MULTIHOST.md).
     """
 
     mesh: Mesh
@@ -614,38 +619,138 @@ class ShardedGridIndex:
     def shard_grid_only(
         cls, index_path: str, mesh: Mesh, dtype: str = "int8"
     ) -> "ShardedGridIndex":
-        """Load an on-disk index as doc-range grid shards over the mesh."""
-        from nextplaid_tpu.index.container import load_grid_only
+        """Load an on-disk index as doc-range grid shards over the mesh
+        (shard-at-a-time build — see class docstring)."""
+        from nextplaid_tpu.index.container import (
+            _grid_only_chunk_jit,
+            _round_up as ru,
+        )
+        from nextplaid_tpu.index.config import Metadata
+        from nextplaid_tpu.storage.npy import (
+            IndexLayout,
+            load_json,
+            load_npy,
+        )
+        from nextplaid_tpu.utils.errors import StorageError
 
-        full = load_grid_only(index_path, dtype=dtype, buckets=1)
-        nd, ne = full.num_documents, full.num_embeddings
+        if dtype not in ("bf16", "int8"):
+            raise StorageError(f"grid dtype must be bf16|int8: {dtype}")
+        layout = IndexLayout(index_path)
+        meta = Metadata.from_dict(load_json(layout.metadata))
+        centroids = jnp.asarray(
+            np.asarray(load_npy(layout.centroids), np.float32)
+        )
+        weights = jnp.asarray(
+            np.asarray(load_npy(layout.bucket_weights), np.float32)
+        )
+        dim = centroids.shape[1]
+        packed_dim = dim * meta.nbits // 8
+
+        doclens_list = [
+            np.asarray(load_json(layout.chunk_doclens(i)), np.int64)
+            for i in range(meta.num_chunks)
+        ]
+        doclens_all = (
+            np.concatenate(doclens_list)
+            if doclens_list
+            else np.zeros(0, np.int64)
+        ).astype(np.int32)
+        chunk_starts = np.concatenate(
+            [[0], np.cumsum([len(d) for d in doclens_list])]
+        ).astype(np.int64)
+        nd = int(doclens_all.shape[0])
+        ne = int(doclens_all.sum())
+        max_doclen = int(doclens_all.max()) if nd else 0
+        mult = 128 if dtype == "int8" else 8
+        td = max(ru(max(max_doclen, 1), mult), mult)
+        tile = 128
+
         n = mesh.devices.size
         cap = max(-(-nd // n), 1)
-        rows = max(_round_up(cap, 128), 128)
-
-        g_host = np.asarray(full.token_grid)
-        sc_host = (
-            np.asarray(full.token_scales) if dtype == "int8" else None
+        # Per-(shard, chunk) doc-count pad, GLOBAL so every chunk dispatch
+        # hits one compiled program; + the same slack-rows rule as
+        # load_grid_only (the last padded chunk write must never clamp).
+        max_chunk_docs = max((len(d) for d in doclens_list), default=1)
+        cdoc_pad = max(ru(min(max_chunk_docs, cap), tile), tile)
+        rows = max(ru(cap, tile), tile) + cdoc_pad
+        ctok_pad = max(
+            ru(max((int(d.sum()) for d in doclens_list), default=1), 1 << 18),
+            1 << 18,
         )
-        dl_host = np.zeros(g_host.shape[0], np.int32)
-        dl_host[: full.num_docs_padded] = np.asarray(full.doclens)
-        del full
 
-        grid_stack = np.zeros((n, rows, *g_host.shape[1:]), g_host.dtype)
-        dl_stack = np.zeros((n, rows, 1), np.int32)
-        if sc_host is not None:
-            sc_stack = np.zeros((n, rows, sc_host.shape[1]), sc_host.dtype)
+        dev_list = list(mesh.devices.flat)
+        grid_parts, scale_parts = [], []
         doc_base, shard_docs = [], []
+        dl_stack = np.zeros((n, rows, 1), np.int32)
         for s in range(n):
-            lo, hi = s * cap, min((s + 1) * cap, nd)
-            cnt = max(hi - lo, 0)
+            lo, hi = min(s * cap, nd), min((s + 1) * cap, nd)
             doc_base.append(lo)
-            shard_docs.append(cnt)
-            grid_stack[s, :cnt] = g_host[lo:hi]
-            dl_stack[s, :cnt, 0] = dl_host[lo:hi]
-            if sc_host is not None:
-                sc_stack[s, :cnt] = sc_host[lo:hi]
-        del g_host
+            shard_docs.append(hi - lo)
+            dl_stack[s, : hi - lo, 0] = doclens_all[lo:hi]
+            if dtype == "bf16":
+                grid = jnp.zeros((rows, td, dim), jnp.bfloat16)
+                scales = jnp.zeros((0, 0), jnp.bfloat16)
+            else:
+                grid = jnp.zeros((rows, dim, td), jnp.int8)
+                scales = jnp.zeros((rows, td), jnp.bfloat16)
+            row = 0
+            for i in range(meta.num_chunks):
+                c_lo, c_hi = int(chunk_starts[i]), int(chunk_starts[i + 1])
+                a, b = max(lo, c_lo), min(hi, c_hi)
+                if a >= b:
+                    continue
+                dl = doclens_list[i]
+                codes_c = np.asarray(
+                    load_npy(layout.chunk_codes(i))
+                ).astype(np.int32)
+                res_c = np.asarray(load_npy(layout.chunk_residuals(i)))
+                codes_p = np.zeros(ctok_pad, np.int32)
+                codes_p[: codes_c.shape[0]] = codes_c
+                res_p = np.zeros((ctok_pad, packed_dim), np.uint8)
+                res_p[: res_c.shape[0]] = res_c
+                offs_chunk = np.zeros(len(dl), np.int64)
+                np.cumsum(dl[:-1], out=offs_chunk[1:])
+                sel = slice(a - c_lo, b - c_lo)
+                dl_p = np.zeros(cdoc_pad, np.int32)
+                dl_p[: b - a] = dl[sel]
+                offs_p = np.zeros(cdoc_pad, np.int32)
+                offs_p[: b - a] = offs_chunk[sel]
+                grid, scales = _grid_only_chunk_jit(
+                    grid,
+                    scales,
+                    jnp.asarray(codes_p),
+                    jnp.asarray(res_p),
+                    jnp.asarray(dl_p),
+                    jnp.asarray(offs_p),
+                    centroids,
+                    weights,
+                    jnp.asarray(row, jnp.int32),
+                    nbits=meta.nbits,
+                    td=td,
+                    tile=tile,
+                    kind=dtype,
+                )
+                row += b - a
+            # Move the finished shard to its mesh device, freeing the
+            # staging copy before the next shard builds.
+            grid_parts.append(jax.device_put(grid[None], dev_list[s]))
+            if dtype == "int8":
+                scale_parts.append(jax.device_put(scales[None], dev_list[s]))
+            else:
+                scale_parts.append(
+                    jax.device_put(
+                        jnp.zeros((1, 0, 0), jnp.bfloat16), dev_list[s]
+                    )
+                )
+            del grid, scales
+
+        def assemble(parts):
+            tail = parts[0].ndim - 1
+            sharding = NamedSharding(mesh, P(DOC_AXIS, *([None] * tail)))
+            gshape = (n, *parts[0].shape[1:])
+            return jax.make_array_from_single_device_arrays(
+                gshape, sharding, parts
+            )
 
         def put(a, ndim_tail):
             return jax.device_put(
@@ -655,14 +760,8 @@ class ShardedGridIndex:
 
         return cls(
             mesh=mesh,
-            grid=put(grid_stack, grid_stack.ndim - 1),
-            scales=(
-                put(sc_stack, 2)
-                if sc_host is not None
-                else put(
-                    np.zeros((n, 0, 0), np.float32).astype(jnp.bfloat16), 2
-                )
-            ),
+            grid=assemble(grid_parts),
+            scales=assemble(scale_parts),
             doclens=put(dl_stack, 2),
             doc_base=put(np.asarray(doc_base, np.int32), 0),
             shard_docs=put(np.asarray(shard_docs, np.int32), 0),
