@@ -211,11 +211,28 @@ class AppState:
         mode = os.environ.get(
             "NEXT_PLAID_SERVE_MODE", self.get_config(name).serve_mode
         )
+        if mode not in ("auto", "grid_only"):
+            # Loud, not silent: a typo like "grid-only" falling back to
+            # the full load would OOM (or serve unpinned) at exactly the
+            # scale grid_only exists for.
+            raise ValueError(
+                f"unknown serve_mode {mode!r} (config.json or "
+                "NEXT_PLAID_SERVE_MODE): expected 'auto' or 'grid_only'"
+            )
         if mode == "grid_only":
             from nextplaid_tpu.index.container import load_grid_only
 
             dtype = os.environ.get("NEXT_PLAID_PIN_DTYPE", "int8")
             if dtype not in ("bf16", "int8"):
+                # "auto" has no meaning here (there is no unpinned
+                # fallback to fall to); say so instead of silently
+                # quantizing.
+                logger.warning(
+                    "NEXT_PLAID_PIN_DTYPE=%r is not valid for "
+                    "serve_mode=grid_only (bf16|int8); using int8 — "
+                    "exact scores are int8-quantized",
+                    dtype,
+                )
                 dtype = "int8"
             return load_grid_only(str(self.index_path(name)), dtype=dtype)
         # Pin the decompressed token grid when it fits the HBM budget:
@@ -510,7 +527,20 @@ class AppState:
         evicted = self._evict_oldest(name, cfg)
         appended = self._try_device_append(name, info, evicted)
         if not appended:
-            self.register(name, self._load_index_sync(name))
+            served = self._indices.get(name)
+            if served is not None and served.grid_only:
+                # Grid-only: invalidate instead of eager reload. An eager
+                # reload would build the NEW grid while the old one is
+                # still registered — two near-HBM-sized grids can't
+                # coexist at the scale this mode targets. Dropping the
+                # slot frees the old grid as in-flight searches drain;
+                # the next get_index (under its per-index load lock)
+                # rebuilds grid-only lazily, and coalesced ingest batches
+                # pay that load once per quiet period instead of per
+                # batch.
+                self._indices.pop(name, None)
+            else:
+                self.register(name, self._load_index_sync(name))
         return doc_ids
 
     def _try_device_append(

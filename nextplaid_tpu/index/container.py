@@ -1225,74 +1225,93 @@ def load_grid_only(
         [[0], np.cumsum([len(d) for d in doclens_list])]
     ).astype(np.int64)
 
-    grids = []
-    scale_grids = []
-    perm_parts = []
-    doclen_parts = []
-    for b, td in enumerate(tds):
-        ids = np.nonzero(bucket_of == b)[0].astype(np.int32)
-        # Per-chunk doc-count pad for THIS bucket (fixed across chunks so
-        # each bucket has one compiled program).
-        per_chunk_counts = [
+    # Per-bucket geometry. cdoc_pad is fixed per bucket (one compiled
+    # program each); rows carry + cdoc_pad slack so the last chunk's
+    # padded write never clamps (see the single-grid branch note).
+    n_b = len(tds)
+    bucket_ids = [
+        np.nonzero(bucket_of == b)[0].astype(np.int32) for b in range(n_b)
+    ]
+    per_chunk_counts = [
+        [
             int(
                 np.count_nonzero(
-                    (bucket_of[chunk_starts[i] : chunk_starts[i + 1]] == b)
+                    bucket_of[chunk_starts[i] : chunk_starts[i + 1]] == b
                 )
             )
             for i in range(meta.num_chunks)
         ]
-        cdoc_pad = max(
-            _round_up(max(per_chunk_counts, default=1), tile), tile
-        )
-        # + cdoc_pad slack so the last chunk's padded write never clamps
-        # (see the single-grid branch note on dynamic_update_slice).
-        rows = max(_round_up(max(len(ids), 1), tile), tile) + cdoc_pad
+        for b in range(n_b)
+    ]
+    cdoc_pads = [
+        max(_round_up(max(per_chunk_counts[b], default=1), tile), tile)
+        for b in range(n_b)
+    ]
+    rows_b = [
+        max(_round_up(max(len(bucket_ids[b]), 1), tile), tile)
+        + cdoc_pads[b]
+        for b in range(n_b)
+    ]
+    grids = []
+    scale_grids = []
+    for b in range(n_b):
         if dtype == "bf16":
-            grid = jnp.zeros((rows, td, dim), jnp.bfloat16)
-            scales = jnp.zeros((0, 0), jnp.bfloat16)
+            grids.append(jnp.zeros((rows_b[b], tds[b], dim), jnp.bfloat16))
+            scale_grids.append(jnp.zeros((0, 0), jnp.bfloat16))
         else:
-            grid = jnp.zeros((rows, dim, td), jnp.int8)
-            scales = jnp.zeros((rows, td), jnp.bfloat16)
-        row = 0
-        for i in range(meta.num_chunks):
-            if per_chunk_counts[i] == 0:
+            grids.append(jnp.zeros((rows_b[b], dim, tds[b]), jnp.int8))
+            scale_grids.append(
+                jnp.zeros((rows_b[b], tds[b]), jnp.bfloat16)
+            )
+
+    # ONE pass over the chunks (each chunk is read from disk and staged to
+    # the device once); per-bucket dispatches run from the resident copy.
+    rows_written = [0] * n_b
+    for i in range(meta.num_chunks):
+        if all(per_chunk_counts[b][i] == 0 for b in range(n_b)):
+            continue
+        codes_p, res_p = load_chunk(i)
+        dl = doclens_list[i]
+        offs_chunk = np.zeros(len(dl), np.int64)
+        np.cumsum(dl[:-1], out=offs_chunk[1:])
+        in_chunk = bucket_of[chunk_starts[i] : chunk_starts[i + 1]]
+        for b in range(n_b):
+            if per_chunk_counts[b][i] == 0:
                 continue
-            codes_p, res_p = load_chunk(i)
-            dl = doclens_list[i]
-            local = np.nonzero(
-                bucket_of[chunk_starts[i] : chunk_starts[i + 1]] == b
-            )[0]
-            offs_chunk = np.zeros(len(dl), np.int64)
-            np.cumsum(dl[:-1], out=offs_chunk[1:])
-            dl_p = np.zeros(cdoc_pad, np.int32)
+            local = np.nonzero(in_chunk == b)[0]
+            dl_p = np.zeros(cdoc_pads[b], np.int32)
             dl_p[: len(local)] = dl[local]
-            offs_p = np.zeros(cdoc_pad, np.int32)
+            offs_p = np.zeros(cdoc_pads[b], np.int32)
             offs_p[: len(local)] = offs_chunk[local]
-            grid, scales = _grid_only_chunk_jit(
-                grid,
-                scales,
+            grids[b], scale_grids[b] = _grid_only_chunk_jit(
+                grids[b],
+                scale_grids[b],
                 codes_p,
                 res_p,
                 jnp.asarray(dl_p),
                 jnp.asarray(offs_p),
                 centroids,
                 weights,
-                jnp.asarray(row, jnp.int32),
+                jnp.asarray(rows_written[b], jnp.int32),
                 nbits=meta.nbits,
-                td=td,
+                td=tds[b],
                 tile=tile,
                 kind=dtype,
             )
-            row += len(local)
-        grids.append(grid)
-        if dtype == "int8":
-            scale_grids.append(scales)
-        perm_b = np.full(rows, -1, np.int32)
+            rows_written[b] += len(local)
+
+    perm_parts = []
+    doclen_parts = []
+    for b in range(n_b):
+        ids = bucket_ids[b]
+        perm_b = np.full(rows_b[b], -1, np.int32)
         perm_b[: len(ids)] = ids
         perm_parts.append(perm_b)
-        dls_b = np.zeros(rows, np.int32)
+        dls_b = np.zeros(rows_b[b], np.int32)
         dls_b[: len(ids)] = doclens_all[ids]
         doclen_parts.append(dls_b)
+    if dtype != "int8":
+        scale_grids = []
 
     out = DeviceIndex(
         grid_buckets=tuple(grids),

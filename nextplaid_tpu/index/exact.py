@@ -261,13 +261,7 @@ def _exact_search_kernel(
     if grid.dtype == jnp.int8:
         from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores_int8t
 
-        qf32 = queries.reshape(q_n * tq, d)
-        maxabs = jnp.max(jnp.abs(qf32), axis=-1)  # [Qf]
-        qscale = jnp.where(maxabs > 0, maxabs / 127.0, 0.0)
-        qi8 = jnp.clip(
-            jnp.round(qf32 / jnp.where(qscale > 0, qscale, 1.0)[:, None]),
-            -127, 127,
-        ).astype(jnp.int8)
+        qi8, qscale = quantize_queries_int8(queries.reshape(q_n * tq, d))
         # bf16 scales go straight into the kernel (cast per-block in
         # VMEM): an f32 copy of [nd_grid, Td] is ~0.5 GB at 72M embeddings
         # - fatal when the int8 grid already fills HBM (grid-only serving).
@@ -341,10 +335,32 @@ def _exact_search_kernel(
 SPLIT_DISPATCH_SLOTS = 32 * 1024 * 1024  # grid rows x Td above which to split
 
 
+def quantize_queries_int8(qf32: jax.Array):
+    """Per-row symmetric int8 quantization of flattened query tokens.
+
+    Returns (q_int8 [Qf, d], scales [Qf] f32). Zero rows (padded query
+    tokens) get scale 0, which the kernels rely on to zero their score
+    contribution — keep that contract if editing."""
+    maxabs = jnp.max(jnp.abs(qf32), axis=-1)
+    qscale = jnp.where(maxabs > 0, maxabs / 127.0, 0.0)
+    qi8 = jnp.clip(
+        jnp.round(qf32 / jnp.where(qscale > 0, qscale, 1.0)[:, None]),
+        -127, 127,
+    ).astype(jnp.int8)
+    return qi8, qscale
+
+
 @functools.partial(jax.jit, static_argnames=("top_k", "has_subset"))
 def _finalize_topk(scores, doclens, n_docs, subset_mask, top_k, has_subset):
-    """Mask padding/subset and take top-k over a [Q, ND_grid] score block."""
+    """Mask padding/subset and take top-k over a [Q, ND_grid] score block.
+
+    `scores` may be grid-row wide (ND_grid >= num_docs_padded: grids carry
+    slack rows); the subset mask is num_docs_padded wide, so the row axis
+    truncates to the SHORTER of the two — every live doc id is below both
+    bounds, and slack rows are never valid anyway."""
     nd_cap = doclens.shape[0] - 1
+    if has_subset and subset_mask is not None:
+        nd_cap = min(nd_cap, subset_mask.shape[0])
     scores = scores[:, : max(nd_cap, 1)]
     valid = jnp.arange(scores.shape[1]) < n_docs
     if has_subset and subset_mask is not None:
@@ -430,15 +446,9 @@ def exact_search_split(
             q = queries[s : s + q_block]
             qb = q.shape[0]
             if is_int8:
-                qf32 = q.reshape(qb * tq, d).astype(jnp.float32)
-                maxabs = jnp.max(jnp.abs(qf32), axis=-1)
-                qscale = jnp.where(maxabs > 0, maxabs / 127.0, 0.0)
-                qi8 = jnp.clip(
-                    jnp.round(
-                        qf32 / jnp.where(qscale > 0, qscale, 1.0)[:, None]
-                    ),
-                    -127, 127,
-                ).astype(jnp.int8)
+                qi8, qscale = quantize_queries_int8(
+                    q.reshape(qb * tq, d).astype(jnp.float32)
+                )
             else:
                 qflat = q.reshape(qb * tq, d).astype(jnp.bfloat16)
             blocks = []
@@ -481,15 +491,9 @@ def exact_search_split(
         q = queries[s : s + q_block]
         qb = q.shape[0]
         if grid.dtype == jnp.int8:
-            qf32 = q.reshape(qb * tq, d).astype(jnp.float32)
-            maxabs = jnp.max(jnp.abs(qf32), axis=-1)
-            qscale = jnp.where(maxabs > 0, maxabs / 127.0, 0.0)
-            qi8 = jnp.clip(
-                jnp.round(
-                    qf32 / jnp.where(qscale > 0, qscale, 1.0)[:, None]
-                ),
-                -127, 127,
-            ).astype(jnp.int8)
+            qi8, qscale = quantize_queries_int8(
+                q.reshape(qb * tq, d).astype(jnp.float32)
+            )
             scores = maxsim_grid_scores_int8t(
                 qi8, qscale, grid, doclens, index.token_scales, tq=tq,
                 interpret=interpret,

@@ -385,6 +385,9 @@ def _shard_search_fn(
     return body
 
 
+_SHARDED_SEARCH_JIT_CACHE: dict = {}
+
+
 def sharded_search_jit(
     sindex: ShardedIndex,
     params: SearchParameters,
@@ -392,7 +395,28 @@ def sharded_search_jit(
     query_tokens: int,
     has_subset: bool = False,
 ):
-    """Build the jitted sharded search program for fixed batch shapes."""
+    """Build the jitted sharded search program for fixed batch shapes.
+
+    Cached on the full program identity (mesh + per-shard geometry +
+    params + batch shape): a fresh closure per call would empty jax.jit's
+    trace cache and re-pay trace+lower on every search batch."""
+    key = (
+        sindex.mesh,
+        sindex.shard_capacity,
+        sindex.max_shard_embeddings,
+        tuple(sorted(sindex.static.items())),
+        tuple(
+            (f, sindex.arrays[f].shape, str(sindex.arrays[f].dtype))
+            for f in _ARRAY_FIELDS
+        ),
+        num_queries,
+        query_tokens,
+        has_subset,
+        repr(params),
+    )
+    cached = _SHARDED_SEARCH_JIT_CACHE.get(key)
+    if cached is not None:
+        return cached
     template = sindex.local_index_template()
     shapes = PipelineShapes.derive(template, params, num_queries, query_tokens)
 
@@ -417,7 +441,9 @@ def sharded_search_jit(
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(fn), shapes
+    out = (jax.jit(fn), shapes)
+    _SHARDED_SEARCH_JIT_CACHE[key] = out
+    return out
 
 
 def search_batch_sharded(
@@ -687,62 +713,71 @@ class ShardedGridIndex:
             doc_base.append(lo)
             shard_docs.append(hi - lo)
             dl_stack[s, : hi - lo, 0] = doclens_all[lo:hi]
-            if dtype == "bf16":
-                grid = jnp.zeros((rows, td, dim), jnp.bfloat16)
-                scales = jnp.zeros((0, 0), jnp.bfloat16)
-            else:
-                grid = jnp.zeros((rows, dim, td), jnp.int8)
-                scales = jnp.zeros((rows, td), jnp.bfloat16)
-            row = 0
-            for i in range(meta.num_chunks):
-                c_lo, c_hi = int(chunk_starts[i]), int(chunk_starts[i + 1])
-                a, b = max(lo, c_lo), min(hi, c_hi)
-                if a >= b:
-                    continue
-                dl = doclens_list[i]
-                codes_c = np.asarray(
-                    load_npy(layout.chunk_codes(i))
-                ).astype(np.int32)
-                res_c = np.asarray(load_npy(layout.chunk_residuals(i)))
-                codes_p = np.zeros(ctok_pad, np.int32)
-                codes_p[: codes_c.shape[0]] = codes_c
-                res_p = np.zeros((ctok_pad, packed_dim), np.uint8)
-                res_p[: res_c.shape[0]] = res_c
-                offs_chunk = np.zeros(len(dl), np.int64)
-                np.cumsum(dl[:-1], out=offs_chunk[1:])
-                sel = slice(a - c_lo, b - c_lo)
-                dl_p = np.zeros(cdoc_pad, np.int32)
-                dl_p[: b - a] = dl[sel]
-                offs_p = np.zeros(cdoc_pad, np.int32)
-                offs_p[: b - a] = offs_chunk[sel]
-                grid, scales = _grid_only_chunk_jit(
-                    grid,
-                    scales,
-                    jnp.asarray(codes_p),
-                    jnp.asarray(res_p),
-                    jnp.asarray(dl_p),
-                    jnp.asarray(offs_p),
-                    centroids,
-                    weights,
-                    jnp.asarray(row, jnp.int32),
-                    nbits=meta.nbits,
-                    td=td,
-                    tile=tile,
-                    kind=dtype,
-                )
-                row += b - a
-            # Move the finished shard to its mesh device, freeing the
-            # staging copy before the next shard builds.
-            grid_parts.append(jax.device_put(grid[None], dev_list[s]))
-            if dtype == "int8":
-                scale_parts.append(jax.device_put(scales[None], dev_list[s]))
-            else:
-                scale_parts.append(
-                    jax.device_put(
-                        jnp.zeros((1, 0, 0), jnp.bfloat16), dev_list[s]
+            # Build each shard ON ITS OWN DEVICE (jax.default_device):
+            # staging on a fixed device would make that device hold its
+            # own finished shard PLUS the shard under construction —
+            # halving the advertised aggregate capacity. Per-device
+            # staging keeps peak HBM at one shard + one chunk everywhere.
+            with jax.default_device(dev_list[s]):
+                if dtype == "bf16":
+                    grid = jnp.zeros((rows, td, dim), jnp.bfloat16)
+                    scales = jnp.zeros((0, 0), jnp.bfloat16)
+                else:
+                    grid = jnp.zeros((rows, dim, td), jnp.int8)
+                    scales = jnp.zeros((rows, td), jnp.bfloat16)
+                row = 0
+                for i in range(meta.num_chunks):
+                    c_lo, c_hi = (
+                        int(chunk_starts[i]),
+                        int(chunk_starts[i + 1]),
                     )
-                )
-            del grid, scales
+                    a, b = max(lo, c_lo), min(hi, c_hi)
+                    if a >= b:
+                        continue
+                    dl = doclens_list[i]
+                    codes_c = np.asarray(
+                        load_npy(layout.chunk_codes(i))
+                    ).astype(np.int32)
+                    res_c = np.asarray(load_npy(layout.chunk_residuals(i)))
+                    codes_p = np.zeros(ctok_pad, np.int32)
+                    codes_p[: codes_c.shape[0]] = codes_c
+                    res_p = np.zeros((ctok_pad, packed_dim), np.uint8)
+                    res_p[: res_c.shape[0]] = res_c
+                    offs_chunk = np.zeros(len(dl), np.int64)
+                    np.cumsum(dl[:-1], out=offs_chunk[1:])
+                    sel = slice(a - c_lo, b - c_lo)
+                    dl_p = np.zeros(cdoc_pad, np.int32)
+                    dl_p[: b - a] = dl[sel]
+                    offs_p = np.zeros(cdoc_pad, np.int32)
+                    offs_p[: b - a] = offs_chunk[sel]
+                    grid, scales = _grid_only_chunk_jit(
+                        grid,
+                        scales,
+                        jnp.asarray(codes_p),
+                        jnp.asarray(res_p),
+                        jnp.asarray(dl_p),
+                        jnp.asarray(offs_p),
+                        centroids,
+                        weights,
+                        jnp.asarray(row, jnp.int32),
+                        nbits=meta.nbits,
+                        td=td,
+                        tile=tile,
+                        kind=dtype,
+                    )
+                    row += b - a
+                grid_parts.append(jax.device_put(grid[None], dev_list[s]))
+                if dtype == "int8":
+                    scale_parts.append(
+                        jax.device_put(scales[None], dev_list[s])
+                    )
+                else:
+                    scale_parts.append(
+                        jax.device_put(
+                            jnp.zeros((1, 0, 0), jnp.bfloat16), dev_list[s]
+                        )
+                    )
+                del grid, scales
 
         def assemble(parts):
             tail = parts[0].ndim - 1
@@ -770,6 +805,9 @@ class ShardedGridIndex:
         )
 
 
+_GRID_SEARCH_JIT_CACHE: dict = {}
+
+
 def _sharded_grid_search_jit(
     sg: ShardedGridIndex, top_k: int, has_subset: bool
 ):
@@ -777,8 +815,26 @@ def _sharded_grid_search_jit(
     merge, replicated final top-k. Compile-size note: per-shard grids are
     1/n_shards of the mega single-chip shapes that forced the split-
     dispatch path (index/exact.py), which keeps the fused program inside
-    XLA's practical compile budget at the 8-way recipe scale."""
-    from nextplaid_tpu.index.exact import _topk_wide
+    XLA's practical compile budget at the 8-way recipe scale.
+
+    The wrapped jit is cached by (mesh, grid geometry, top_k, has_subset):
+    a fresh closure per call would empty jax.jit's trace cache and re-pay
+    trace+lower (tens of seconds at mega shapes) on EVERY search batch."""
+    key = (
+        sg.mesh,
+        sg.grid.shape,
+        str(sg.grid.dtype),
+        sg.scales.shape,
+        top_k,
+        has_subset,
+    )
+    cached = _GRID_SEARCH_JIT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from nextplaid_tpu.index.exact import (
+        _topk_wide,
+        quantize_queries_int8,
+    )
     from nextplaid_tpu.ops.maxsim_kernel import (
         maxsim_grid_scores,
         maxsim_grid_scores_int8t,
@@ -792,15 +848,9 @@ def _sharded_grid_search_jit(
         g, dl = grid[0], doclens[0]
         q_n, tq, d = queries.shape
         if is_int8:
-            qf32 = queries.reshape(q_n * tq, d).astype(jnp.float32)
-            maxabs = jnp.max(jnp.abs(qf32), axis=-1)
-            qscale = jnp.where(maxabs > 0, maxabs / 127.0, 0.0)
-            qi8 = jnp.clip(
-                jnp.round(
-                    qf32 / jnp.where(qscale > 0, qscale, 1.0)[:, None]
-                ),
-                -127, 127,
-            ).astype(jnp.int8)
+            qi8, qscale = quantize_queries_int8(
+                queries.reshape(q_n * tq, d).astype(jnp.float32)
+            )
             scores = maxsim_grid_scores_int8t(
                 qi8, qscale, g, dl, scales[0], tq=tq, interpret=interpret
             )
@@ -847,7 +897,9 @@ def _sharded_grid_search_jit(
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    _GRID_SEARCH_JIT_CACHE[key] = jitted
+    return jitted
 
 
 def search_batch_sharded_grid(

@@ -468,6 +468,25 @@ def test_mega_split_route_forced(corpus, tmp_path, monkeypatch):
         k = len(a.passage_ids)
         assert len(set(a.passage_ids) & set(b.passage_ids)) >= k - 1, (a, b)
 
+    # Subset filtering on the SPLIT single-grid path: the subset mask is
+    # num_docs_padded wide while the kernel scores grid-row-wide blocks
+    # (grids carry slack rows) — regression for the shape-mismatch crash
+    # in _finalize_topk.
+    subset = list(range(0, len(docs), 2))
+    got = search_batch(
+        go, queries,
+        SearchParameters(top_k=5, mode="exact", kernel="pallas"),
+        subset=subset,
+    )
+    ref_sub = search_batch(
+        full, queries, SearchParameters(top_k=5, mode="exact"),
+        subset=subset,
+    )
+    for a, b in zip(ref_sub, got):
+        k = len(a.passage_ids)
+        assert all(p in set(subset) for p in b.passage_ids)
+        assert len(set(a.passage_ids) & set(b.passage_ids)) >= k - 1, (a, b)
+
     # Wide top-k branch (approx_max_k lowering) on a fat score row.
     import jax
     scores = jnp.asarray(
