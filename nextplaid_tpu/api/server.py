@@ -552,6 +552,24 @@ def _attach_metadata(
         r["metadata"] = [by_id.get(i) for i in r["document_ids"]]
 
 
+def _search_fn_for(index):
+    """Dispatch on the served index type: DeviceIndex (default),
+    ShardedIndex / ShardedGridIndex (serve_mode=sharded / sharded_grid)
+    — all share the (index, queries, params, subset) signature."""
+    from nextplaid_tpu.parallel.sharded import (
+        ShardedGridIndex,
+        ShardedIndex,
+        search_batch_sharded,
+        search_batch_sharded_grid,
+    )
+
+    if isinstance(index, ShardedGridIndex):
+        return search_batch_sharded_grid
+    if isinstance(index, ShardedIndex):
+        return search_batch_sharded
+    return search_batch
+
+
 async def _run_search(
     state: AppState,
     name: str,
@@ -579,9 +597,10 @@ async def _run_search(
             if hybrid
             else params
         )
+        search_fn = _search_fn_for(index)
         semantic = await loop.run_in_executor(
             None,
-            lambda: search_batch(
+            lambda: search_fn(
                 index, query_arrays, sem_params, subset=subset
             ),
         )

@@ -211,13 +211,39 @@ class AppState:
         mode = os.environ.get(
             "NEXT_PLAID_SERVE_MODE", self.get_config(name).serve_mode
         )
-        if mode not in ("auto", "grid_only"):
+        if mode not in ("auto", "grid_only", "sharded", "sharded_grid"):
             # Loud, not silent: a typo like "grid-only" falling back to
             # the full load would OOM (or serve unpinned) at exactly the
             # scale grid_only exists for.
             raise ValueError(
                 f"unknown serve_mode {mode!r} (config.json or "
-                "NEXT_PLAID_SERVE_MODE): expected 'auto' or 'grid_only'"
+                "NEXT_PLAID_SERVE_MODE): expected 'auto', 'grid_only', "
+                "'sharded', or 'sharded_grid'"
+            )
+        if mode in ("sharded", "sharded_grid"):
+            # Multi-chip serving: doc-range shards over all local devices
+            # (parallel/sharded.py). Mutations are storage-is-the-truth:
+            # ingest invalidates and the next get_index re-shards.
+            from nextplaid_tpu.parallel import make_mesh
+            from nextplaid_tpu.parallel.sharded import (
+                HostIndexData,
+                ShardedGridIndex,
+                ShardedIndex,
+            )
+
+            mesh = make_mesh()
+            if mode == "sharded_grid":
+                dtype = os.environ.get("NEXT_PLAID_PIN_DTYPE", "int8")
+                if dtype not in ("bf16", "int8"):
+                    dtype = "int8"
+                return ShardedGridIndex.shard_grid_only(
+                    str(self.index_path(name)), mesh, dtype
+                )
+            return ShardedIndex.shard(
+                HostIndexData.from_device_index(
+                    DeviceIndex.load(str(self.index_path(name)))
+                ),
+                mesh,
             )
         if mode == "grid_only":
             from nextplaid_tpu.index.container import load_grid_only
@@ -528,16 +554,18 @@ class AppState:
         appended = self._try_device_append(name, info, evicted)
         if not appended:
             served = self._indices.get(name)
-            if served is not None and served.grid_only:
-                # Grid-only: invalidate instead of eager reload. An eager
-                # reload would build the NEW grid while the old one is
-                # still registered — two near-HBM-sized grids can't
-                # coexist at the scale this mode targets. Dropping the
-                # slot frees the old grid as in-flight searches drain;
-                # the next get_index (under its per-index load lock)
-                # rebuilds grid-only lazily, and coalesced ingest batches
-                # pay that load once per quiet period instead of per
-                # batch.
+            if served is not None and (
+                not isinstance(served, DeviceIndex) or served.grid_only
+            ):
+                # Grid-only / sharded: invalidate instead of eager
+                # reload. An eager reload would build the NEW grid/shards
+                # while the old ones are still registered — two
+                # near-HBM-sized residencies can't coexist at the scale
+                # these modes target. Dropping the slot frees the old as
+                # in-flight searches drain; the next get_index (under its
+                # per-index load lock) rebuilds lazily, and coalesced
+                # ingest batches pay that load once per quiet period
+                # instead of per batch.
                 self._indices.pop(name, None)
             else:
                 self.register(name, self._load_index_sync(name))
@@ -557,7 +585,10 @@ class AppState:
         encoded = info.get("encoded")
         if (
             served is None
-            or served.grid_only  # immutable; mutate on disk + reload
+            # grid-only / sharded serving: immutable on device; mutate on
+            # disk + lazy reload (sharded indexes are not DeviceIndex and
+            # have no append path).
+            or getattr(served, "grid_only", True)
             or evicted
             or info.get("mode") != "buffer"
             or encoded is None

@@ -652,3 +652,73 @@ def test_grid_only_serve_mode(server):
         assert r.json()["results"][0]["document_ids"][0] == 24
     finally:
         os.environ.pop("NEXT_PLAID_SERVE_MODE", None)
+
+
+@pytest.mark.parametrize("mode", ["sharded", "sharded_grid"])
+def test_sharded_serve_modes(server, mode):
+    """serve_mode=sharded / sharded_grid serve searches through the
+    multi-chip paths (8-device CPU mesh in tests); ingest invalidates and
+    the next search re-shards lazily."""
+    import os
+
+    name = f"srv_{mode}"
+    os.environ["NEXT_PLAID_SERVE_MODE"] = mode
+    try:
+        r = requests.post(
+            server.url + "/indices", json={"name": name, "config": {"nbits": 4}}
+        )
+        assert r.status_code == 201, r.text
+        docs = make_docs(32, seed=21)
+        r = requests.post(
+            server.url + f"/indices/{name}/documents",
+            json={"documents": [doc_payload(d) for d in docs]},
+        )
+        assert r.status_code == 202, r.text
+
+        q = docs[5][:6]
+        r = requests.post(
+            server.url + f"/indices/{name}/search",
+            json={"queries": [doc_payload(q)], "params": {"top_k": 5}},
+        )
+        assert r.status_code == 200, r.text
+        assert r.json()["results"][0]["document_ids"][0] == 5
+
+        # Second ingest exercises invalidate + lazy re-shard.
+        more = make_docs(4, seed=22)
+        r = requests.post(
+            server.url + f"/indices/{name}/documents",
+            json={"documents": [doc_payload(d) for d in more]},
+        )
+        assert r.status_code == 202, r.text
+        q2 = more[1][:6]
+        r = requests.post(
+            server.url + f"/indices/{name}/search",
+            json={"queries": [doc_payload(q2)], "params": {"top_k": 5}},
+        )
+        assert r.status_code == 200, r.text
+        assert r.json()["results"][0]["document_ids"][0] == 33
+    finally:
+        os.environ.pop("NEXT_PLAID_SERVE_MODE", None)
+
+
+def test_bad_serve_mode_rejected(server):
+    import os
+
+    os.environ["NEXT_PLAID_SERVE_MODE"] = "grid-only"  # typo
+    try:
+        r = requests.post(
+            server.url + "/indices", json={"name": "badmode"}
+        )
+        assert r.status_code == 201
+        docs = make_docs(4, seed=30)
+        requests.post(
+            server.url + "/indices/badmode/documents",
+            json={"documents": [doc_payload(d) for d in docs]},
+        )
+        r = requests.post(
+            server.url + "/indices/badmode/search",
+            json={"queries": [doc_payload(docs[0][:4])], "params": {"top_k": 2}},
+        )
+        assert r.status_code >= 400, r.text
+    finally:
+        os.environ.pop("NEXT_PLAID_SERVE_MODE", None)
