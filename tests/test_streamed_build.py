@@ -495,3 +495,26 @@ def test_mega_split_route_forced(corpus, tmp_path, monkeypatch):
     vals, ids = exact_mod._topk_wide(scores, 7, wide=8192)
     ref_ids = np.argsort(-np.asarray(scores), axis=1)[:, :7]
     np.testing.assert_array_equal(np.sort(ids, 1), np.sort(ref_ids, 1))
+
+
+def test_choose_bucket_tds_subsampled_candidates():
+    """>24 distinct round_up values triggers candidate subsampling +
+    count re-binning; the result must still cover every doc and beat the
+    single-Td slot count on a long-tailed distribution."""
+    from nextplaid_tpu.index.container import choose_bucket_tds
+
+    rng = np.random.default_rng(9)
+    lens = np.clip(rng.lognormal(4.0, 0.9, 20000), 8, 2000).astype(np.int64)
+    tds = choose_bucket_tds(lens, mult=8, max_buckets=4, row_pad=0)
+    per_doc = np.maximum(((lens + 7) // 8) * 8, 8)
+    assert len(np.unique(per_doc)) > 24  # subsample branch exercised
+    assert tds == sorted(tds) and tds[-1] >= per_doc.max()
+    prev, slots = 0, 0
+    covered = 0
+    for td in tds:
+        sel = (per_doc <= td) & (per_doc > prev)
+        slots += int(np.sum(sel)) * td
+        covered += int(np.sum(sel))
+        prev = td
+    assert covered == len(lens)
+    assert slots < len(lens) * int(per_doc.max())
