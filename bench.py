@@ -269,5 +269,37 @@ def main():
     )
 
 
+def _run_with_retry():
+    """Re-exec main() in a child process; retry once on failure.
+
+    The axon tunnel's TPU worker can crash transiently ("UNAVAILABLE:
+    TPU worker process crashed") and recovers only in a FRESH process
+    (NOTES_ROUND2.md) — a parent/child split makes one retry possible at
+    all. The child's stdout passes through so the driver still sees
+    exactly one JSON line from the successful attempt."""
+    import subprocess
+    import sys
+    import time
+
+    env = dict(os.environ, _BENCH_CHILD="1")
+    for attempt in (1, 2):
+        rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
+                             env=env)
+        if rc == 0:
+            return
+        print(
+            f"bench attempt {attempt} failed (rc={rc}); "
+            + ("retrying in 45s" if attempt == 1 else "giving up"),
+            file=sys.stderr,
+            flush=True,
+        )
+        if attempt == 1:
+            time.sleep(45)
+    sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("_BENCH_CHILD") == "1":
+        main()
+    else:
+        _run_with_retry()
