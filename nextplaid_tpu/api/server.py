@@ -133,9 +133,15 @@ class _PerClientBuckets:
         self._ops = 0
 
     def _peer(self, request: web.Request) -> str:
-        fwd = request.headers.get("X-Forwarded-For")
-        if fwd:
-            return fwd.split(",")[0].strip()
+        # X-Forwarded-For is client-controlled: honoring it from a
+        # direct connection lets any client mint fresh buckets per
+        # request (bypassing the limit) or drain a victim's bucket by
+        # forging their IP. Only trust it when the operator declares a
+        # trusted reverse proxy in front (TRUST_PROXY_HEADERS=1).
+        if os.environ.get("TRUST_PROXY_HEADERS") == "1":
+            fwd = request.headers.get("X-Forwarded-For")
+            if fwd:
+                return fwd.split(",")[0].strip()
         peername = request.transport.get_extra_info("peername") if request.transport else None
         return peername[0] if peername else "unknown"
 

@@ -263,9 +263,13 @@ class AppState:
             return load_grid_only(str(self.index_path(name)), dtype=dtype)
         # Pin the decompressed token grid when it fits the HBM budget:
         # exhaustive search then skips per-batch decompress.
+        # grid_aware_capacity: drop the append headroom if it would flip
+        # the pinning outcome (bf16 -> int8/unpinned) — precision beats
+        # headroom for serving.
         return DeviceIndex.load(
             str(self.index_path(name)),
             capacity_factor=SERVE_CAPACITY_FACTOR,
+            grid_aware_capacity=True,
         ).with_token_grid()
 
     def register(self, name: str, index: DeviceIndex) -> None:

@@ -88,11 +88,13 @@ class _CgrepGroup(click.Group):
     logic"` searches)."""
 
     def parse_args(self, ctx, args):
-        if args and args[0] == "--":
-            # Explicit literal query: suppress the command-name re-dispatch
-            # in cli() below.
+        if "--" in args:
+            # Explicit end-of-options marker ANYWHERE (e.g. `cgrep --json
+            # -- update`, not just as the first token): the query after it
+            # is literal — suppress the command-name re-dispatch in cli()
+            # below.
             ctx.meta["cgrep_literal_query"] = True
-        elif args and args[0] in self.commands:
+        if args and args[0] in self.commands:
             args = ["", *args]
         return super().parse_args(ctx, args)
 

@@ -1372,13 +1372,19 @@ def _find_defs_julia(toks: List[Tok]) -> List[RawDef]:
         if t.kind != ID:
             continue
         w = t.text
+        if sq_depth > 0:
+            # Inside square brackets: comprehension `for`/`if` and the
+            # `begin`/`end` index keywords are NOT block openers — pushing
+            # them desyncs end-pairing and silently drops any function
+            # containing a comprehension or xs[begin].
+            continue
         if w in _JULIA_OPENERS:
             if w == "struct" and k and toks[k - 1].text == "mutable":
                 pass  # push at `struct`; `mutable` is a modifier
             stack.append(k)
         elif w == "type" and k and toks[k - 1].text in ("abstract", "primitive"):
             stack.append(k)
-        elif w == "end" and sq_depth == 0:
+        elif w == "end":
             if stack:
                 match_end[stack.pop()] = k
 
@@ -1501,11 +1507,16 @@ def _find_defs_elixir(toks: List[Tok]) -> List[RawDef]:
         if t.kind != ID:
             continue
         if t.text in ("do", "fn"):
+            # Keyword form is `, do: expr` — detect it by the PRECEDING
+            # comma, not a following ":": whitespace is discarded, so a
+            # block `do` whose body starts with an atom (`do\n :ok`)
+            # also has ":" as the next token and would be misread,
+            # truncating the enclosing module's extent.
             if (
                 t.text == "do"
-                and k + 1 < n
-                and toks[k + 1].kind == PUNCT
-                and toks[k + 1].text == ":"
+                and k
+                and toks[k - 1].kind == PUNCT
+                and toks[k - 1].text == ","
             ):
                 continue  # keyword form `, do: expr`
             stack.append(k)
@@ -1566,10 +1577,14 @@ def _find_defs_elixir(toks: List[Tok]) -> List[RawDef]:
                 if t2.kind != ID:
                     continue
                 if t2.text == "do":
+                    # Keyword one-liner is `, do: expr` — discriminate by
+                    # the PRECEDING comma (same rule as the block matcher
+                    # above): a block `do` whose body starts with an atom
+                    # also has ":" as the next token.
                     if (
-                        i2 + 1 < n
-                        and toks[i2 + 1].kind == PUNCT
-                        and toks[i2 + 1].text == ":"
+                        i2
+                        and toks[i2 - 1].kind == PUNCT
+                        and toks[i2 - 1].text == ","
                     ):
                         body_start = i2 + 2
                         body_end = _line_end_tok(toks, i2)

@@ -12,7 +12,7 @@ from __future__ import annotations
 import functools
 import math
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -581,8 +581,12 @@ def create_index_streamed(
         # ON DEVICE for the IVF build (i32: 256 MB at 64M tokens).
         layout = IndexLayout(index_path)
         layout.root.mkdir(parents=True, exist_ok=True)
-        all_codes_dev: List[jax.Array] = []
-        all_codes_host: List[np.ndarray] = []
+        # Retain codes for the IVF build on ONLY the side the size-based
+        # branch below will consume — keeping both wastes ~512 MB of host
+        # RAM (int64 codes) at 64M tokens on the device path, or pins the
+        # device copies in HBM on the host path.
+        ivf_on_device = est_total_tokens > _IVF_HOST_MAX_TOKENS
+        all_codes: List[Any] = []  # jax arrays (device) or np int64 (host)
         all_doclens: List[np.ndarray] = []
         offset = 0
         i = -1
@@ -612,8 +616,7 @@ def create_index_streamed(
             codes_host = np.asarray(codes_dev).astype(np.int64)
             atomic_write_npy(layout.chunk_codes(i), codes_host)
             atomic_write_npy(layout.chunk_residuals(i), np.asarray(packed))
-            all_codes_dev.append(codes_dev)
-            all_codes_host.append(codes_host)
+            all_codes.append(codes_dev if ivf_on_device else codes_host)
             all_doclens.append(doclens)
         num_chunks = i + 1
         if num_chunks == 0:
@@ -639,20 +642,20 @@ def create_index_streamed(
 
         _progress("ivf")
         doclens_all = np.concatenate(all_doclens)
-        if offset <= _IVF_HOST_MAX_TOKENS:
+        if not ivf_on_device:
             # Host lexsort: ~0.5 s at 1.4M tokens, vs ~40 s of cold XLA
             # compile for the device sort programs (the device path's two
             # multi-operand sorts each cost ~18 s to compile through the
             # tunnel — round 3). Device IVF only pays off at mega-scale,
             # where the host lexsort takes minutes.
             ivf_data, ivf_lengths = build_ivf(
-                np.concatenate(all_codes_host),
+                np.concatenate(all_codes),
                 doclens_all,
                 centroids.shape[0],
             )
         else:
             ivf_data, ivf_lengths = _ivf_from_codes_device(
-                jnp.concatenate(all_codes_dev),
+                jnp.concatenate(all_codes),
                 doclens_all,
                 centroids.shape[0],
             )

@@ -517,6 +517,42 @@ class DeviceIndex:
         if self.token_grid is not None:
             dtype = "int8" if self.token_scales is not None else "bf16"
             grown = grown.with_token_grid(dtype=dtype)
+            if grown.token_grid is None:
+                # The doubled-capacity grid no longer fits the pin budget.
+                # Dropping it silently would flip serving from the pinned
+                # kernel to the unpinned scan with no operator signal —
+                # fall to int8 when that still fits (same tradeoff as the
+                # auto path), and warn loudly either way.
+                log = logging.getLogger(__name__)
+                budget_mb = int(
+                    os.environ.get("NEXT_PLAID_PIN_BUDGET_MB", "4096")
+                )
+                if (
+                    dtype == "bf16"
+                    and grown.grid_bytes("int8") <= (budget_mb << 20)
+                ):
+                    log.warning(
+                        "capacity growth: grown bf16 token grid needs "
+                        "%d MB > NEXT_PLAID_PIN_BUDGET_MB=%d; pinning "
+                        "int8 instead — exact scores are now "
+                        "int8-quantized (recall@10 delta ~-0.015 at 30M "
+                        "embeddings, docs/benchmarks/megascale_30m_int8"
+                        ".json)",
+                        grown.grid_bytes("bf16") >> 20,
+                        budget_mb,
+                    )
+                    grown = grown.with_token_grid(dtype="int8")
+                if grown.token_grid is None:
+                    log.warning(
+                        "capacity growth dropped the pinned token grid: "
+                        "%s grid needs %d MB > NEXT_PLAID_PIN_BUDGET_MB="
+                        "%d; serving falls back to the unpinned scan "
+                        "(large latency regression). Raise the budget or "
+                        "shard across chips.",
+                        dtype,
+                        grown.grid_bytes(dtype) >> 20,
+                        budget_mb,
+                    )
             grown._set_host_counts(
                 self.num_documents, self.num_embeddings
             )
@@ -565,9 +601,74 @@ class DeviceIndex:
     # ------------------------------------------------------------------
     # Load from the reference-compatible on-disk format
     # ------------------------------------------------------------------
+    @staticmethod
+    def plan_capacity_factor(
+        n_docs: int,
+        max_doclen: int,
+        dim: int,
+        requested: float,
+        budget_mb: Optional[int] = None,
+        dtype: Optional[str] = None,
+    ) -> float:
+        """Shrink append headroom when it would degrade the pinning outcome.
+
+        The pinned token grid is CAPACITY-sized (appends write into the
+        reserved rows in place), so headroom rows inflate grid_bytes and
+        can flip with_token_grid's budget decision from bf16 to int8 (a
+        measured recall@10 drop of ~0.015) or to unpinned — purely because
+        of rows that hold no documents. Precision beats headroom: return
+        `requested` only when the dtype outcome matches a headroom-free
+        load; otherwise warn and return 1.0 (the first append then pays a
+        one-time capacity growth instead of every query paying degraded
+        scoring)."""
+        if requested <= 1.0 or n_docs == 0:
+            return max(requested, 1.0)
+        if budget_mb is None:
+            budget_mb = int(
+                os.environ.get("NEXT_PLAID_PIN_BUDGET_MB", "4096")
+            )
+        if dtype is None:
+            dtype = os.environ.get("NEXT_PLAID_PIN_DTYPE", "auto")
+        if dtype not in ("bf16", "int8"):
+            dtype = "auto"
+        budget = budget_mb << 20
+
+        def outcome(rows: int) -> str:
+            def fits(dt: str) -> bool:
+                mult = 128 if dt == "int8" else 8
+                td = max(_round_up(max(max_doclen, 1), mult), mult)
+                per = dim * 2 if dt == "bf16" else dim + 2
+                return rows * td * per <= budget
+            if dtype == "auto":
+                if fits("bf16"):
+                    return "bf16"
+                return "int8" if fits("int8") else "none"
+            return dtype if fits(dtype) else "none"
+
+        def rows(factor: float) -> int:
+            cap = int(n_docs * factor) + 2 if factor > 1.0 else 0
+            return max(_round_up(max(n_docs + 1, cap), 8), 8)
+
+        plain, with_headroom = outcome(rows(1.0)), outcome(rows(requested))
+        if with_headroom == plain:
+            return requested
+        logging.getLogger(__name__).warning(
+            "append headroom (capacity_factor=%.2f) would change the "
+            "token-grid pinning outcome from %s to %s; loading without "
+            "headroom to preserve scoring precision (the first append "
+            "will pay a one-time capacity growth instead)",
+            requested,
+            plain,
+            with_headroom,
+        )
+        return 1.0
+
     @classmethod
     def load(
-        cls, index_path: str, capacity_factor: float = 1.0
+        cls,
+        index_path: str,
+        capacity_factor: float = 1.0,
+        grid_aware_capacity: bool = False,
     ) -> "DeviceIndex":
         """Load an index directory (reference `MmapIndex::load`, index.rs:1026).
 
@@ -664,6 +765,13 @@ class DeviceIndex:
                 rq_coarse = rq_fine = None
 
         f = max(capacity_factor, 1.0)
+        if f > 1.0 and grid_aware_capacity:
+            f = cls.plan_capacity_factor(
+                n_docs=int(doclens.shape[0]),
+                max_doclen=int(doclens.max()) if doclens.size else 0,
+                dim=int(centroids.shape[1]),
+                requested=f,
+            )
         return cls.from_host(
             rq_coarse=rq_coarse,
             rq_fine=rq_fine,

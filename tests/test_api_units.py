@@ -93,7 +93,31 @@ def test_per_client_rate_buckets():
     assert not b.try_acquire(a_req)
     # Client B is unaffected.
     assert b.try_acquire(b_req)
-    # X-Forwarded-For identifies distinct clients behind one hop.
+    # X-Forwarded-For is client-controlled: by default it must be IGNORED,
+    # or any direct client could mint a fresh bucket per request (limit
+    # bypass) or drain a victim's bucket by forging their IP.
+    c1 = Req("10.0.0.3", fwd="1.2.3.4")
+    c2 = Req("10.0.0.3", fwd="5.6.7.8")
+    assert all(b.try_acquire(c1) for _ in range(3))
+    assert not b.try_acquire(c1)
+    assert not b.try_acquire(c2)  # same socket peer -> same bucket
+
+
+def test_rate_buckets_trust_proxy_headers(monkeypatch):
+    """With TRUST_PROXY_HEADERS=1 (operator declares a trusted reverse
+    proxy) X-Forwarded-For distinguishes clients behind one hop."""
+    from nextplaid_tpu.api.server import _PerClientBuckets
+
+    monkeypatch.setenv("TRUST_PROXY_HEADERS", "1")
+
+    class Req:
+        def __init__(self, peer, fwd=None):
+            self.headers = {"X-Forwarded-For": fwd} if fwd else {}
+            self.transport = type(
+                "T", (), {"get_extra_info": lambda self, k: (peer, 1234)}
+            )()
+
+    b = _PerClientBuckets(rate=0.0001, burst=3)
     c1 = Req("10.0.0.3", fwd="1.2.3.4")
     c2 = Req("10.0.0.3", fwd="5.6.7.8")
     assert all(b.try_acquire(c1) for _ in range(3))

@@ -455,6 +455,37 @@ def test_cgrep_cli(indexed, project, monkeypatch):
     assert "python" in result.output
 
 
+def test_cgrep_cli_literal_query_escape(indexed, monkeypatch):
+    """`--` forces a literal search even when options precede it
+    (`cgrep --json -- update` must search, not self-update; round-3
+    review)."""
+    import json
+
+    from click.testing import CliRunner
+
+    from nextplaid_tpu.codesearch import cli as cs_cli
+
+    monkeypatch.setattr(
+        cs_cli, "_load_encoder", lambda model, batch_size=16: indexed.encoder
+    )
+    runner = CliRunner()
+    for argv in (
+        # `--` first vs after options: both must suppress the re-dispatch.
+        ["--", "update"],
+        ["--no-update", "--json", "--", "update"],
+    ):
+        result = runner.invoke(
+            cs_cli.cli,
+            ["--path", str(indexed.project), "--index-dir",
+             str(indexed.index_dir), "--no-update", "--json", *argv],
+            obj={}, catch_exceptions=False,
+        )
+        assert result.exit_code == 0, result.output
+        # A search ran (JSON hit list), not the self-update subcommand.
+        json.loads(result.output)
+        assert "network" not in result.output.lower()
+
+
 def test_install_agent(tmp_path):
     from nextplaid_tpu.codesearch.install import (
         hook_snippet_json,

@@ -256,3 +256,63 @@ def test_api_ingest_uses_device_append(tmp_path, monkeypatch):
         return True
 
     assert asyncio.run(run())
+
+
+def test_plan_capacity_factor_preserves_pin_outcome():
+    """Append headroom must not flip the pinning decision (round-3
+    review): a grid that fits bf16 without headroom but only int8 (or
+    nothing) with 1.5x rows loads with factor 1.0 instead."""
+    from nextplaid_tpu.index.container import DeviceIndex
+
+    # bf16 grid bytes = rows * round_up(max_doclen,8) * dim*2.
+    # n_docs=1000 -> plain rows 1008, headroom rows ~1504.
+    # Pick budget between the two: plain fits bf16, headroom doesn't.
+    dim, max_doclen = 128, 32
+    plain_mb = (1008 * 32 * dim * 2) >> 20  # ~7.9 MB -> budget 8 MB
+    f = DeviceIndex.plan_capacity_factor(
+        1000, max_doclen, dim, 1.5, budget_mb=plain_mb + 1, dtype="bf16"
+    )
+    assert f == 1.0
+    # Generous budget: both fit bf16 -> headroom kept.
+    f = DeviceIndex.plan_capacity_factor(
+        1000, max_doclen, dim, 1.5, budget_mb=1000, dtype="bf16"
+    )
+    assert f == 1.5
+    # auto: bf16->int8 flip is also a degradation -> drop headroom.
+    f = DeviceIndex.plan_capacity_factor(
+        1000, max_doclen, dim, 1.5, budget_mb=plain_mb + 1, dtype="auto"
+    )
+    assert f == 1.0
+    # No docs / factor<=1: pass-through.
+    assert DeviceIndex.plan_capacity_factor(0, 0, dim, 1.5) == 1.5
+    assert DeviceIndex.plan_capacity_factor(1000, 32, dim, 1.0) == 1.0
+
+
+def test_grow_warns_when_grid_dropped(tmp_path, caplog, monkeypatch):
+    """Capacity growth that cannot re-pin the grid must warn, not
+    silently degrade to the unpinned scan (round-3 review)."""
+    import logging as _logging
+
+    rng = np.random.default_rng(3)
+    docs = [
+        _unit(rng.standard_normal((6, 16))).astype(np.float32)
+        for _ in range(24)
+    ]
+    path = str(tmp_path / "growwarn")
+    create_index(docs, path, IndexConfig(nbits=4, seed=42))
+    idx = DeviceIndex.load(path).with_token_grid(dtype="bf16")
+    assert idx.token_grid is not None
+    # Force the re-pin over budget.
+    monkeypatch.setenv("NEXT_PLAID_PIN_BUDGET_MB", "0")
+    with caplog.at_level(
+        _logging.WARNING, logger="nextplaid_tpu.index.container"
+    ):
+        grown = idx._grow(
+            doc_capacity=idx.num_docs_padded * 2,
+            token_capacity=int(idx.codes.shape[0]) * 2,
+        )
+    assert grown.token_grid is None
+    assert any(
+        "dropped the pinned token grid" in r.getMessage()
+        for r in caplog.records
+    )

@@ -687,6 +687,31 @@ end
     assert units["area"].unit_type == UnitType.FUNCTION  # short form
 
 
+def test_julia_comprehension_and_begin_index():
+    """Comprehension `for`/`if` and `xs[begin]` live inside square
+    brackets and are NOT block openers; pushing them desyncs end-pairing
+    and silently drops the enclosing function (round-3 review)."""
+    src = '''function total(xs)
+    ys = [2x for x in xs]
+    return sum(ys)
+end
+
+function first_elem(xs)
+    return xs[begin]
+end
+
+function guarded(xs)
+    zs = [x for x in xs if x > 0]
+    return length(zs)
+end
+'''
+    units = _by_name(extract_units("comp.jl", src))
+    assert units["total"].unit_type == UnitType.FUNCTION
+    assert units["total"].end_line == 4
+    assert units["first_elem"].end_line == 8
+    assert units["guarded"].end_line == 13
+
+
 def test_elixir_extraction():
     src = '''defmodule Geometry.Circle do
   @moduledoc "Circles."
@@ -727,6 +752,34 @@ end
     s = by["sum_areas"]
     assert "area" in s.calls and "map" in s.calls
     assert "Kernel" in s.imports
+
+
+def test_elixir_block_do_with_atom_body():
+    """A block `do` whose body starts with an atom (`do\\n :ok`) must not
+    be misread as the `, do:` keyword form — that truncated the enclosing
+    module's extent (round-3 review)."""
+    src = '''defmodule M do
+  def ok_fun do
+    :ok
+  end
+
+  def after_fun(x) do
+    x + 1
+  end
+end
+'''
+    units = extract_units("m.ex", src)
+    by = _by_name(units)
+    assert by["M"].end_line == 9
+    assert by["ok_fun"].end_line == 4
+    af = by["after_fun"]
+    assert af.end_line == 8
+    assert af.qualified_name == "M.after_fun"
+    # keyword one-liner still excluded from block pairing
+    src2 = "defmodule N do\n  def one(x), do: x + 1\nend\n"
+    by2 = _by_name(extract_units("n.ex", src2))
+    assert by2["N"].end_line == 3
+    assert by2["one"].unit_type == UnitType.METHOD
 
 
 def test_r_extraction():
