@@ -235,15 +235,23 @@ class AppState:
             if mode == "sharded_grid":
                 dtype = os.environ.get("NEXT_PLAID_PIN_DTYPE", "int8")
                 if dtype not in ("bf16", "int8"):
+                    # Same loud coercion as the grid_only branch below:
+                    # silently quantizing scores on a typo is the advisor
+                    # r2 medium finding all over again.
+                    logger.warning(
+                        "NEXT_PLAID_PIN_DTYPE=%r is not valid for "
+                        "serve_mode=sharded_grid (bf16|int8); using int8 "
+                        "— exact scores are int8-quantized",
+                        dtype,
+                    )
                     dtype = "int8"
                 return ShardedGridIndex.shard_grid_only(
                     str(self.index_path(name)), mesh, dtype
                 )
+            # Disk -> host -> shards: the corpus never transits a single
+            # device (it would OOM at exactly the scale sharded serves).
             return ShardedIndex.shard(
-                HostIndexData.from_device_index(
-                    DeviceIndex.load(str(self.index_path(name)))
-                ),
-                mesh,
+                HostIndexData.load(str(self.index_path(name))), mesh
             )
         if mode == "grid_only":
             from nextplaid_tpu.index.container import load_grid_only

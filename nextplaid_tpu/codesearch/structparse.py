@@ -1362,21 +1362,29 @@ def _find_defs_julia(toks: List[Tok]) -> List[RawDef]:
     stack: List[int] = []
     match_end: Dict[int, int] = {}
     sq_depth = 0
+    par_depth = 0
     for k, t in enumerate(toks):
         if t.kind == PUNCT:
             if t.text == "[":
                 sq_depth += 1
             elif t.text == "]":
                 sq_depth = max(sq_depth - 1, 0)
+            elif t.text == "(":
+                par_depth += 1
+            elif t.text == ")":
+                par_depth = max(par_depth - 1, 0)
             continue
         if t.kind != ID:
             continue
         w = t.text
-        if sq_depth > 0:
-            # Inside square brackets: comprehension `for`/`if` and the
+        if sq_depth > 0 or par_depth > 0:
+            # Inside brackets/parens: comprehension and generator `for`/
+            # `if` (`[2x for x in xs]`, `sum(x for x in xs)`) and the
             # `begin`/`end` index keywords are NOT block openers — pushing
             # them desyncs end-pairing and silently drops any function
-            # containing a comprehension or xs[begin].
+            # containing one. Anonymous `function...end` inside a call is
+            # skipped symmetrically (both opener and its `end`), keeping
+            # the pairing balanced.
             continue
         if w in _JULIA_OPENERS:
             if w == "struct" and k and toks[k - 1].text == "mutable":
@@ -1495,8 +1503,26 @@ _ELIXIR_DEF_KW = {
 _ELIXIR_MOD_KW = frozenset(("defmodule", "defprotocol", "defimpl"))
 
 
+def _is_elixir_kw_do(toks: List[Tok], k: int) -> bool:
+    """True for the keyword-list form `do:` — the colon IMMEDIATELY
+    follows `do` (same line, adjacent column, no whitespace). This is the
+    only reliable discriminator: a comma precedes `, do: expr` but NOT
+    `quote do: expr` / `foo(do: x)` / `[do: block]`, and a following ":"
+    alone also matches a block `do` whose body starts with an atom
+    (`do\\n  :ok`) or the one-line block `do :ok end` (space-separated)."""
+    t = toks[k]
+    nxt = toks[k + 1] if k + 1 < len(toks) else None
+    return (
+        nxt is not None
+        and nxt.kind == PUNCT
+        and nxt.text == ":"
+        and nxt.line == t.line
+        and nxt.col == t.col + 2
+    )
+
+
 def _find_defs_elixir(toks: List[Tok]) -> List[RawDef]:
-    """Elixir: `do ... end` blocks (`, do: expr` keyword form excluded),
+    """Elixir: `do ... end` blocks (`do:` keyword form excluded),
     `fn ... end` lambdas, defmodule parents, def/defp/defmacro heads with
     guard clauses, and one-line `def name(args), do: expr` definitions."""
     n = len(toks)
@@ -1507,18 +1533,8 @@ def _find_defs_elixir(toks: List[Tok]) -> List[RawDef]:
         if t.kind != ID:
             continue
         if t.text in ("do", "fn"):
-            # Keyword form is `, do: expr` — detect it by the PRECEDING
-            # comma, not a following ":": whitespace is discarded, so a
-            # block `do` whose body starts with an atom (`do\n :ok`)
-            # also has ":" as the next token and would be misread,
-            # truncating the enclosing module's extent.
-            if (
-                t.text == "do"
-                and k
-                and toks[k - 1].kind == PUNCT
-                and toks[k - 1].text == ","
-            ):
-                continue  # keyword form `, do: expr`
+            if t.text == "do" and _is_elixir_kw_do(toks, k):
+                continue  # keyword form `do: expr` — not a block opener
             stack.append(k)
         elif t.text == "end":
             if stack:
@@ -1577,15 +1593,9 @@ def _find_defs_elixir(toks: List[Tok]) -> List[RawDef]:
                 if t2.kind != ID:
                     continue
                 if t2.text == "do":
-                    # Keyword one-liner is `, do: expr` — discriminate by
-                    # the PRECEDING comma (same rule as the block matcher
-                    # above): a block `do` whose body starts with an atom
-                    # also has ":" as the next token.
-                    if (
-                        i2
-                        and toks[i2 - 1].kind == PUNCT
-                        and toks[i2 - 1].text == ","
-                    ):
+                    # Keyword one-liner `do: expr` — same adjacent-colon
+                    # rule as the block matcher above.
+                    if _is_elixir_kw_do(toks, i2):
                         body_start = i2 + 2
                         body_end = _line_end_tok(toks, i2)
                         break

@@ -10,6 +10,7 @@ the reference-compatible NPY + JSON directory.
 from __future__ import annotations
 
 import functools
+import logging
 import math
 from dataclasses import dataclass
 from typing import Any, List, Optional, Sequence, Tuple
@@ -29,6 +30,8 @@ from nextplaid_tpu.storage.npy import (
     atomic_write_npy,
     file_lock,
 )
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -642,7 +645,13 @@ def create_index_streamed(
 
         _progress("ivf")
         doclens_all = np.concatenate(all_doclens)
-        if not ivf_on_device:
+        # The retention side was fixed upfront by est_total_tokens; the
+        # IVF path follows the ACTUAL streamed count. A host-retained
+        # corpus that turned out mega-scale (under-estimate) uploads once
+        # and takes the device path; a device-retained corpus always takes
+        # the device path (d2h of every chunk would be worse than the
+        # device sort even at small actual counts).
+        if not ivf_on_device and offset <= _IVF_HOST_MAX_TOKENS:
             # Host lexsort: ~0.5 s at 1.4M tokens, vs ~40 s of cold XLA
             # compile for the device sort programs (the device path's two
             # multi-operand sorts each cost ~18 s to compile through the
@@ -654,8 +663,23 @@ def create_index_streamed(
                 centroids.shape[0],
             )
         else:
+            if not ivf_on_device:
+                logger.warning(
+                    "streamed build: est_total_tokens=%d chose host IVF "
+                    "retention but %d tokens actually streamed; uploading "
+                    "codes once for the device IVF sort",
+                    est_total_tokens,
+                    offset,
+                )
+            codes_cat = (
+                jnp.concatenate(all_codes)
+                if ivf_on_device
+                else jnp.asarray(
+                    np.concatenate(all_codes).astype(np.int32)
+                )
+            )
             ivf_data, ivf_lengths = _ivf_from_codes_device(
-                jnp.concatenate(all_codes),
+                codes_cat,
                 doclens_all,
                 centroids.shape[0],
             )

@@ -51,6 +51,26 @@ def _posting_mass_prefix(ivf_lengths: np.ndarray) -> Tuple[int, ...]:
     )
 
 
+def _grid_td_for(max_doclen: int, dtype: str) -> int:
+    """Token-axis padding of the pinned grid (single source of truth —
+    also used by plan_capacity_factor's what-if sizing)."""
+    mult = 128 if dtype == "int8" else 8
+    return max(_round_up(max(max_doclen, 1), mult), mult)
+
+
+def _grid_bytes_for(rows: int, max_doclen: int, dim: int, dtype: str) -> int:
+    per_tok = dim * 2 if dtype == "bf16" else dim + 2
+    return rows * _grid_td_for(max_doclen, dtype) * per_tok
+
+
+def _padded_doc_rows(ndocs: int, doc_capacity: int, pad_docs: int = 8) -> int:
+    """Doc rows after padding: +1 sentinel slot, doc_capacity reserves
+    extra rows for in-place appends (single source of truth — from_host
+    and plan_capacity_factor must agree or headroom planning mispredicts
+    the pinning outcome)."""
+    return max(_round_up(max(ndocs + 1, doc_capacity), pad_docs), pad_docs)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -194,8 +214,7 @@ class DeviceIndex:
         # pads to 304, not 384 (21% fewer kernel FLOPs + HBM; verified
         # on-chip, scripts/profile_td_align.py). The TRANSPOSED int8 grid
         # has Td on LANES and keeps the 128 multiple.
-        mult = 128 if dtype == "int8" else 8
-        return max(_round_up(max(self.max_doclen, 1), mult), mult)
+        return _grid_td_for(self.max_doclen, dtype)
 
     def grid_token_axis(self) -> int:
         """Td of the pinned grid, layout-independent (bf16 axis 1, int8
@@ -217,8 +236,9 @@ class DeviceIndex:
         return self.token_scales is not None or bool(self.scale_buckets)
 
     def grid_bytes(self, dtype: str = "bf16") -> int:
-        per_tok = self.dim * 2 if dtype == "bf16" else self.dim + 2
-        return self.num_docs_padded * self.grid_td(dtype) * per_tok
+        return _grid_bytes_for(
+            self.num_docs_padded, self.max_doclen, self.dim, dtype
+        )
 
     def with_token_grid(
         self, budget_mb: Optional[int] = None, dtype: Optional[str] = None
@@ -240,6 +260,15 @@ class DeviceIndex:
             )
         if dtype is None:
             dtype = os.environ.get("NEXT_PLAID_PIN_DTYPE", "auto")
+        if dtype not in ("bf16", "int8", "auto"):
+            # A typo must not half-match (bf16 Td sizing + int8 grid build)
+            # — treat it as auto and say so.
+            logging.getLogger(__name__).warning(
+                "NEXT_PLAID_PIN_DTYPE=%r is not one of bf16|int8|auto; "
+                "treating as auto",
+                dtype,
+            )
+            dtype = "auto"
         budget = budget_mb << 20
         if dtype == "auto":
             if self.grid_bytes("bf16") <= budget:
@@ -312,8 +341,7 @@ class DeviceIndex:
         # EXTRA padded rows so serving appends (append_batch) can grow the
         # corpus in place without changing array shapes — shapes are jit
         # keys, and a shape change recompiles every search program.
-        ndocs_pad = max(_round_up(max(ndocs + 1, doc_capacity), pad_docs),
-                        pad_docs)
+        ndocs_pad = _padded_doc_rows(ndocs, doc_capacity, pad_docs)
         nvec_pad = max(_round_up(max(nvec, token_capacity), pad_tokens),
                        pad_tokens)
         nnz = int(ivf_doc_ids.shape[0])
@@ -516,43 +544,28 @@ class DeviceIndex:
         )._set_host_counts(self.num_documents, self.num_embeddings)
         if self.token_grid is not None:
             dtype = "int8" if self.token_scales is not None else "bf16"
-            grown = grown.with_token_grid(dtype=dtype)
+            grown_pinned = grown.with_token_grid(dtype=dtype)
+            if grown_pinned.token_grid is None and dtype == "bf16":
+                # The doubled-capacity bf16 grid no longer fits the pin
+                # budget: reuse the auto-path downgrade (bf16 -> int8 with
+                # its loud precision warning -> unpinned) rather than
+                # duplicating that policy here.
+                grown_pinned = grown.with_token_grid(dtype="auto")
+            grown = grown_pinned
             if grown.token_grid is None:
-                # The doubled-capacity grid no longer fits the pin budget.
-                # Dropping it silently would flip serving from the pinned
-                # kernel to the unpinned scan with no operator signal —
-                # fall to int8 when that still fits (same tradeoff as the
-                # auto path), and warn loudly either way.
-                log = logging.getLogger(__name__)
                 budget_mb = int(
                     os.environ.get("NEXT_PLAID_PIN_BUDGET_MB", "4096")
                 )
-                if (
-                    dtype == "bf16"
-                    and grown.grid_bytes("int8") <= (budget_mb << 20)
-                ):
-                    log.warning(
-                        "capacity growth: grown bf16 token grid needs "
-                        "%d MB > NEXT_PLAID_PIN_BUDGET_MB=%d; pinning "
-                        "int8 instead — exact scores are now "
-                        "int8-quantized (recall@10 delta ~-0.015 at 30M "
-                        "embeddings, docs/benchmarks/megascale_30m_int8"
-                        ".json)",
-                        grown.grid_bytes("bf16") >> 20,
-                        budget_mb,
-                    )
-                    grown = grown.with_token_grid(dtype="int8")
-                if grown.token_grid is None:
-                    log.warning(
-                        "capacity growth dropped the pinned token grid: "
-                        "%s grid needs %d MB > NEXT_PLAID_PIN_BUDGET_MB="
-                        "%d; serving falls back to the unpinned scan "
-                        "(large latency regression). Raise the budget or "
-                        "shard across chips.",
-                        dtype,
-                        grown.grid_bytes(dtype) >> 20,
-                        budget_mb,
-                    )
+                logging.getLogger(__name__).warning(
+                    "capacity growth dropped the pinned token grid: %s "
+                    "grid needs %d MB > NEXT_PLAID_PIN_BUDGET_MB=%d; "
+                    "serving falls back to the unpinned scan (large "
+                    "latency regression). Raise the budget or shard "
+                    "across chips.",
+                    dtype,
+                    grown.grid_bytes(dtype) >> 20,
+                    budget_mb,
+                )
             grown._set_host_counts(
                 self.num_documents, self.num_embeddings
             )
@@ -635,10 +648,7 @@ class DeviceIndex:
 
         def outcome(rows: int) -> str:
             def fits(dt: str) -> bool:
-                mult = 128 if dt == "int8" else 8
-                td = max(_round_up(max(max_doclen, 1), mult), mult)
-                per = dim * 2 if dt == "bf16" else dim + 2
-                return rows * td * per <= budget
+                return _grid_bytes_for(rows, max_doclen, dim, dt) <= budget
             if dtype == "auto":
                 if fits("bf16"):
                     return "bf16"
@@ -647,7 +657,7 @@ class DeviceIndex:
 
         def rows(factor: float) -> int:
             cap = int(n_docs * factor) + 2 if factor > 1.0 else 0
-            return max(_round_up(max(n_docs + 1, cap), 8), 8)
+            return _padded_doc_rows(n_docs, cap)
 
         plain, with_headroom = outcome(rows(1.0)), outcome(rows(requested))
         if with_headroom == plain:
@@ -680,89 +690,19 @@ class DeviceIndex:
         the first batches don't immediately trigger a capacity growth
         (growth = full re-pad + grid rebuild + search recompile).
         """
-        layout = IndexLayout(index_path)
-        meta = Metadata.from_dict(load_json(layout.metadata))
-
-        centroids = np.asarray(load_npy(layout.centroids), np.float32)
-        cutoffs = np.asarray(load_npy(layout.bucket_cutoffs), np.float32)
-        weights = np.asarray(load_npy(layout.bucket_weights), np.float32)
-        avg_residual = np.asarray(load_npy(layout.avg_residual), np.float32)
-
-        packed_dim = centroids.shape[1] * meta.nbits // 8
-        code_paths = [str(layout.chunk_codes(i)) for i in range(meta.num_chunks)]
-        res_paths = [
-            str(layout.chunk_residuals(i)) for i in range(meta.num_chunks)
-        ]
-        doclens_list: List[np.ndarray] = [
-            np.asarray(load_json(layout.chunk_doclens(i)), np.int64)
-            for i in range(meta.num_chunks)
-        ]
-        # Merged-chunk cache first (reference manifest fast path,
-        # mmap.rs:1081-1300): when no chunk changed since the last merge,
-        # load is an mmap of the merged payloads — O(changed) host work.
-        from nextplaid_tpu.storage import merge_cache, native
-
-        codes = None
-        residuals = None
-        chunk_bytes = sum(
-            os.path.getsize(p)
-            for p in code_paths + res_paths
-            if os.path.exists(p)
-        )
-        cache_on = merge_cache.enabled(chunk_bytes, meta.num_chunks)
-        cache_hit = False
-        if cache_on:
-            hit = merge_cache.load_merged(
-                layout.root, code_paths, res_paths
-            )
-            if hit is not None:
-                codes, residuals = hit
-                cache_hit = True
-        if codes is None and meta.num_chunks and native.available():
-            first_codes = np.asarray(load_npy(code_paths[0], mmap=True))
-            codes = native.merge_chunk_payloads(
-                code_paths, first_codes.dtype
-            )
-            residuals = native.merge_chunk_payloads(
-                res_paths, np.uint8, (packed_dim,)
-            )
-        if codes is None:
-            codes_list = [
-                np.asarray(load_npy(p)) for p in code_paths
-            ]
-            codes = (
-                np.concatenate(codes_list)
-                if codes_list
-                else np.zeros(0, np.int64)
-            )
-        if residuals is None:
-            res_list = [np.asarray(load_npy(p)) for p in res_paths]
-            residuals = (
-                np.concatenate(res_list)
-                if res_list
-                else np.zeros((0, packed_dim), np.uint8)
-            )
-        if cache_on and not cache_hit:
-            # Freshly merged (native or numpy): persist for the next start.
-            merge_cache.store_merged(
-                layout.root, codes, residuals, code_paths, res_paths
-            )
-        codes = codes.astype(np.int32)
-        doclens = (
-            np.concatenate(doclens_list) if doclens_list else np.zeros(0, np.int64)
-        ).astype(np.int32)
-
-        ivf = np.asarray(load_npy(layout.ivf), np.int32)
-        ivf_lengths = np.asarray(load_npy(layout.ivf_lengths), np.int64)
-
-        rq_coarse = rq_fine = None
-        if layout.rq_coarse.exists() and layout.rq_fine.exists():
-            rq_coarse = np.asarray(load_npy(layout.rq_coarse), np.float32)
-            rq_fine = np.asarray(load_npy(layout.rq_fine), np.float32)
-            if rq_coarse.shape[0] * rq_fine.shape[0] != centroids.shape[0]:
-                # Stale sidecars from a previous build generation; the flat
-                # table is authoritative.
-                rq_coarse = rq_fine = None
+        h = load_host_arrays(index_path)
+        meta = h["meta"]
+        centroids = h["centroids"]
+        cutoffs = h["bucket_cutoffs"]
+        weights = h["bucket_weights"]
+        avg_residual = h["avg_residual"]
+        codes = h["codes"]
+        residuals = h["residuals"]
+        doclens = h["doclens"]
+        ivf = h["ivf"]
+        ivf_lengths = h["ivf_lengths"]
+        rq_coarse = h["rq_coarse"]
+        rq_fine = h["rq_fine"]
 
         f = max(capacity_factor, 1.0)
         if f > 1.0 and grid_aware_capacity:
@@ -788,6 +728,108 @@ class DeviceIndex:
             doc_capacity=int(len(doclens) * f) + 2 if f > 1.0 else 0,
             token_capacity=int(len(codes) * f) if f > 1.0 else 0,
         )
+
+
+def load_host_arrays(index_path: str) -> dict:
+    """Host-side portion of an index load: metadata + merged chunk arrays,
+    NO device staging. Shared by `DeviceIndex.load` and the sharded
+    serving path (`HostIndexData.load`), so multi-chip sharding never
+    round-trips the whole corpus through a single device's HBM — the
+    corpus a sharded deployment serves is exactly the one that does NOT
+    fit one chip. Reference counterpart: `MmapIndex::load`
+    (index.rs:1026) with the manifest fast path (mmap.rs:1081-1300)."""
+    layout = IndexLayout(index_path)
+    meta = Metadata.from_dict(load_json(layout.metadata))
+
+    centroids = np.asarray(load_npy(layout.centroids), np.float32)
+    cutoffs = np.asarray(load_npy(layout.bucket_cutoffs), np.float32)
+    weights = np.asarray(load_npy(layout.bucket_weights), np.float32)
+    avg_residual = np.asarray(load_npy(layout.avg_residual), np.float32)
+
+    packed_dim = centroids.shape[1] * meta.nbits // 8
+    code_paths = [str(layout.chunk_codes(i)) for i in range(meta.num_chunks)]
+    res_paths = [
+        str(layout.chunk_residuals(i)) for i in range(meta.num_chunks)
+    ]
+    doclens_list: List[np.ndarray] = [
+        np.asarray(load_json(layout.chunk_doclens(i)), np.int64)
+        for i in range(meta.num_chunks)
+    ]
+    # Merged-chunk cache first (reference manifest fast path,
+    # mmap.rs:1081-1300): when no chunk changed since the last merge,
+    # load is an mmap of the merged payloads — O(changed) host work.
+    from nextplaid_tpu.storage import merge_cache, native
+
+    codes = None
+    residuals = None
+    chunk_bytes = sum(
+        os.path.getsize(p)
+        for p in code_paths + res_paths
+        if os.path.exists(p)
+    )
+    cache_on = merge_cache.enabled(chunk_bytes, meta.num_chunks)
+    cache_hit = False
+    if cache_on:
+        hit = merge_cache.load_merged(layout.root, code_paths, res_paths)
+        if hit is not None:
+            codes, residuals = hit
+            cache_hit = True
+    if codes is None and meta.num_chunks and native.available():
+        first_codes = np.asarray(load_npy(code_paths[0], mmap=True))
+        codes = native.merge_chunk_payloads(code_paths, first_codes.dtype)
+        residuals = native.merge_chunk_payloads(
+            res_paths, np.uint8, (packed_dim,)
+        )
+    if codes is None:
+        codes_list = [np.asarray(load_npy(p)) for p in code_paths]
+        codes = (
+            np.concatenate(codes_list)
+            if codes_list
+            else np.zeros(0, np.int64)
+        )
+    if residuals is None:
+        res_list = [np.asarray(load_npy(p)) for p in res_paths]
+        residuals = (
+            np.concatenate(res_list)
+            if res_list
+            else np.zeros((0, packed_dim), np.uint8)
+        )
+    if cache_on and not cache_hit:
+        # Freshly merged (native or numpy): persist for the next start.
+        merge_cache.store_merged(
+            layout.root, codes, residuals, code_paths, res_paths
+        )
+    codes = codes.astype(np.int32)
+    doclens = (
+        np.concatenate(doclens_list) if doclens_list else np.zeros(0, np.int64)
+    ).astype(np.int32)
+
+    ivf = np.asarray(load_npy(layout.ivf), np.int32)
+    ivf_lengths = np.asarray(load_npy(layout.ivf_lengths), np.int64)
+
+    rq_coarse = rq_fine = None
+    if layout.rq_coarse.exists() and layout.rq_fine.exists():
+        rq_coarse = np.asarray(load_npy(layout.rq_coarse), np.float32)
+        rq_fine = np.asarray(load_npy(layout.rq_fine), np.float32)
+        if rq_coarse.shape[0] * rq_fine.shape[0] != centroids.shape[0]:
+            # Stale sidecars from a previous build generation; the flat
+            # table is authoritative.
+            rq_coarse = rq_fine = None
+
+    return {
+        "meta": meta,
+        "centroids": centroids,
+        "bucket_cutoffs": cutoffs,
+        "bucket_weights": weights,
+        "avg_residual": avg_residual,
+        "codes": codes,
+        "residuals": residuals,
+        "doclens": doclens,
+        "ivf": ivf,
+        "ivf_lengths": ivf_lengths,
+        "rq_coarse": rq_coarse,
+        "rq_fine": rq_fine,
+    }
 
 
 def _pad_to(arr: jax.Array, n: int, edge: bool = False) -> jax.Array:

@@ -254,6 +254,33 @@ class HostIndexData:
             nbits=index.nbits,
         )
 
+    @classmethod
+    def load(cls, index_path: str) -> "HostIndexData":
+        """Read an index directory straight into host arrays — never
+        staging the corpus on a device first. A corpus served via
+        serve_mode=sharded is one that does NOT fit a single chip's HBM,
+        so `DeviceIndex.load(...)` + `from_device_index(...)` (full h2d
+        then full d2h) would OOM at exactly the scale this mode exists
+        for, and even when it fits it pays a pointless corpus round trip
+        per (re-)shard."""
+        from nextplaid_tpu.index.container import load_host_arrays
+
+        h = load_host_arrays(index_path)
+        doclens = h["doclens"]
+        doc_offsets = np.zeros(len(doclens) + 1, np.int32)
+        np.cumsum(doclens, out=doc_offsets[1:])
+        return cls(
+            centroids=h["centroids"],
+            codes=h["codes"],
+            residuals=h["residuals"],
+            doclens=doclens,
+            doc_offsets=doc_offsets,
+            bucket_cutoffs=h["bucket_cutoffs"],
+            bucket_weights=h["bucket_weights"],
+            avg_residual=h["avg_residual"],
+            nbits=h["meta"].nbits,
+        )
+
 
 # ---------------------------------------------------------------------------
 # Sharded staged search

@@ -73,10 +73,14 @@ def test_progress_swallows_callback_errors():
         report("stage")  # must not raise
 
 
-def test_per_client_rate_buckets():
+def test_per_client_rate_buckets(monkeypatch):
     """One client exhausting its bucket must not starve another peer
     (reference governor keys per peer; VERDICT r2 weak #7)."""
     from nextplaid_tpu.api.server import _PerClientBuckets
+
+    # The default-ignore-XFF assertions below require the opt-in to be
+    # absent regardless of the ambient shell environment.
+    monkeypatch.delenv("TRUST_PROXY_HEADERS", raising=False)
 
     class Req:
         def __init__(self, peer, fwd=None):

@@ -39,6 +39,24 @@ def test_mesh_has_8_devices(built):
     assert sindex.n_shards == 8
 
 
+def test_host_index_data_load_matches_device_roundtrip(built):
+    """HostIndexData.load reads disk directly (serve_mode=sharded must
+    never stage the whole corpus on one device first — it would OOM at
+    exactly the scale that mode exists for). Field-for-field parity with
+    the device round trip."""
+    docs, index, _, path = built
+    direct = HostIndexData.load(path)
+    via_dev = HostIndexData.from_device_index(index)
+    for f in (
+        "centroids", "codes", "residuals", "doclens", "doc_offsets",
+        "bucket_cutoffs", "bucket_weights", "avg_residual",
+    ):
+        np.testing.assert_array_equal(
+            getattr(direct, f), getattr(via_dev, f), err_msg=f
+        )
+    assert direct.nbits == via_dev.nbits
+
+
 def test_sharded_matches_single_device_exhaustive(built):
     """Exhaustive mode: sharded and single-device pipelines must return the
     same documents and scores."""

@@ -712,6 +712,23 @@ end
     assert units["guarded"].end_line == 13
 
 
+def test_julia_paren_generator():
+    """Generator expressions in parentheses (`sum(x for x in xs)`) are the
+    same comprehension hazard as square brackets (round-3 review #2)."""
+    src = '''function total(xs)
+    s = sum(2x for x in xs)
+    return s
+end
+
+function also_fine(xs)
+    return maximum(x * x for x in xs if x > 0)
+end
+'''
+    units = _by_name(extract_units("gen.jl", src))
+    assert units["total"].end_line == 4
+    assert units["also_fine"].end_line == 8
+
+
 def test_elixir_extraction():
     src = '''defmodule Geometry.Circle do
   @moduledoc "Circles."
@@ -780,6 +797,31 @@ end
     by2 = _by_name(extract_units("n.ex", src2))
     assert by2["N"].end_line == 3
     assert by2["one"].unit_type == UnitType.METHOD
+
+
+def test_elixir_comma_free_keyword_do():
+    """`quote do: expr` and `foo(do: x)` are keyword forms WITHOUT a
+    preceding comma — only the adjacent-colon rule classifies them
+    correctly (round-3 review #1)."""
+    src = '''defmodule M do
+  defmacro mac(x) do
+    quote do: unquote(x) + 1
+  end
+
+  def later(y) do
+    y * 2
+  end
+end
+'''
+    by = _by_name(extract_units("mac.ex", src))
+    assert by["M"].end_line == 9
+    assert by["mac"].end_line == 4
+    assert by["later"].end_line == 8
+    # One-line BLOCK form (space after do) still pairs with its end.
+    src2 = "defmodule P do\n  def f do :ok end\nend\n"
+    by2 = _by_name(extract_units("p.ex", src2))
+    assert by2["P"].end_line == 3
+    assert by2["f"].end_line == 2
 
 
 def test_r_extraction():
