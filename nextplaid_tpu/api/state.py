@@ -597,16 +597,33 @@ class AppState:
         encoded = info.get("encoded")
         if (
             served is None
-            # grid-only / sharded serving: immutable on device; mutate on
-            # disk + lazy reload (sharded indexes are not DeviceIndex and
-            # have no append path).
-            or getattr(served, "grid_only", True)
             or evicted
             or info.get("mode") != "buffer"
             or encoded is None
         ):
             return False
         codes, residuals, doclens = encoded
+        from nextplaid_tpu.parallel.sharded import ShardedGridIndex
+
+        if isinstance(served, ShardedGridIndex):
+            # serve_mode=sharded_grid: O(batch) per-shard append into the
+            # tail shard's row slack; None (capacity/geometry limits)
+            # falls through to the lazy-invalidate reload below.
+            try:
+                appended = served.append_batch(codes, residuals, doclens)
+            except Exception:
+                logger.exception(
+                    "sharded grid append failed; falling back to reload"
+                )
+                return False
+            if appended is None:
+                return False
+            self.register(name, appended)
+            return True
+        if getattr(served, "grid_only", True):
+            # grid-only single-chip / staged-sharded serving: immutable on
+            # device; mutate on disk + lazy reload.
+            return False
         try:
             appended = served.append_batch(codes, residuals, doclens)
         except Exception:

@@ -31,18 +31,23 @@ after which the serving process re-loads and re-shards:
 
 Re-sharding 1M docs is seconds of host slicing + h2d; mutations are orders of
 magnitude rarer than queries in this system (the API layer coalesces them
-into batches already), so in-place per-shard append is deliberately NOT
-implemented — it would complicate the uniform-capacity invariant (every
-shard padded to the same doc capacity so ONE compiled program serves all
-shards) for no measured win. The API server's swap-slot pattern
-(api/state.py, reference state.rs ArcSwap) means readers never observe a
-half-resharded index: searches drain on the old ShardedIndex while the new
-one loads, then the slot swaps atomically.
+into batches already), so for the STAGED sharded pipeline in-place per-shard
+append is deliberately not implemented — it would complicate the
+uniform-capacity invariant (every shard padded to the same doc capacity so
+ONE compiled program serves all shards) for no measured win. The GRID path
+is different: `ShardedGridIndex.append_batch` advances the served shards in
+place (O(batch) decompress on the tail shard's device, writing into the
+build-time row slack) because at grid-only scale a full re-shard re-streams
+the whole corpus through HBM per ingest batch. The API server's swap-slot
+pattern (api/state.py, reference state.rs ArcSwap) means readers never
+observe a half-mutated index either way: searches drain on the old object
+while the new one loads/appends, then the slot swaps atomically.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import functools
+from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
 import jax
@@ -655,6 +660,17 @@ class ShardedGridIndex:
     shard_docs: jax.Array  # [S] i32
     num_documents: int
     num_embeddings: int
+    # Host-side state enabling in-place append (append_batch). None/0 =
+    # an immutable construction (e.g. hand-built in tests): append_batch
+    # declines and callers fall back to the storage-is-the-truth reload.
+    centroids_host: Optional[np.ndarray] = None
+    weights_host: Optional[np.ndarray] = None
+    nbits: int = 0
+    doc_base_host: Optional[np.ndarray] = None  # [S] i64, REAL boundaries
+    shard_docs_host: Optional[np.ndarray] = None  # [S] i64
+    # Per-device cache of (centroids, weights) device copies so repeat
+    # appends don't re-pay the h2d of the codec tables.
+    dev_consts: dict = field(default_factory=dict, repr=False, compare=False)
 
     @property
     def n_shards(self) -> int:
@@ -690,12 +706,12 @@ class ShardedGridIndex:
             raise StorageError(f"grid dtype must be bf16|int8: {dtype}")
         layout = IndexLayout(index_path)
         meta = Metadata.from_dict(load_json(layout.metadata))
-        centroids = jnp.asarray(
-            np.asarray(load_npy(layout.centroids), np.float32)
+        centroids_host = np.asarray(load_npy(layout.centroids), np.float32)
+        weights_host = np.asarray(
+            load_npy(layout.bucket_weights), np.float32
         )
-        weights = jnp.asarray(
-            np.asarray(load_npy(layout.bucket_weights), np.float32)
-        )
+        centroids = jnp.asarray(centroids_host)
+        weights = jnp.asarray(weights_host)
         dim = centroids.shape[1]
         packed_dim = dim * meta.nbits // 8
 
@@ -829,7 +845,233 @@ class ShardedGridIndex:
             shard_docs=put(np.asarray(shard_docs, np.int32), 0),
             num_documents=nd,
             num_embeddings=ne,
+            centroids_host=centroids_host,
+            weights_host=weights_host,
+            nbits=meta.nbits,
+            doc_base_host=np.asarray(doc_base, np.int64),
+            shard_docs_host=np.asarray(shard_docs, np.int64),
         )
+
+
+    def _ordered_parts(self, arr: jax.Array) -> Optional[List[jax.Array]]:
+        """Per-shard single-device buffers of a [S, ...] doc-sharded array
+        in shard order, or None when some shard is not addressable from
+        this process (multi-host mesh — in-place append is a
+        single-controller operation; mutate on disk + reload instead)."""
+        shards = list(arr.addressable_shards)
+        if len(shards) != self.n_shards:
+            return None
+        shards.sort(key=lambda s: s.index[0].start or 0)
+        return [s.data for s in shards]
+
+    def append_batch(
+        self,
+        codes: np.ndarray,
+        residuals: np.ndarray,
+        doclens: np.ndarray,
+    ) -> Optional["ShardedGridIndex"]:
+        """Append encoded documents IN PLACE to the tail shard's grid:
+        O(batch) decompress + h2d on ONE device instead of the O(corpus)
+        full re-shard the serving path otherwise pays per ingest batch
+        (the multi-chip analogue of DeviceIndex.append_batch; reference
+        reloads are O(changed) via mmap merge manifests,
+        mmap.rs:1081-1300).
+
+        `codes`/`residuals`/`doclens` are the batch encoded against the
+        CURRENT centroids (index.update's buffer-mode encode output) —
+        global doc ids continue the on-disk ordering, so the batch lands
+        at the end of the tail (last non-empty) shard and spills into
+        empty successor shards when the tail's padded rows run out. Grid
+        shapes never change (appends write into the build-time row
+        slack), so the cached search program is not re-keyed.
+
+        Returns the advanced index — sharing every untouched shard buffer
+        with `self`, readers on the old object are unaffected — or None
+        when the append cannot be done in place (immutable construction,
+        a doc longer than the grid token axis, non-addressable shards, or
+        row capacity exhausted); the caller falls back to the
+        storage-is-the-truth reload/re-shard.
+        """
+        from nextplaid_tpu.index.container import (
+            _grid_only_chunk_jit,
+            _round_up as ru,
+        )
+
+        if (
+            self.centroids_host is None
+            or self.weights_host is None
+            or self.doc_base_host is None
+            or self.shard_docs_host is None
+            or self.nbits <= 0
+        ):
+            return None
+        doclens = np.asarray(doclens, np.int64)
+        nb = int(doclens.shape[0])
+        if nb == 0:
+            return self
+        btok = int(doclens.sum())
+        codes = np.asarray(codes)
+        residuals = np.asarray(residuals)
+        if codes.shape[0] != btok or residuals.shape[0] != btok:
+            raise ValueError(
+                f"batch shapes disagree: {codes.shape[0]} codes / "
+                f"{residuals.shape[0]} residuals vs doclens sum {btok}"
+            )
+        is_int8 = self.is_int8
+        td = int(self.grid.shape[3] if is_int8 else self.grid.shape[2])
+        if int(doclens.max()) > td:
+            return None  # longer than the grid token axis: rebuild
+        dim = self.dim
+        if residuals.shape[1] * 8 != dim * self.nbits:
+            raise ValueError(
+                f"residual width {residuals.shape[1]} does not match "
+                f"dim={dim} nbits={self.nbits}"
+            )
+
+        grid_parts = self._ordered_parts(self.grid)
+        scale_parts = self._ordered_parts(self.scales)
+        dl_parts = self._ordered_parts(self.doclens)
+        if grid_parts is None or scale_parts is None or dl_parts is None:
+            return None
+
+        n = self.n_shards
+        rows = int(self.grid.shape[1])
+        tile = 128
+        doc_base = self.doc_base_host.astype(np.int64).copy()
+        shard_docs = self.shard_docs_host.astype(np.int64).copy()
+
+        # Plan (shard, lo, hi) sub-batches: tail shard first, spilling
+        # into empty successors. The padded write (ru(take, tile) rows at
+        # row_offset=shard_docs[s]) must fit inside `rows`, or
+        # dynamic_update_slice would CLAMP the start index backwards over
+        # live docs — so a shard accepts at most floor(free/tile)*tile
+        # docs; the < tile remainder rows strand only on a spill (the
+        # next append targets the new tail shard).
+        nonzero = np.nonzero(shard_docs)[0]
+        s = int(nonzero[-1]) if nonzero.size else 0
+        plan: List[tuple] = []
+        lo = 0
+        while lo < nb:
+            if s >= n:
+                return None  # aggregate row capacity exhausted: re-shard
+            free = rows - int(shard_docs[s])
+            # Even a sub-tile take writes ru(take, tile) padded rows, so
+            # the acceptance capacity is free rounded DOWN to tiles.
+            take = min(nb - lo, (free // tile) * tile)
+            if take > 0:
+                plan.append((s, lo, lo + take))
+                lo += take
+            s += 1
+
+        tok_offsets = np.zeros(nb, np.int64)
+        np.cumsum(doclens[:-1], out=tok_offsets[1:])
+        kind = "int8" if is_int8 else "bf16"
+        grid_parts = list(grid_parts)
+        scale_parts = list(scale_parts)
+        dl_parts = list(dl_parts)
+        for s, a, b in plan:
+            dev = next(iter(grid_parts[s].devices()))
+            consts = self.dev_consts.get(dev)
+            if consts is None:
+                consts = (
+                    jax.device_put(jnp.asarray(self.centroids_host), dev),
+                    jax.device_put(jnp.asarray(self.weights_host), dev),
+                )
+                self.dev_consts[dev] = consts
+            cent_d, wt_d = consts
+            take = b - a
+            cdoc = max(ru(take, tile), tile)
+            sub_tok = int(doclens[a:b].sum())
+            ctok = max(ru(sub_tok, 1 << 15), 1 << 15)
+            codes_p = np.zeros(ctok, np.int32)
+            codes_p[:sub_tok] = codes[
+                tok_offsets[a] : tok_offsets[a] + sub_tok
+            ]
+            res_p = np.zeros((ctok, residuals.shape[1]), np.uint8)
+            res_p[:sub_tok] = residuals[
+                tok_offsets[a] : tok_offsets[a] + sub_tok
+            ]
+            dl_p = np.zeros(cdoc, np.int32)
+            dl_p[:take] = doclens[a:b]
+            offs_p = np.zeros(cdoc, np.int32)
+            offs_p[:take] = tok_offsets[a:b] - tok_offsets[a]
+            row_offset = int(shard_docs[s])
+            with jax.default_device(dev):
+                new_grid, new_scales = _grid_only_chunk_jit(
+                    grid_parts[s][0],
+                    scale_parts[s][0],
+                    jax.device_put(jnp.asarray(codes_p), dev),
+                    jax.device_put(jnp.asarray(res_p), dev),
+                    jax.device_put(jnp.asarray(dl_p), dev),
+                    jax.device_put(jnp.asarray(offs_p), dev),
+                    cent_d,
+                    wt_d,
+                    jnp.asarray(row_offset, jnp.int32),
+                    nbits=self.nbits,
+                    td=td,
+                    tile=tile,
+                    kind=kind,
+                )
+                new_dl = _append_doclens_jit(
+                    dl_parts[s][0],
+                    jax.device_put(jnp.asarray(dl_p), dev),
+                    jnp.asarray(row_offset, jnp.int32),
+                )
+            grid_parts[s] = jax.device_put(new_grid[None], dev)
+            scale_parts[s] = jax.device_put(new_scales[None], dev)
+            dl_parts[s] = jax.device_put(new_dl[None], dev)
+            if shard_docs[s] == 0:
+                doc_base[s] = self.num_documents + a
+            shard_docs[s] += take
+
+        mesh = self.mesh
+
+        def assemble(parts):
+            tail = parts[0].ndim - 1
+            sharding = NamedSharding(mesh, P(DOC_AXIS, *([None] * tail)))
+            gshape = (n, *parts[0].shape[1:])
+            return jax.make_array_from_single_device_arrays(
+                gshape, sharding, parts
+            )
+
+        def put(a, ndim_tail):
+            return jax.device_put(
+                jnp.asarray(a),
+                NamedSharding(mesh, P(DOC_AXIS, *([None] * ndim_tail))),
+            )
+
+        # Empty shards past the new tail keep a doc_base past every live
+        # id so the boundary searchsorted in search_batch_sharded_grid
+        # stays monotone.
+        new_nd = self.num_documents + nb
+        for j in range(n):
+            if shard_docs[j] == 0 and doc_base[j] < new_nd:
+                doc_base[j] = new_nd
+        return ShardedGridIndex(
+            mesh=mesh,
+            grid=assemble(grid_parts),
+            scales=assemble(scale_parts),
+            doclens=assemble(dl_parts),
+            doc_base=put(doc_base.astype(np.int32), 0),
+            shard_docs=put(shard_docs.astype(np.int32), 0),
+            num_documents=new_nd,
+            num_embeddings=self.num_embeddings + btok,
+            centroids_host=self.centroids_host,
+            weights_host=self.weights_host,
+            nbits=self.nbits,
+            doc_base_host=doc_base,
+            shard_docs_host=shard_docs,
+            dev_consts=self.dev_consts,
+        )
+
+
+@functools.partial(jax.jit, donate_argnames=("dl",))
+def _append_doclens_jit(dl, lens_p, row_offset):
+    """Write the batch's doclens column into a shard's [rows, 1] doclens
+    buffer at row_offset (O(batch) h2d; the buffer is donated)."""
+    return jax.lax.dynamic_update_slice(
+        dl, lens_p[:, None].astype(dl.dtype), (row_offset, 0)
+    )
 
 
 _GRID_SEARCH_JIT_CACHE: dict = {}
@@ -948,12 +1190,21 @@ def search_batch_sharded_grid(
         )
 
     rows = sg.grid.shape[1]
-    cap = max(-(-sg.num_documents // sg.n_shards), 1)
     subset_arr = np.zeros((sg.n_shards, rows), bool)
     if subset is not None:
         ids = np.asarray(list(subset), np.int64)
         ids = ids[(ids >= 0) & (ids < sg.num_documents)]
-        subset_arr[ids // cap, ids % cap] = True
+        if sg.doc_base_host is not None and sg.shard_docs_host is not None:
+            # Real shard boundaries — required once append_batch has grown
+            # the tail shard past the uniform build-time split.
+            base = sg.doc_base_host.astype(np.int64)
+            ends = base + sg.shard_docs_host.astype(np.int64)
+            shard_of = np.searchsorted(ends, ids, side="right")
+            shard_of = np.clip(shard_of, 0, sg.n_shards - 1)
+            subset_arr[shard_of, ids - base[shard_of]] = True
+        else:
+            cap = max(-(-sg.num_documents // sg.n_shards), 1)
+            subset_arr[ids // cap, ids % cap] = True
 
     fn = _sharded_grid_search_jit(sg, params.top_k, subset is not None)
     ids, scores = fn(

@@ -316,3 +316,56 @@ def test_grow_warns_when_grid_dropped(tmp_path, caplog, monkeypatch):
         "dropped the pinned token grid" in r.getMessage()
         for r in caplog.records
     )
+
+
+def test_api_ingest_uses_sharded_grid_append(tmp_path, monkeypatch):
+    """serve_mode=sharded_grid: a buffer-mode ingest batch must advance the
+    served ShardedGridIndex in place (append_batch), not re-stream the
+    corpus through shard_grid_only."""
+    import asyncio
+
+    from nextplaid_tpu.api.state import AppState
+    from nextplaid_tpu.parallel.sharded import ShardedGridIndex
+
+    rng = np.random.default_rng(17)
+    docs = [
+        _unit(rng.standard_normal((8, 16))).astype(np.float32)
+        for _ in range(30)
+    ]
+
+    async def run():
+        state = AppState(str(tmp_path / "apidx_sg"))
+        from nextplaid_tpu.api.models import IndexConfigStored
+
+        name = "unit"
+        state.save_config(
+            name, IndexConfigStored(nbits=4, serve_mode="sharded_grid")
+        )
+        state._ingest_sync(name, docs[:20], None)
+        # First search-path access loads the sharded grid lazily.
+        served1 = await state.get_index(name)
+        assert isinstance(served1, ShardedGridIndex)
+
+        calls = {"rebuild": 0}
+        orig = ShardedGridIndex.shard_grid_only.__func__
+
+        def counting(cls, *a, **kw):
+            calls["rebuild"] += 1
+            return orig(cls, *a, **kw)
+
+        monkeypatch.setattr(
+            ShardedGridIndex, "shard_grid_only", classmethod(counting)
+        )
+        cfg = state.get_config(name)
+        cfg.start_from_scratch = 0
+        state._config_cache[name] = cfg
+        state._ingest_sync(name, docs[20:], None)
+        assert calls["rebuild"] == 0, "sharded grid append should not rebuild"
+        served2 = state._indices.get(name)
+        assert isinstance(served2, ShardedGridIndex)
+        assert served2 is not served1
+        assert served2.num_documents == 30
+        assert served1.num_documents == 20  # readers on the old object
+        return True
+
+    assert asyncio.run(run())

@@ -364,3 +364,154 @@ def test_sharded_grid_finds_targets_and_subset(built, grid_sharded):
     for t, r in zip(targets, results):
         assert set(r.passage_ids) <= set(subset)
         assert t in r.passage_ids
+
+
+# ---------------------------------------------------------------------------
+# Sharded grid in-place append (serve_mode=sharded_grid ingest path)
+# ---------------------------------------------------------------------------
+
+
+def _encode_update_batch(docs, path, info=None):
+    """Mutate the on-disk index with a buffer-mode update and return the
+    batch encoded against the CURRENT centroids (what api/state.py's
+    ingest worker receives in info['encoded'])."""
+    from nextplaid_tpu.index.update import UpdateConfig, update_or_create
+
+    info = {} if info is None else info
+    update_or_create(
+        docs,
+        path,
+        update_config=UpdateConfig(
+            start_from_scratch=0, buffer_size=max(100, len(docs) + 1)
+        ),
+        info_out=info,
+    )
+    assert info.get("mode") == "buffer", info
+    return info["encoded"]
+
+
+@pytest.mark.parametrize("dtype", ["bf16", "int8"])
+def test_sharded_grid_append_matches_rebuild(built, dtype, tmp_path):
+    """append_batch must serve the grown corpus identically to a full
+    shard_grid_only rebuild from the mutated index dir (bitwise-equal
+    per-doc grid rows: same decompress jit, same inputs)."""
+    import shutil
+
+    from nextplaid_tpu.parallel import ShardedGridIndex
+
+    docs, _, sindex, src = built
+    path = str(tmp_path / "appendable")
+    shutil.copytree(src, path)
+    mesh = sindex.mesh
+    sg = ShardedGridIndex.shard_grid_only(path, mesh, dtype)
+    nd0, ne0 = sg.num_documents, sg.num_embeddings
+
+    new_docs = make_corpus(num_docs=16, seed=31)
+    codes, residuals, doclens = _encode_update_batch(new_docs, path)
+    sg2 = sg.append_batch(codes, residuals, doclens)
+    assert sg2 is not None
+    assert sg2.num_documents == nd0 + 16
+    assert sg2.num_embeddings == ne0 + int(np.asarray(doclens).sum())
+    # Old object untouched (readers drain on it during the swap).
+    assert sg.num_documents == nd0
+
+    rebuilt = ShardedGridIndex.shard_grid_only(path, mesh, dtype)
+    queries, _ = make_queries(docs, num_queries=4)
+    queries += make_queries(new_docs, num_queries=4, seed=13)[0]
+    a = search_batch_sharded_grid(sg2, queries, SearchParameters(top_k=10))
+    b = search_batch_sharded_grid(
+        rebuilt, queries, SearchParameters(top_k=10)
+    )
+    for ra, rb in zip(a, b):
+        assert len(set(ra.passage_ids) & set(rb.passage_ids)) >= 9, (ra, rb)
+        np.testing.assert_allclose(
+            sorted(ra.scores), sorted(rb.scores), rtol=5e-3, atol=5e-3
+        )
+
+
+def test_sharded_grid_append_finds_new_docs_and_subset(built, tmp_path):
+    """Appended docs are retrievable at their on-disk global ids, and
+    subset filtering maps ids through the REAL (grown) shard boundaries."""
+    import shutil
+
+    from nextplaid_tpu.parallel import ShardedGridIndex
+
+    docs, _, sindex, src = built
+    path = str(tmp_path / "appendable2")
+    shutil.copytree(src, path)
+    sg = ShardedGridIndex.shard_grid_only(path, sindex.mesh, "int8")
+    nd0 = sg.num_documents
+
+    new_docs = make_corpus(num_docs=12, seed=97)
+    sg = sg.append_batch(*_encode_update_batch(new_docs, path))
+    assert sg is not None
+    queries, targets = make_queries(new_docs, num_queries=6, seed=5)
+    targets = [t + nd0 for t in targets]
+    res = search_batch_sharded_grid(sg, queries, SearchParameters(top_k=10))
+    hits = sum(t in r.passage_ids for t, r in zip(targets, res))
+    assert hits >= 5, (targets, [r.passage_ids for r in res])
+    # Subset restricted to appended ids only.
+    subset = list(range(nd0, nd0 + 12))
+    res = search_batch_sharded_grid(
+        sg, queries, SearchParameters(top_k=5), subset=subset
+    )
+    for t, r in zip(targets, res):
+        assert r.passage_ids and set(r.passage_ids) <= set(subset)
+        assert t in r.passage_ids
+
+
+def test_sharded_grid_append_spills_into_empty_shards(tmp_path):
+    """A tiny corpus leaves empty tail shards; a large append fills the
+    tail shard's padded rows and spills the remainder into empty
+    successors with correct global-id bases."""
+    from nextplaid_tpu.parallel import ShardedGridIndex
+
+    docs = make_corpus(num_docs=10, seed=3)
+    path = str(tmp_path / "tiny")
+    create_index(docs, path, IndexConfig(nbits=4, seed=42))
+    mesh = make_mesh()
+    sg = ShardedGridIndex.shard_grid_only(path, mesh, "bf16")
+    assert int(np.count_nonzero(sg.shard_docs_host)) < sg.n_shards
+
+    # rows = ru(cap,128)+cdoc_pad — the tail shard accepts at most
+    # floor(free/128)*128; 200 new docs must spill.
+    rows = sg.grid.shape[1]
+    new_docs = make_corpus(num_docs=int(rows), seed=19)
+    sg2 = sg.append_batch(*_encode_update_batch(new_docs, path))
+    assert sg2 is not None
+    assert sg2.num_documents == 10 + rows
+    assert int(np.count_nonzero(sg2.shard_docs_host)) > int(
+        np.count_nonzero(sg.shard_docs_host)
+    )
+    # Boundaries stay contiguous & monotone.
+    base, cnt = sg2.doc_base_host, sg2.shard_docs_host
+    live = cnt > 0
+    ends = (base + cnt)[live]
+    assert list(ends) == sorted(ends)
+    assert int(ends[-1]) == sg2.num_documents
+    queries, targets = make_queries(new_docs, num_queries=6, seed=23)
+    res = search_batch_sharded_grid(sg2, queries, SearchParameters(top_k=10))
+    hits = sum((t + 10) in r.passage_ids for t, r in zip(targets, res))
+    assert hits >= 5
+
+
+def test_sharded_grid_append_declines_when_oversized(built, tmp_path):
+    """Docs longer than the grid token axis and hand-built (immutable)
+    constructions decline in-place append -> caller re-shards."""
+    import dataclasses
+    import shutil
+
+    from nextplaid_tpu.parallel import ShardedGridIndex
+
+    docs, _, sindex, src = built
+    path = str(tmp_path / "appendable3")
+    shutil.copytree(src, path)
+    sg = ShardedGridIndex.shard_grid_only(path, sindex.mesh, "bf16")
+    td = sg.grid.shape[2]
+    rng = np.random.default_rng(0)
+    long_doc = rng.standard_normal((td + 1, 32)).astype(np.float32)
+    long_doc /= np.linalg.norm(long_doc, axis=1, keepdims=True)
+    codes, residuals, doclens = _encode_update_batch([long_doc], path)
+    assert sg.append_batch(codes, residuals, doclens) is None
+    immutable = dataclasses.replace(sg, centroids_host=None)
+    assert immutable.append_batch(codes, residuals, doclens) is None
