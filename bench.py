@@ -269,6 +269,26 @@ def main():
     )
 
 
+def _device_reachable(timeout_s=180):
+    """Probe accelerator liveness in a short-lived child. The axon tunnel
+    fails two ways: transient worker CRASH (child exits non-zero; a fresh
+    process recovers) and tunnel OUTAGE (jax.devices() hangs forever —
+    observed >120 s with zero load; round-3 notes). Only a hard-killed
+    child distinguishes the hang."""
+    import subprocess
+    import sys
+
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c", "import jax; print(len(jax.devices()))"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return rc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _run_with_retry():
     """Re-exec main() in a child process; retry once on failure.
 
@@ -276,15 +296,56 @@ def _run_with_retry():
     TPU worker process crashed") and recovers only in a FRESH process
     (NOTES_ROUND2.md) — a parent/child split makes one retry possible at
     all. The child's stdout passes through so the driver still sees
-    exactly one JSON line from the successful attempt."""
+    exactly one JSON line from the successful attempt.
+
+    Before any attempt, the accelerator is probed with a bounded timeout:
+    a hung tunnel would otherwise stall the child forever and the driver
+    would record NOTHING. Unreachable -> poll for up to ~15 min, then
+    emit one explanatory JSON line (value 0) so the outage is recorded as
+    an outage, not silence."""
     import subprocess
     import sys
     import time
 
+    probe_deadline = time.time() + 900
+    while not _device_reachable():
+        if time.time() > probe_deadline:
+            print(
+                json.dumps(
+                    {
+                        "metric": "search_qps",
+                        "value": 0.0,
+                        "unit": "queries/s",
+                        "vs_baseline": 0.0,
+                        "detail": {
+                            "error": "accelerator unreachable: "
+                            "jax.devices() probe timed out repeatedly over "
+                            "15 min (axon tunnel outage); no measurement "
+                            "possible this run",
+                        },
+                    }
+                ),
+                flush=True,
+            )
+            return
+        print(
+            "bench: accelerator unreachable (probe timed out); "
+            "re-probing in 60s",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(60)
+
     env = dict(os.environ, _BENCH_CHILD="1")
     for attempt in (1, 2):
-        rc = subprocess.call([sys.executable, os.path.abspath(__file__)],
-                             env=env)
+        try:
+            rc = subprocess.call(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                timeout=2400,
+            )
+        except subprocess.TimeoutExpired:
+            rc = -9  # mid-run tunnel hang: child killed, retry fresh
         if rc == 0:
             return
         print(
