@@ -1183,6 +1183,47 @@ def choose_bucket_tds(
     return sorted(tds)
 
 
+def _device_hbm_bytes() -> Optional[int]:
+    """Best-effort HBM capacity of the default device.
+
+    Returns None when the backend doesn't report one (CPU test meshes) —
+    the pre-flight fit check is then skipped and allocation failures
+    surface from the allocator as usual."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return None
+
+
+def _require_grid_fits(grid_bytes: int, staging_bytes: int) -> None:
+    """Raise StorageError before allocating a grid that cannot fit HBM.
+
+    Without this, an over-budget load_grid_only dies minutes into the
+    chunk-streamed build with a raw XLA RESOURCE_EXHAUSTED dump (observed:
+    the 72M-embedding single-Td int8 grid at 15.7 GB + chunk staging vs a
+    16 GB v5e). The projected footprint is grid(s) + the peak transient
+    staging of one padded chunk; anything else the build holds is small."""
+    limit = _device_hbm_bytes()
+    if limit is None:
+        return
+    need = grid_bytes + staging_bytes
+    if need > limit:
+        from nextplaid_tpu.utils.errors import StorageError
+
+        raise StorageError(
+            f"grid-only load needs ~{need >> 20} MB "
+            f"(grid {grid_bytes >> 20} MB + chunk staging "
+            f"{staging_bytes >> 20} MB) but the device reports "
+            f"{limit >> 20} MB HBM. Options: dtype='int8' (half the bf16 "
+            "grid), buckets>1 (cuts Td padding), shard across chips "
+            "(parallel.ShardedGridIndex / shard_grid_only), or serve "
+            "unpinned via DeviceIndex.load (staged/exhaustive modes)."
+        )
+
+
 def load_grid_only(
     index_path: str,
     dtype: str = "int8",
@@ -1324,6 +1365,13 @@ def load_grid_only(
         # ever clamps; the slack rows stay zero and are masked by the
         # n_docs bound at search time.
         nd_grid = ((nd_pad + 512 + tile - 1) // tile) * tile + cdoc_pad
+        slot_bytes = dim + 2 if dtype == "int8" else dim * 2
+        _require_grid_fits(
+            nd_grid * td * slot_bytes,
+            ctok_pad * (4 + packed_dim)
+            + cdoc_pad * td * slot_bytes
+            + (256 << 20),
+        )
         if dtype == "bf16":
             grid = jnp.zeros((nd_grid, td, dim), jnp.bfloat16)
             scales = jnp.zeros((0, 0), jnp.bfloat16)
@@ -1402,6 +1450,13 @@ def load_grid_only(
         + cdoc_pads[b]
         for b in range(n_b)
     ]
+    slot_bytes = dim + 2 if dtype == "int8" else dim * 2
+    _require_grid_fits(
+        sum(rows_b[b] * tds[b] for b in range(n_b)) * slot_bytes,
+        ctok_pad * (4 + packed_dim)
+        + max(cdoc_pads[b] * tds[b] for b in range(n_b)) * slot_bytes
+        + (256 << 20),
+    )
     grids = []
     scale_grids = []
     for b in range(n_b):

@@ -283,6 +283,34 @@ def test_load_grid_only_matches_pinned(corpus, tmp_path):
         search_batch(go, queries, SearchParameters(top_k=5, mode="staged"))
 
 
+def test_load_grid_only_hbm_preflight(corpus, tmp_path, monkeypatch):
+    """An over-HBM grid must fail fast with an actionable StorageError
+    before any device allocation, not minutes later with a raw XLA
+    RESOURCE_EXHAUSTED dump (observed on the 72M single-Td int8 grid:
+    15.7 GB grid vs 16 GB v5e). Backends that don't report a limit skip
+    the check (None -> allocate and let the allocator decide)."""
+    from nextplaid_tpu.index import container, load_grid_only
+    from nextplaid_tpu.utils.errors import StorageError
+
+    docs, _ = corpus
+    path = str(tmp_path / "idx")
+    sample = jnp.asarray(np.concatenate(docs))
+    create_index_streamed(
+        _chunks(docs), path, IndexConfig(nbits=2, seed=0),
+        sample_tokens=sample,
+        est_total_tokens=sum(d.shape[0] for d in docs),
+    )
+
+    monkeypatch.setattr(container, "_device_hbm_bytes", lambda: 1 << 20)
+    for buckets in (1, 4):
+        with pytest.raises(StorageError, match="grid-only load needs"):
+            load_grid_only(path, dtype="int8", buckets=buckets)
+
+    monkeypatch.setattr(container, "_device_hbm_bytes", lambda: 1 << 40)
+    go = load_grid_only(path, dtype="int8")
+    assert go.grid_only
+
+
 def test_exact_search_split_matches_pipeline(corpus, tmp_path):
     """The mega-grid split-dispatch path must produce the same results as
     the fused exact pipeline (it exists only to dodge a compile hang)."""
