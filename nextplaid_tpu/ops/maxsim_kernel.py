@@ -88,7 +88,7 @@ def _kernel(qt_ref, grid_ref, lens_ref, out_ref, *, tq: int):
 
 
 def _kernel_int8t(q_ref, grid_ref, lens_ref, dscale_ref, qscale_ref, out_ref,
-                  *, tq: int):
+                  *, tq: int, sub: int = 1):
     """TRANSPOSED int8 grid step: doc-major [dblk, d, Td] blocks.
 
     q_ref:      [Qf, d]       int8 (row-major queries — no transpose needed)
@@ -104,14 +104,19 @@ def _kernel_int8t(q_ref, grid_ref, lens_ref, dscale_ref, qscale_ref, out_ref,
     out_ref:    [Q, dblk]     f32 — the output grid writes [Q, ND] columns
                                directly; no final transpose
 
-    Per doc: sim = q_i8 @ doc_tile -> [Qf, Td] i32 on the int8 MXU; scale
-    by dscale[k], mask invalid token LANES, max over lanes -> [Qf, 1];
-    ACCUMULATE the column into a single [Qf, dblk] buffer through a one-hot
-    lane mask. (The earlier formulation collected dblk separate [Qf, 1]
-    columns and concatenated at the end — each [Qf, 1] pads to a full
-    128-lane VMEM tile, so 128 of them held ~1 MB x 128 = the whole ~52 MB
-    scoped-VMEM blowup that kept this kernel interpret-only in round 2.
-    With the accumulator, per-doc temporaries die every iteration.)
+    Per step of `sub` docs: their [d, Td] tiles concatenate along LANES
+    into one [d, sub*Td] panel, so ONE int8 MXU dot scores sub docs —
+    q_i8 @ panel -> [Qf, sub*Td] i32. (With sub=1 this is the original
+    one-dot-per-doc loop; wider panels amortize the dot issue overhead
+    that made the per-doc loop the kernel's bound.) Scale by the
+    lane-concatenated dscale rows, mask invalid token LANES via
+    lane-position % Td against each doc's len, then per-doc max over its
+    Td lane slice -> [Qf, 1]; ACCUMULATE each column into a single
+    [Qf, dblk] buffer through a one-hot lane mask. (Collecting dblk
+    separate [Qf, 1] columns and concatenating at the end padded each to
+    a full 128-lane VMEM tile — the ~52 MB scoped-VMEM blowup that kept
+    this kernel interpret-only in round 2. With the accumulator,
+    per-iteration temporaries die every step.)
     Finally multiply by qscale and reduce query tokens with the indicator
     matmul G^T [Q, Qf].
     """
@@ -120,22 +125,43 @@ def _kernel_int8t(q_ref, grid_ref, lens_ref, dscale_ref, qscale_ref, out_ref,
     q_n = qf // tq
     q = q_ref[:]
 
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, td), 1)
     blk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, dblk), 1)
+    # Lane position within each doc's Td span of the widened panel.
+    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (1, sub * td), 1) % td
     acc = jnp.zeros((qf, dblk), jnp.float32)
-    for k in range(dblk):
-        doc = grid_ref[k]  # [d, Td]
-        sim_i = jnp.dot(q, doc, preferred_element_type=jnp.int32)  # [Qf, Td]
-        dsc = dscale_ref[k : k + 1].astype(jnp.float32)  # [1, Td]
-        doc_len = lens_ref[k, 0]
+    for s in range(dblk // sub):
+        ks = range(s * sub, (s + 1) * sub)
+        panel = (
+            grid_ref[s * sub]
+            if sub == 1
+            else jnp.concatenate([grid_ref[k] for k in ks], axis=1)
+        )  # [d, sub*Td]
+        sim_i = jnp.dot(
+            q, panel, preferred_element_type=jnp.int32
+        )  # [Qf, sub*Td]
+        dsc = jnp.concatenate(
+            [dscale_ref[k : k + 1] for k in ks], axis=1
+        ).astype(jnp.float32) if sub > 1 else dscale_ref[
+            s : s + 1
+        ].astype(jnp.float32)  # [1, sub*Td]
+        len_w = jnp.concatenate(
+            [
+                jnp.full((1, td), lens_ref[k, 0], jnp.int32)
+                for k in ks
+            ],
+            axis=1,
+        ) if sub > 1 else jnp.full((1, td), lens_ref[s * sub, 0], jnp.int32)
         masked = jnp.where(
-            lane_iota < doc_len,
+            pos_iota < len_w,
             sim_i.astype(jnp.float32) * dsc,
             jnp.float32(NEG),
         )
-        m = jnp.max(masked, axis=1, keepdims=True)  # [Qf, 1]
-        m = jnp.where(m > NEG / 2, m, 0.0)
-        acc = acc + jnp.where(blk_iota == k, m, 0.0)  # [Qf, dblk]
+        for j, k in enumerate(ks):
+            m = jnp.max(
+                masked[:, j * td : (j + 1) * td], axis=1, keepdims=True
+            )  # [Qf, 1]
+            m = jnp.where(m > NEG / 2, m, 0.0)
+            acc = acc + jnp.where(blk_iota == k, m, 0.0)  # [Qf, dblk]
     scores = acc * qscale_ref[:]
     g = (
         jax.lax.broadcasted_iota(jnp.int32, (q_n, qf), 0)
@@ -147,7 +173,7 @@ def _kernel_int8t(q_ref, grid_ref, lens_ref, dscale_ref, qscale_ref, out_ref,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("tq", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tq", "interpret", "sub"))
 def maxsim_grid_scores_int8t(
     queries_i8: jax.Array,  # [Q*Tq, d] int8, zero rows for padded tokens
     qscales: jax.Array,  # [Q*Tq] f32 per-query-token scales (0 for padding)
@@ -156,6 +182,7 @@ def maxsim_grid_scores_int8t(
     dscales: jax.Array,  # [ND, Td] f32/bf16 (0 for invalid tokens)
     tq: int,
     interpret: bool = False,
+    sub: int = 1,
 ) -> jax.Array:
     """Exhaustive MaxSim scores [Q, ND] over a TRANSPOSED int8 grid.
 
@@ -164,7 +191,9 @@ def maxsim_grid_scores_int8t(
     Mosaic limit below. Measured at production shapes (Q=64, Tq=32, Td=384,
     5632 docs): p50 31.7 ms = 35.7 TFLOPS on the int8 MXU — 2x the bf16
     kernel (61-95 ms) and faster than the 33.5 ms XLA one-big-dot floor for
-    the same contraction; bit-exact vs interpret mode."""
+    the same contraction; bit-exact vs interpret mode. `sub` > 1 scores
+    that many docs per MXU dot by lane-concatenating their [d, Td] tiles
+    (bit-exact vs sub=1; see _kernel_int8t)."""
     nd, d, td = grid_t.shape
     qf = queries_i8.shape[0]
     q_n = qf // tq
@@ -173,9 +202,10 @@ def maxsim_grid_scores_int8t(
     # nd to a multiple of 128 by construction.
     dblk = 128
     assert nd % dblk == 0, f"int8 grid rows {nd} not a multiple of {dblk}"
+    assert dblk % sub == 0, f"sub {sub} must divide dblk {dblk}"
 
     out = pl.pallas_call(
-        functools.partial(_kernel_int8t, tq=tq),
+        functools.partial(_kernel_int8t, tq=tq, sub=sub),
         out_shape=jax.ShapeDtypeStruct((q_n, nd), jnp.float32),
         grid=(nd // dblk,),
         in_specs=[
