@@ -119,6 +119,14 @@ class SearchParameters:
     # on TPU backends when the grid is pinned; "pallas" forces it (interpret
     # mode off-TPU is for tests only); "off" keeps the XLA scan path.
     kernel: str = "auto"
+    # Grid-only refinement rerank (int8 grids loaded with
+    # load_grid_only(refine=True)): the kernel returns this many candidates
+    # per query, which are then re-scored EXACTLY by decompressing their
+    # residual codes from the host-resident compressed arrays (reference
+    # exact-rerank semantics, search.rs:460-493 — f32-true scores on top of
+    # the int8 recall stage). 0 = auto (4 x top_k, min 32) when the index
+    # carries refine data; -1 disables refinement.
+    refine_depth: int = 0
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

@@ -91,13 +91,15 @@ class DeviceIndex:
     bucket_weights: jax.Array  # [2^nbits] f32
     avg_residual: jax.Array  # [d] f32
     # Optional pinned decompressed corpus. bf16 layout: [ndocs_grid, Td, d].
-    # int8 layout: TRANSPOSED doc tiles [ndocs_grid, d, Td] (tokens on
-    # lanes — see ops/maxsim_kernel.py _kernel_int8t). Built at load when it
-    # fits the HBM budget; lets exhaustive search skip the per-batch
-    # decompress entirely (dynamic-slice + MXU einsum / fused kernel).
+    # int8 layout: token-INTERLEAVED 128-doc groups [ndocs_grid/128, d,
+    # 128*Td] with lane l = t*128 + j (see ops/maxsim_kernel.py
+    # _kernel_int8i). Built at load when it fits the HBM budget; lets
+    # exhaustive search skip the per-batch decompress entirely
+    # (dynamic-slice + MXU einsum / fused kernel).
     token_grid: Optional[jax.Array] = None
-    # Per-token dequantization scales [ndocs_grid, Td] bf16 — present
-    # iff token_grid is int8 (token ~= int8_row * scale).
+    # Per-token dequantization scales, interleaved like the grid
+    # [ndocs_grid/128, 128*Td] bf16 — present iff token_grid is int8
+    # (token ~= int8_row * scale; 0 marks an invalid token).
     token_scales: Optional[jax.Array] = None
     # Optional RQ factored centroid structure (ops/rq.py): present when the
     # index was built with centroid_structure="rq" (huge-K regime). The flat
@@ -217,13 +219,22 @@ class DeviceIndex:
         return _grid_td_for(self.max_doclen, dtype)
 
     def grid_token_axis(self) -> int:
-        """Td of the pinned grid, layout-independent (bf16 axis 1, int8
-        transposed axis 2)."""
+        """Td of the pinned grid, layout-independent (bf16 axis 1; int8 is
+        token-interleaved [NB, d, 128*Td], so Td = axis 2 / 128)."""
         assert self.token_grid is not None
         return (
-            self.token_grid.shape[2]
+            self.token_grid.shape[2] // 128
             if self.token_scales is not None
             else self.token_grid.shape[1]
+        )
+
+    def grid_doc_rows(self) -> int:
+        """Doc rows of the pinned grid (int8 groups hold 128 docs each)."""
+        assert self.token_grid is not None
+        return (
+            self.token_grid.shape[0] * 128
+            if self.token_scales is not None
+            else self.token_grid.shape[0]
         )
 
     @property
@@ -234,6 +245,13 @@ class DeviceIndex:
     @property
     def grid_is_int8(self) -> bool:
         return self.token_scales is not None or bool(self.scale_buckets)
+
+    @property
+    def refine_host(self) -> Optional["HostRefineData"]:
+        """Host-resident compressed corpus for the grid-only refinement
+        rerank (`load_grid_only(refine=True)`), or None. Refinement only
+        pays off on int8 grids (a bf16 grid is already oracle-exact)."""
+        return getattr(self, "_refine_host", None)
 
     def grid_bytes(self, dtype: str = "bf16") -> int:
         return _grid_bytes_for(
@@ -902,19 +920,17 @@ def _append_jit(
             grid = jax.lax.dynamic_update_slice(
                 grid, emb.astype(jnp.bfloat16), (n_docs, 0, 0)
             )
-        else:  # int8 transposed tiles + per-token scales
+        else:  # int8 interleaved groups + per-token scales
             maxabs = jnp.max(jnp.abs(emb), axis=-1)
             scale = jnp.where(maxabs > 0, maxabs / 127.0, 1.0)
             q = jnp.clip(jnp.round(emb / scale[:, :, None]), -127, 127)
-            grid = jax.lax.dynamic_update_slice(
+            grid, scales = _write_int8_groups(
                 grid,
-                q.astype(jnp.int8).transpose(0, 2, 1),
-                (n_docs, 0, 0),
-            )
-            scales = jax.lax.dynamic_update_slice(
                 scales,
+                q.astype(jnp.int8),
                 jnp.where(tok_valid, scale, 0.0).astype(jnp.bfloat16),
-                (n_docs, 0),
+                n_docs,
+                td,
             )
     return codes, residuals, doclens, doc_offsets, grid, scales
 
@@ -982,26 +998,26 @@ def _build_token_grid_int8_jit(
         maxabs = jnp.max(jnp.abs(emb), axis=-1)  # [tile, td]
         scale = jnp.where(maxabs > 0, maxabs / 127.0, 1.0)
         q = jnp.clip(jnp.round(emb / scale[:, :, None]), -127, 127)
-        # TRANSPOSED doc tiles [tile, d, Td]: the int8 kernel needs d on
-        # sublanes / tokens on lanes so the per-token dequant scale is a
-        # natural lane broadcast (ops/maxsim_kernel.py _kernel_int8t).
+        # Token-INTERLEAVED 128-doc group: [128, td, d] -> [d, 128*td] with
+        # lane l = t*128 + j (ops/maxsim_kernel.py _kernel_int8i — the
+        # interleave turns the kernel's per-doc max into a strided lane
+        # tree-reduce). tile == 128 by contract here.
         return None, (
-            q.astype(jnp.int8).transpose(0, 2, 1),
-            jnp.where(tok_valid, scale, 0.0).astype(jnp.bfloat16),
+            q.astype(jnp.int8).transpose(2, 1, 0).reshape(emb.shape[-1], -1),
+            jnp.where(tok_valid, scale, 0.0)
+            .astype(jnp.bfloat16)
+            .transpose(1, 0)
+            .reshape(-1),
         )
 
     starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
     _, (tiles, scales) = jax.lax.scan(build_tile, None, starts)
-    d = tiles.shape[-2]
-    return (
-        tiles.reshape(n_tiles * tile, d, td),
-        scales.reshape(n_tiles * tile, td),
-    )
+    return tiles, scales  # [NB, d, 128*td], [NB, 128*td]
 
 
 def _build_token_grid_int8(index: "DeviceIndex", td: int):
-    """TRANSPOSED int8 token grid [nd, d, Td] + per-token bf16 scales
-    [nd, Td] (see with_token_grid)."""
+    """Token-interleaved int8 grid [NB, d, 128*Td] + per-token bf16 scales
+    [NB, 128*Td] (see with_token_grid and _kernel_int8i)."""
     return _build_token_grid_int8_jit(
         index.codes,
         index.residuals,
@@ -1060,6 +1076,15 @@ def _grid_only_chunk_jit(
     tok_offs_c gives each doc's first-token position in the chunk token
     arrays explicitly, so callers can select a SUBSET of a chunk's docs
     (bucketed grids) — the gather handles non-contiguity for free.
+
+    The int8 grid is token-INTERLEAVED 128-doc groups [NB, d, 128*Td]
+    (ops/maxsim_kernel.py _kernel_int8i). row_offset is NOT group-aligned
+    in general, so the int8 branch is SELF-CARRYING: it reads the partial
+    group at row_offset//128 back out of the grid (un-interleave), packs
+    the chunk's quantized rows behind the carried rows, and rewrites whole
+    interleaved groups — bit-exact, since carried rows are the already-
+    quantized int8 values. Callers therefore need (cdoc_pad + 128) rows of
+    tail slack so the group writes never clamp.
     """
     from nextplaid_tpu.ops import codec as codec_ops
 
@@ -1086,7 +1111,7 @@ def _grid_only_chunk_jit(
         scale = jnp.where(maxabs > 0, maxabs / 127.0, 1.0)
         q = jnp.clip(jnp.round(emb / scale[:, :, None]), -127, 127)
         return None, (
-            q.astype(jnp.int8).transpose(0, 2, 1),
+            q.astype(jnp.int8),
             jnp.where(tok_valid, scale, 0.0).astype(jnp.bfloat16),
         )
 
@@ -1094,12 +1119,59 @@ def _grid_only_chunk_jit(
     _, (tiles, sc) = jax.lax.scan(build_tile, None, starts)
     if kind == "bf16":
         rows = tiles.reshape(n_tiles * tile, td, -1)
-    else:
-        rows = tiles.reshape(n_tiles * tile, -1, td)
-        scales = jax.lax.dynamic_update_slice(
-            scales, sc.reshape(n_tiles * tile, td), (row_offset, 0)
-        )
-    grid = jax.lax.dynamic_update_slice(grid, rows, (row_offset, 0, 0))
+        grid = jax.lax.dynamic_update_slice(grid, rows, (row_offset, 0, 0))
+        return grid, scales
+
+    dim = grid.shape[1]
+    q_all = tiles.reshape(n_tiles * tile, td, dim)  # [cdoc_pad, td, d] int8
+    sc_all = sc.reshape(n_tiles * tile, td)
+    return _write_int8_groups(grid, scales, q_all, sc_all, row_offset, td)
+
+
+def _write_int8_groups(grid, scales, q_all, sc_all, row_offset, td: int):
+    """Write quantized doc rows into the token-interleaved int8 grid.
+
+    grid [NB, d, 128*Td] / scales [NB, 128*Td]; q_all [n, Td, d] int8 /
+    sc_all [n, Td] bf16 are standard per-doc rows destined for doc rows
+    [row_offset, row_offset + n). row_offset is arbitrary (traced): the
+    partial group at row_offset//128 is read back from the grid
+    (un-interleaved — bit-exact, the carried values are already int8),
+    the new rows are packed behind the carried ones, and whole interleaved
+    groups are rewritten. Writes n//128 + 1 groups from row_offset//128;
+    callers must leave that much group slack so the update never clamps.
+    """
+    dim = grid.shape[1]
+    n = q_all.shape[0]
+    g0 = row_offset // 128
+    c = row_offset % 128
+    prev_q = (
+        jax.lax.dynamic_slice(grid, (g0, 0, 0), (1, dim, 128 * td))[0]
+        .reshape(dim, td, 128)
+        .transpose(2, 1, 0)
+    )  # [128, td, d]
+    prev_sc = (
+        jax.lax.dynamic_slice(scales, (g0, 0), (1, 128 * td))[0]
+        .reshape(td, 128)
+        .transpose(1, 0)
+    )  # [128, td]
+    n_full = _round_up(n, 128) + 128
+    full_q = jnp.zeros((n_full, td, dim), jnp.int8)
+    full_q = jax.lax.dynamic_update_slice(full_q, prev_q, (0, 0, 0))
+    full_q = jax.lax.dynamic_update_slice(full_q, q_all, (c, 0, 0))
+    full_sc = jnp.zeros((n_full, td), jnp.bfloat16)
+    full_sc = jax.lax.dynamic_update_slice(full_sc, prev_sc, (0, 0))
+    full_sc = jax.lax.dynamic_update_slice(full_sc, sc_all, (c, 0))
+    ng = n_full // 128
+    blocks = (
+        full_q.reshape(ng, 128, td, dim)
+        .transpose(0, 3, 2, 1)
+        .reshape(ng, dim, td * 128)
+    )
+    sc_blocks = (
+        full_sc.reshape(ng, 128, td).transpose(0, 2, 1).reshape(ng, td * 128)
+    )
+    grid = jax.lax.dynamic_update_slice(grid, blocks, (g0, 0, 0))
+    scales = jax.lax.dynamic_update_slice(scales, sc_blocks, (g0, 0))
     return grid, scales
 
 
@@ -1224,6 +1296,60 @@ def _require_grid_fits(grid_bytes: int, staging_bytes: int) -> None:
         )
 
 
+class HostRefineData:
+    """Host-resident compressed corpus for the grid-only refinement rerank.
+
+    At grid-only scale the codes/residuals cannot share HBM with the grid,
+    but they fit host RAM trivially (and are kept as np mmaps of the chunk
+    files, so untouched pages never materialize). `gather` pulls the token
+    rows of a candidate set so the refine jit can decompress and re-score
+    them EXACTLY — lifting int8-grid recall back to the bf16-oracle level
+    (reference exact-rerank semantics: search.rs:460-493).
+    """
+
+    def __init__(self, chunk_codes, chunk_residuals, chunk_doc_starts,
+                 chunk_tok_starts, doc_offsets, doclens):
+        self.chunk_codes = chunk_codes  # list of [ctok_i] mmaps
+        self.chunk_residuals = chunk_residuals  # list of [ctok_i, pd] mmaps
+        self.chunk_doc_starts = chunk_doc_starts  # [nchunks+1] i64
+        self.chunk_tok_starts = chunk_tok_starts  # [nchunks+1] i64
+        self.doc_offsets = doc_offsets  # [nd(+pad)] i64, global token offs
+        self.doclens = doclens  # [nd] i32
+
+    def gather(self, doc_ids: np.ndarray):
+        """Token rows for `doc_ids` (valid, any order) concatenated in the
+        given doc order. Returns (codes [T] i32, residuals [T, pd] u8,
+        lens [n] i32)."""
+        ids = np.asarray(doc_ids, np.int64)
+        lens = self.doclens[ids].astype(np.int64)
+        total = int(lens.sum())
+        pd = self.chunk_residuals[0].shape[1] if self.chunk_residuals else 0
+        codes = np.empty(total, np.int32)
+        res = np.empty((total, pd), np.uint8)
+        chunk_of = (
+            np.searchsorted(self.chunk_doc_starts, ids, side="right") - 1
+        )
+        out_offs = np.zeros(len(ids) + 1, np.int64)
+        np.cumsum(lens, out=out_offs[1:])
+        for c in np.unique(chunk_of):
+            sel = np.nonzero(chunk_of == c)[0]
+            local_start = (
+                self.doc_offsets[ids[sel]] - self.chunk_tok_starts[c]
+            )
+            lsel = lens[sel]
+            # Flat token index into chunk c for every selected doc's tokens.
+            n_tok = int(lsel.sum())
+            base = np.repeat(local_start, lsel)
+            within = np.arange(n_tok, dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(lsel[:-1])]), lsel
+            )
+            tok_idx = base + within
+            dst = np.repeat(out_offs[sel], lsel) + within
+            codes[dst] = np.asarray(self.chunk_codes[c])[tok_idx]
+            res[dst] = np.asarray(self.chunk_residuals[c])[tok_idx]
+        return codes, res, lens.astype(np.int32)
+
+
 def load_grid_only(
     index_path: str,
     dtype: str = "int8",
@@ -1231,6 +1357,7 @@ def load_grid_only(
     buckets: int = 4,
     bucket_min_gain: float = 0.08,
     bucket_row_pad: int = 128,
+    refine: bool = True,
 ) -> "DeviceIndex":
     """Load an index for EXACT-ONLY serving: stream the on-disk chunks
     through the decompress+quantize pipeline into a pinned token grid, with
@@ -1311,6 +1438,27 @@ def load_grid_only(
     doc_offsets = np.zeros(nd_pad + 1, np.int64)
     np.cumsum(doclens_p, out=doc_offsets[1:])
 
+    refine_data = None
+    if refine and nd > 0:
+        cds = np.zeros(meta.num_chunks + 1, np.int64)
+        cts = np.zeros(meta.num_chunks + 1, np.int64)
+        np.cumsum([len(d) for d in doclens_list], out=cds[1:])
+        np.cumsum([int(d.sum()) for d in doclens_list], out=cts[1:])
+        refine_data = HostRefineData(
+            chunk_codes=[
+                load_npy(layout.chunk_codes(i))
+                for i in range(meta.num_chunks)
+            ],
+            chunk_residuals=[
+                load_npy(layout.chunk_residuals(i))
+                for i in range(meta.num_chunks)
+            ],
+            chunk_doc_starts=cds,
+            chunk_tok_starts=cts,
+            doc_offsets=doc_offsets,
+            doclens=doclens_all,
+        )
+
     common = dict(
         centroids=centroids,
         codes=jnp.zeros((0,), jnp.int32),
@@ -1355,29 +1503,35 @@ def load_grid_only(
             tile,
         )
         # Row geometry: capacity + 512 slack rounded to the build tile (so
-        # search windows never clamp) + cdoc_pad EXTRA slack rows. The
-        # extra slack is load-bearing: each chunk dispatch writes a fixed
-        # cdoc_pad rows (real docs + zero padding); the padding of chunk i
-        # is overwritten by chunk i+1, but the LAST chunk's padding runs
-        # past the live rows, and dynamic_update_slice CLAMPS an
-        # out-of-bounds write start — silently shifting the last chunk's
-        # rows backward over earlier docs. With cdoc_pad slack no write
+        # search windows never clamp) + cdoc_pad + 128 EXTRA slack rows.
+        # The extra slack is load-bearing: each chunk dispatch writes a
+        # fixed cdoc_pad rows (real docs + zero padding; the int8 branch
+        # additionally rewrites the carried partial group, hence +128); the
+        # padding of chunk i is overwritten by chunk i+1, but the LAST
+        # chunk's padding runs past the live rows, and dynamic_update_slice
+        # CLAMPS an out-of-bounds write start — silently shifting the last
+        # chunk's rows backward over earlier docs. With the slack no write
         # ever clamps; the slack rows stay zero and are masked by the
         # n_docs bound at search time.
-        nd_grid = ((nd_pad + 512 + tile - 1) // tile) * tile + cdoc_pad
+        nd_grid = ((nd_pad + 512 + tile - 1) // tile) * tile + cdoc_pad + 128
         slot_bytes = dim + 2 if dtype == "int8" else dim * 2
-        _require_grid_fits(
-            nd_grid * td * slot_bytes,
+        # Staging transients per chunk dispatch: the padded chunk arrays,
+        # one decompress tile in f32 ([tile, td, dim] inside the scan),
+        # and for int8 the pack+interleave copies (~3x the chunk's rows:
+        # scan output, the packed full_q, the interleaved blocks).
+        staging = (
             ctok_pad * (4 + packed_dim)
-            + cdoc_pad * td * slot_bytes
-            + (256 << 20),
+            + tile * td * dim * 4
+            + cdoc_pad * td * slot_bytes * (3 if dtype == "int8" else 1)
+            + (128 << 20)
         )
+        _require_grid_fits(nd_grid * td * slot_bytes, staging)
         if dtype == "bf16":
             grid = jnp.zeros((nd_grid, td, dim), jnp.bfloat16)
             scales = jnp.zeros((0, 0), jnp.bfloat16)
         else:
-            grid = jnp.zeros((nd_grid, dim, td), jnp.int8)
-            scales = jnp.zeros((nd_grid, td), jnp.bfloat16)
+            grid = jnp.zeros((nd_grid // 128, dim, 128 * td), jnp.int8)
+            scales = jnp.zeros((nd_grid // 128, 128 * td), jnp.bfloat16)
         row = 0
         for i in range(meta.num_chunks):
             codes_p, res_p = load_chunk(i)
@@ -1406,8 +1560,9 @@ def load_grid_only(
             token_grid=grid,
             token_scales=scales if dtype == "int8" else None,
             **common,
-        )
-        return out._set_host_counts(nd, n_emb)
+        )._set_host_counts(nd, n_emb)
+        object.__setattr__(out, "_refine_host", refine_data)
+        return out
 
     # ---------------- bucketed layout ----------------
     tds_arr = np.asarray(tds, np.int64)
@@ -1448,14 +1603,18 @@ def load_grid_only(
     rows_b = [
         max(_round_up(max(len(bucket_ids[b]), 1), tile), tile)
         + cdoc_pads[b]
+        + 128
         for b in range(n_b)
     ]
     slot_bytes = dim + 2 if dtype == "int8" else dim * 2
     _require_grid_fits(
         sum(rows_b[b] * tds[b] for b in range(n_b)) * slot_bytes,
         ctok_pad * (4 + packed_dim)
-        + max(cdoc_pads[b] * tds[b] for b in range(n_b)) * slot_bytes
-        + (256 << 20),
+        + tile * max(tds) * dim * 4
+        + max(cdoc_pads[b] * tds[b] for b in range(n_b))
+        * slot_bytes
+        * (3 if dtype == "int8" else 1)
+        + (128 << 20),
     )
     grids = []
     scale_grids = []
@@ -1464,9 +1623,11 @@ def load_grid_only(
             grids.append(jnp.zeros((rows_b[b], tds[b], dim), jnp.bfloat16))
             scale_grids.append(jnp.zeros((0, 0), jnp.bfloat16))
         else:
-            grids.append(jnp.zeros((rows_b[b], dim, tds[b]), jnp.int8))
+            grids.append(
+                jnp.zeros((rows_b[b] // 128, dim, 128 * tds[b]), jnp.int8)
+            )
             scale_grids.append(
-                jnp.zeros((rows_b[b], tds[b]), jnp.bfloat16)
+                jnp.zeros((rows_b[b] // 128, 128 * tds[b]), jnp.bfloat16)
             )
 
     # ONE pass over the chunks (each chunk is read from disk and staged to
@@ -1526,5 +1687,6 @@ def load_grid_only(
             np.concatenate(doclen_parts).reshape(-1, 1)
         ),
         **common,
-    )
-    return out._set_host_counts(nd, n_emb)
+    )._set_host_counts(nd, n_emb)
+    object.__setattr__(out, "_refine_host", refine_data)
+    return out

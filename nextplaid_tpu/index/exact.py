@@ -95,6 +95,11 @@ def exact_all_scores(
     # the live count come back NEG_INF via the traced range mask below.
     n_range = doc_range if doc_range is not None else nd_pad - 1
     n_range = max(n_range, 1)
+    if index.token_grid is not None and index.token_scales is not None:
+        # Interleaved int8 grid: tiles must cover whole 128-doc groups
+        # (and doc_lo, when nonzero, must be 128-aligned — both callers
+        # pass 0; see the un-interleaving slice below).
+        doc_tile = max(_round_up(doc_tile, 128), 128)
     doc_lo = jnp.asarray(doc_lo, jnp.int32)
     range_end = jnp.minimum(doc_lo + n_range, nd)
     n_tiles = -(-n_range // doc_tile)
@@ -116,15 +121,32 @@ def exact_all_scores(
         lens = jnp.where(ids < nd, index.doclens[safe], 0)
         tok_valid = t_arange[None, :] < lens[:, None]  # [tile, Td]
         if index.token_grid is not None and index.token_scales is not None:
-            # int8 grid: TRANSPOSED doc tiles [tile, d, Td]; dequantize the
-            # slice (per-token scales broadcast over the feature axis).
-            emb_t = jax.lax.dynamic_slice(
-                index.token_grid,
-                (start, 0, 0),
-                (doc_tile, index.token_grid.shape[1], td),
+            # int8 grid: token-INTERLEAVED 128-doc groups [NB, d, 128*Td]
+            # (ops/maxsim_kernel.py _kernel_int8i). Slice whole groups and
+            # un-interleave to per-doc tiles [tile, d, Td], then dequantize
+            # (per-token scales broadcast over the feature axis). Tile
+            # starts are group-aligned: doc_tile is forced to a multiple
+            # of 128 above and doc_lo must be one too.
+            dim_g = index.token_grid.shape[1]
+            emb_t = (
+                jax.lax.dynamic_slice(
+                    index.token_grid,
+                    (start // 128, 0, 0),
+                    (doc_tile // 128, dim_g, 128 * td),
+                )
+                .reshape(doc_tile // 128, dim_g, td, 128)
+                .transpose(0, 3, 1, 2)
+                .reshape(doc_tile, dim_g, td)
             )
-            sc = jax.lax.dynamic_slice(
-                index.token_scales, (start, 0), (doc_tile, td)
+            sc = (
+                jax.lax.dynamic_slice(
+                    index.token_scales,
+                    (start // 128, 0),
+                    (doc_tile // 128, 128 * td),
+                )
+                .reshape(doc_tile // 128, td, 128)
+                .transpose(0, 2, 1)
+                .reshape(doc_tile, td)
             )
             emb_t = emb_t.astype(jnp.float32) * sc.astype(jnp.float32)[:, None, :]
             if precision != "highest":
@@ -254,22 +276,22 @@ def _exact_search_kernel(
     nd = index.n_docs  # traced live count
     nd_cap = index.num_docs_padded - 1
     grid = index.token_grid
-    nd_grid = grid.shape[0]
-    doclens = jnp.zeros((nd_grid, 1), jnp.int32)
-    doclens = doclens.at[: index.num_docs_padded, 0].set(index.doclens)
+    nd_grid = index.grid_doc_rows()
 
     if grid.dtype == jnp.int8:
-        from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores_int8t
+        from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores_int8i
 
         qi8, qscale = quantize_queries_int8(queries.reshape(q_n * tq, d))
         # bf16 scales go straight into the kernel (cast per-block in
-        # VMEM): an f32 copy of [nd_grid, Td] is ~0.5 GB at 72M embeddings
+        # VMEM): an f32 copy of [NB, 128*Td] is ~0.5 GB at 72M embeddings
         # - fatal when the int8 grid already fills HBM (grid-only serving).
-        dscales = index.token_scales  # [nd_grid, Td] bf16
+        # Invalid tokens carry scale 0, which the kernel also uses as the
+        # mask — no doclens input.
+        dscales = index.token_scales  # [NB, 128*Td] bf16
 
         def run_int8(qi_block, qs_block):
-            return maxsim_grid_scores_int8t(
-                qi_block, qs_block, grid, doclens, dscales, tq=tq
+            return maxsim_grid_scores_int8i(
+                qi_block, qs_block, grid, dscales, tq=tq
             )
 
         if q_scan > 1:
@@ -293,6 +315,8 @@ def _exact_search_kernel(
         else:
             scores = run_int8(qi8, qscale)
     else:
+        doclens = jnp.zeros((nd_grid, 1), jnp.int32)
+        doclens = doclens.at[: index.num_docs_padded, 0].set(index.doclens)
         qflat = queries.reshape(q_n * tq, d).astype(jnp.bfloat16)
         if q_scan > 1:
             assert q_n % q_scan == 0, (q_n, q_scan)
@@ -422,7 +446,7 @@ def exact_search_split(
     meet in `_finalize_topk_perm`."""
     from nextplaid_tpu.ops.maxsim_kernel import (
         maxsim_grid_scores,
-        maxsim_grid_scores_int8t,
+        maxsim_grid_scores_int8i,
     )
 
     interpret = jax.default_backend() == "cpu"
@@ -431,7 +455,15 @@ def exact_search_split(
     if index.grid_buckets:
         is_int8 = bool(index.scale_buckets)
         row_offs = np.concatenate(
-            [[0], np.cumsum([g.shape[0] for g in index.grid_buckets])]
+            [
+                [0],
+                np.cumsum(
+                    [
+                        g.shape[0] * 128 if is_int8 else g.shape[0]
+                        for g in index.grid_buckets
+                    ]
+                ),
+            ]
         )
         dl_slices = [
             index.grid_doclens[int(row_offs[b]) : int(row_offs[b + 1])]
@@ -455,9 +487,11 @@ def exact_search_split(
             for b, grid in enumerate(index.grid_buckets):
                 dl_b = dl_slices[b]
                 if is_int8:
+                    # No doclens input: invalid tokens carry scale 0,
+                    # which the interleaved kernel uses as the mask.
                     blocks.append(
-                        maxsim_grid_scores_int8t(
-                            qi8, qscale, grid, dl_b,
+                        maxsim_grid_scores_int8i(
+                            qi8, qscale, grid,
                             index.scale_buckets[b], tq=tq,
                             interpret=interpret,
                         )
@@ -482,7 +516,7 @@ def exact_search_split(
         return ids, scores
 
     grid = index.token_grid
-    nd_grid = grid.shape[0]
+    nd_grid = index.grid_doc_rows()
     doclens = jnp.zeros((nd_grid, 1), jnp.int32)
     doclens = doclens.at[: index.num_docs_padded, 0].set(index.doclens)
 
@@ -494,8 +528,8 @@ def exact_search_split(
             qi8, qscale = quantize_queries_int8(
                 q.reshape(qb * tq, d).astype(jnp.float32)
             )
-            scores = maxsim_grid_scores_int8t(
-                qi8, qscale, grid, doclens, index.token_scales, tq=tq,
+            scores = maxsim_grid_scores_int8i(
+                qi8, qscale, grid, index.token_scales, tq=tq,
                 interpret=interpret,
             )
         else:
@@ -517,3 +551,132 @@ def exact_search_split(
     ids = jnp.concatenate([o[0] for o in outs], axis=0)
     scores = jnp.concatenate([o[1] for o in outs], axis=0)
     return ids, scores
+
+
+# ---------------------------------------------------------------------------
+# Grid-only refinement rerank (int8 recall stage -> exact residual scores)
+# ---------------------------------------------------------------------------
+# The int8 grid quantizes every token to 8 bits, costing ~0.02 recall@10 at
+# 72M embeddings vs the bf16 oracle. The refinement pass restores exactness
+# the reference way (search.rs:460-493: approximate recall stage + exact
+# rerank of the survivors): the kernel returns top-R per query, the union's
+# residual codes are gathered from the HOST-resident compressed arrays
+# (container.HostRefineData — they cannot share HBM with a mega grid), and
+# one extra dispatch decompresses + re-scores them in f32. Refined scores
+# EQUAL the bf16-exhaustive oracle's scores by construction (same
+# decompress + MaxSim), so recall@k becomes the probability the true top-k
+# is inside the int8 top-R — ~1 for R >= 4k.
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "td", "tile"))
+def _refine_scores_jit(
+    queries,  # [Q, Tq, d] f32 (zero-padded)
+    qmask,  # [Q, Tq] bool
+    codes_u,  # [ctok_pad] i32
+    res_u,  # [ctok_pad, pd] u8
+    lens_u,  # [cap] i32 (0 for padding slots)
+    offs_u,  # [cap] i32 token offsets into codes_u/res_u
+    centroids,
+    bucket_weights,
+    nbits: int,
+    td: int,
+    tile: int,
+):
+    """Exact MaxSim of every query against `cap` candidate docs: [Q, cap]."""
+    cap = lens_u.shape[0]
+    ctok = codes_u.shape[0]
+    t_arange = jnp.arange(td, dtype=jnp.int32)
+    n_tiles = cap // tile
+
+    def score_tile(_, start):
+        ids = start + jnp.arange(tile, dtype=jnp.int32)
+        offs = offs_u[ids]
+        lens = lens_u[ids]
+        tok_pos = jnp.clip(offs[:, None] + t_arange[None, :], 0, ctok - 1)
+        tok_valid = t_arange[None, :] < lens[:, None]
+        emb = codec_ops.decompress_residuals(
+            res_u[tok_pos], codes_u[tok_pos], centroids, bucket_weights,
+            nbits, normalize=True,
+        )  # [tile, td, d] f32 — decompressed once for the whole batch
+        sim = jnp.einsum(
+            "qtd,njd->qntj",
+            queries,
+            emb,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        sim = jnp.where(tok_valid[None, :, None, :], sim, NEG_INF)
+        per_tok = jnp.max(sim, axis=-1)  # [Q, tile, Tq]
+        per_tok = jnp.where(
+            qmask[:, None, :] & jnp.isfinite(per_tok), per_tok, 0.0
+        )
+        scores = jnp.sum(per_tok, axis=-1)  # [Q, tile]
+        return None, jnp.where(lens[None, :] > 0, scores, NEG_INF)
+
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    _, out = jax.lax.scan(score_tile, None, starts)
+    return out.transpose(1, 0, 2).reshape(queries.shape[0], cap)
+
+
+def refine_topk(
+    index: DeviceIndex,
+    q_arr: np.ndarray,  # [Q, Tq, d] padded queries
+    q_mask: np.ndarray,  # [Q, Tq]
+    cand_ids: np.ndarray,  # [n, R] i32 (-1 invalid) from the int8 stage
+    top_k: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Re-score the candidate union exactly; return ([n, k] ids, scores).
+
+    Each query's final top-k is drawn from the WHOLE batch union (a doc
+    surfaced by another query's recall stage may out-score this query's own
+    candidates — scoring it too only raises recall; candidate_scope="batch"
+    semantics, matching the default staged pipeline).
+    """
+    refine = index.refine_host
+    assert refine is not None
+    n = cand_ids.shape[0]
+    valid = cand_ids >= 0
+    uniq = np.unique(cand_ids[valid]).astype(np.int64)
+    uniq = uniq[uniq < index.num_documents]
+    if uniq.size == 0:
+        k = min(top_k, cand_ids.shape[1])
+        return cand_ids[:, :k], np.full((n, k), -np.inf, np.float32)
+
+    codes, res, lens = refine.gather(uniq)
+    cap = max(_round_up(len(uniq), 128), 128)
+    ctok_pad = max(_round_up(codes.shape[0], 1 << 14), 1 << 14)
+    codes_p = np.zeros(ctok_pad, np.int32)
+    codes_p[: codes.shape[0]] = codes
+    res_p = np.zeros((ctok_pad, res.shape[1]), np.uint8)
+    res_p[: res.shape[0]] = res
+    lens_p = np.zeros(cap, np.int32)
+    lens_p[: len(uniq)] = lens
+    offs_p = np.zeros(cap, np.int32)
+    np.cumsum(lens[:-1], out=offs_p[1 : len(uniq)])
+
+    td = max(_round_up(max(int(lens.max()), 1), 32), 32)
+    scores = np.asarray(
+        _refine_scores_jit(
+            jnp.asarray(q_arr),
+            jnp.asarray(q_mask),
+            jnp.asarray(codes_p),
+            jnp.asarray(res_p),
+            jnp.asarray(lens_p),
+            jnp.asarray(offs_p),
+            index.centroids,
+            index.bucket_weights,
+            nbits=index.nbits,
+            td=td,
+            tile=min(128, cap),
+        )
+    )[:n]  # [n, cap]
+
+    k = min(top_k, len(uniq))
+    top_slots = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+    top_scores = np.take_along_axis(scores, top_slots, axis=1)
+    order = np.argsort(-top_scores, axis=1, kind="stable")
+    top_slots = np.take_along_axis(top_slots, order, axis=1)
+    top_scores = np.take_along_axis(top_scores, order, axis=1)
+    top_ids = uniq[top_slots].astype(np.int32)
+    top_ids = np.where(np.isfinite(top_scores), top_ids, -1)
+    return top_ids, top_scores.astype(np.float32)

@@ -894,11 +894,11 @@ class PendingSearch:
 
     __slots__ = (
         "_index", "_queries", "_params", "_subset",
-        "_n", "_ids", "_scores", "_overflow", "_shapes",
+        "_n", "_ids", "_scores", "_overflow", "_shapes", "_refine_k",
     )
 
     def __init__(self, index, queries, params, subset, n, ids, scores,
-                 overflow, shapes):
+                 overflow, shapes, refine_k=0):
         self._index = index
         self._queries = queries
         self._params = params
@@ -908,6 +908,7 @@ class PendingSearch:
         self._scores = scores
         self._overflow = overflow
         self._shapes = shapes
+        self._refine_k = refine_k
 
     def result(self) -> List["QueryResult"]:
         n = self._n
@@ -915,6 +916,17 @@ class PendingSearch:
             return []
         ids = np.asarray(self._ids)[:n]
         scores = np.asarray(self._scores)[:n]
+        if self._refine_k:
+            # Grid-only refinement rerank: the int8 stage returned top-R
+            # recall candidates; re-score their union exactly from the
+            # host-resident compressed arrays (exact.refine_topk — one
+            # extra dispatch, f32-true final scores).
+            from nextplaid_tpu.index.exact import refine_topk
+
+            q_arr, q_mask = _pad_queries(self._queries, self._index.dim)
+            ids, scores = refine_topk(
+                self._index, q_arr, q_mask, ids, self._refine_k
+            )
         if self._overflow is None:
             overflow = np.zeros(n, np.int32)
         else:
@@ -1068,10 +1080,26 @@ def search_batch_async(
             exact_search_split,
         )
 
+        # Grid-only int8 refinement: ask the kernel stage for top-R recall
+        # candidates and re-rank them exactly at result() time (config.py
+        # refine_depth; exact.py refine_topk).
+        refine_k = 0
+        top_k_eff = params.top_k
+        if (
+            index.grid_is_int8
+            and index.refine_host is not None
+            and params.refine_depth >= 0
+        ):
+            depth = params.refine_depth or max(4 * params.top_k, 32)
+            top_k_eff = min(
+                max(depth, params.top_k), max(index.num_documents, 1)
+            )
+            refine_k = params.top_k
+
         if index.grid_buckets or (
             kernel_eligible
             and index.token_grid is not None
-            and index.token_grid.shape[0] * index.grid_token_axis()
+            and index.grid_doc_rows() * index.grid_token_axis()
             > SPLIT_DISPATCH_SLOTS
         ):
             # Bucketed-Td grids always take the split path (the only
@@ -1083,11 +1111,12 @@ def search_batch_async(
                 index,
                 jnp.asarray(q_arr),
                 subset_arr,
-                top_k=params.top_k,
+                top_k=top_k_eff,
                 has_subset=subset is not None,
             )
             return PendingSearch(
-                index, queries, params, subset, n, ids, scores, None, None
+                index, queries, params, subset, n, ids, scores, None, None,
+                refine_k=refine_k,
             )
 
         td = (
@@ -1100,7 +1129,7 @@ def search_batch_async(
             jnp.asarray(q_arr),
             jnp.asarray(q_mask),
             subset_arr,
-            top_k=min(params.top_k, max(index.num_docs_padded - 1, 1)),
+            top_k=min(top_k_eff, max(index.num_docs_padded - 1, 1)),
             doc_tile=default_doc_tile(q_bucket, q_arr.shape[1], td),
             precision=params.stage1_precision,
             has_subset=subset is not None,
@@ -1108,7 +1137,8 @@ def search_batch_async(
             q_scan=q_scan,
         )
         return PendingSearch(
-            index, queries, params, subset, n, ids, scores, None, None
+            index, queries, params, subset, n, ids, scores, None, None,
+            refine_k=refine_k,
         )
     shapes = PipelineShapes.derive(index, params, q_bucket, q_arr.shape[1])
     ids, scores, overflow = search_pipeline(

@@ -22,9 +22,10 @@ Layout contract (matches DeviceIndex.token_grid):
               is the lane axis — so sublane alignment suffices; verified
               on-chip, scripts/profile_td_align.py), ND a multiple of 8,
               invalid token rows zeroed;
-  int8 grid   TRANSPOSED doc tiles [ND, d, Td] + per-token scales
-              [ND, Td] (see _kernel_int8t — the transposed layout makes the
-              per-row dequant scale a natural lane broadcast);
+  int8 grid   token-INTERLEAVED 128-doc groups [NB, d, 128*Td] + matching
+              per-token scales [NB, 128*Td] (see _kernel_int8i — the
+              interleave turns the per-doc max into a strided lane
+              tree-reduce and makes group results lane-contiguous);
   doclens     [ND, 1] int32 (0 for padding docs);
   queries_t   [d, Q*Tq] bf16 — padded query tokens are zero columns, so they
               contribute exactly 0 to every score.
@@ -87,162 +88,129 @@ def _kernel(qt_ref, grid_ref, lens_ref, out_ref, *, tq: int):
     )
 
 
-def _kernel_int8t(q_ref, grid_ref, lens_ref, dscale_ref, qscale_ref, out_ref,
-                  *, tq: int, sub: int = 1):
-    """TRANSPOSED int8 grid step: doc-major [dblk, d, Td] blocks.
+def _kernel_int8i(q_ref, grid_ref, dsc_ref, qs_ref, out_ref, *, tq: int,
+                  w: int):
+    """Token-INTERLEAVED int8 grid step: one 128-doc group per step.
 
-    q_ref:      [Qf, d]       int8 (row-major queries — no transpose needed)
-    grid_ref:   [dblk, d, Td] int8 (each doc a [d, Td] tile: d on sublanes,
-                               tokens on LANES)
-    lens_ref:   [dblk, 1]     int32
-    dscale_ref: [dblk, Td]    f32 or bf16 (cast in-kernel) — row k
-                               broadcasts over sim's LANE axis,
-                               so no [N,1] lane-padded column is ever needed
-                               (that layout cost ~25 MB of scoped VMEM and
-                               sank the row-major int8 kernel)
-    qscale_ref: [Qf, 1]       f32
-    out_ref:    [Q, dblk]     f32 — the output grid writes [Q, ND] columns
-                               directly; no final transpose
+    q_ref:    [Qf, d]          int8 (row-major queries)
+    grid_ref: [1, d, 128*Td]   int8 — lane l = t*128 + j for doc j of the
+                                group (token-major interleave)
+    dsc_ref:  [1, 1, 128*Td]   bf16 per-token dequant scales, interleaved
+                                like the grid; 0 marks an invalid token
+    qs_ref:   [1, Qf]          f32 per-query-token scales (0 for padding)
+    out_ref:  [Q, 128]         f32 — group results land lane-contiguous
 
-    Per step of `sub` docs: their [d, Td] tiles concatenate along LANES
-    into one [d, sub*Td] panel, so ONE int8 MXU dot scores sub docs —
-    q_i8 @ panel -> [Qf, sub*Td] i32. (With sub=1 this is the original
-    one-dot-per-doc loop; wider panels amortize the dot issue overhead
-    that made the per-doc loop the kernel's bound.) Scale by the
-    lane-concatenated dscale rows, mask invalid token LANES via
-    lane-position % Td against each doc's len, then per-doc max over its
-    Td lane slice -> [Qf, 1]; ACCUMULATE each column into a single
-    [Qf, dblk] buffer through a one-hot lane mask. (Collecting dblk
-    separate [Qf, 1] columns and concatenating at the end padded each to
-    a full 128-lane VMEM tile — the ~52 MB scoped-VMEM blowup that kept
-    this kernel interpret-only in round 2. With the accumulator,
-    per-iteration temporaries die every step.)
-    Finally multiply by qscale and reduce query tokens with the indicator
-    matmul G^T [Q, Qf].
+    Per `w`-token chunk: ONE int8 MXU dot q @ panel[d, 128w] -> i32, then
+    convert * scale + bias (bias = NEG where scale == 0, computed on the
+    [1, 128w] broadcast row — amortized over Qf), then the per-doc max is
+    a strided LANE TREE-REDUCE: halving the lane axis combines token t
+    with t + width/128 at the same doc lane, so log2(w) maximums collapse
+    [Qf, 128w] -> [Qf, 128] with doc j at lane j. No per-doc slices, no
+    one-hot accumulator, no [Qf, dblk] scatter — the three VPU costs that
+    bounded the previous transposed-layout kernel (round-3: 15.5 ms
+    pipelined; this kernel: 5.2 ms = 219 TOPS = 55% of the int8 MXU peak
+    at Q=64, Tq=32, Td=384, 5632 docs — scripts/profile_int8_interleaved).
     """
-    dblk, d, td = grid_ref.shape
-    qf = q_ref.shape[0]
+    qf, d = q_ref.shape
+    td = grid_ref.shape[2] // 128
     q_n = qf // tq
     q = q_ref[:]
 
-    blk_iota = jax.lax.broadcasted_iota(jnp.int32, (1, dblk), 1)
-    # Lane position within each doc's Td span of the widened panel.
-    pos_iota = jax.lax.broadcasted_iota(jnp.int32, (1, sub * td), 1) % td
-    acc = jnp.zeros((qf, dblk), jnp.float32)
-    for s in range(dblk // sub):
-        ks = range(s * sub, (s + 1) * sub)
-        panel = (
-            grid_ref[s * sub]
-            if sub == 1
-            else jnp.concatenate([grid_ref[k] for k in ks], axis=1)
-        )  # [d, sub*Td]
-        sim_i = jnp.dot(
-            q, panel, preferred_element_type=jnp.int32
-        )  # [Qf, sub*Td]
-        dsc = jnp.concatenate(
-            [dscale_ref[k : k + 1] for k in ks], axis=1
-        ).astype(jnp.float32) if sub > 1 else dscale_ref[
-            s : s + 1
-        ].astype(jnp.float32)  # [1, sub*Td]
-        len_w = jnp.concatenate(
-            [
-                jnp.full((1, td), lens_ref[k, 0], jnp.int32)
-                for k in ks
-            ],
-            axis=1,
-        ) if sub > 1 else jnp.full((1, td), lens_ref[s * sub, 0], jnp.int32)
-        masked = jnp.where(
-            pos_iota < len_w,
-            sim_i.astype(jnp.float32) * dsc,
-            jnp.float32(NEG),
+    m = jnp.full((qf, 128), jnp.float32(NEG))
+    for c in range(td // w):
+        panel = grid_ref[0, :, c * 128 * w : (c + 1) * 128 * w]
+        sim = jnp.dot(q, panel, preferred_element_type=jnp.int32)
+        dsc = dsc_ref[0, 0:1, c * 128 * w : (c + 1) * 128 * w].astype(
+            jnp.float32
         )
-        for j, k in enumerate(ks):
-            m = jnp.max(
-                masked[:, j * td : (j + 1) * td], axis=1, keepdims=True
-            )  # [Qf, 1]
-            m = jnp.where(m > NEG / 2, m, 0.0)
-            acc = acc + jnp.where(blk_iota == k, m, 0.0)  # [Qf, dblk]
-    scores = acc * qscale_ref[:]
+        bias = jnp.where(dsc > 0, 0.0, jnp.float32(NEG))
+        v = sim.astype(jnp.float32) * dsc + bias
+        width = 128 * w
+        while width > 128:
+            width //= 2
+            v = jnp.maximum(v[:, :width], v[:, width : 2 * width])
+        m = jnp.maximum(m, v)
+    # Empty/padding docs (every lane NEG) score 0, matching the bf16 kernel.
+    m = jnp.where(m > NEG / 2, m, 0.0)
+    # Sum query tokens as an MXU matmul with the group-indicator matrix,
+    # with the per-query-token scale folded into the indicator.
     g = (
         jax.lax.broadcasted_iota(jnp.int32, (q_n, qf), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (q_n, qf), 1) // tq
-    ).astype(jnp.float32)
+    ).astype(jnp.float32) * qs_ref[:]
+    # HIGHEST: DEFAULT f32 dots may run single-pass bf16 on the MXU, which
+    # would truncate the per-token maxima before the final sum.
     out_ref[:] = jnp.dot(
-        g, scores, preferred_element_type=jnp.float32,
+        g, m, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("tq", "interpret", "sub"))
-def maxsim_grid_scores_int8t(
+@functools.partial(jax.jit, static_argnames=("tq", "interpret"))
+def maxsim_grid_scores_int8i(
     queries_i8: jax.Array,  # [Q*Tq, d] int8, zero rows for padded tokens
     qscales: jax.Array,  # [Q*Tq] f32 per-query-token scales (0 for padding)
-    grid_t: jax.Array,  # [ND, d, Td] int8 (TRANSPOSED doc tiles)
-    doclens: jax.Array,  # [ND, 1] int32
-    dscales: jax.Array,  # [ND, Td] f32/bf16 (0 for invalid tokens)
+    grid_i: jax.Array,  # [NB, d, 128*Td] int8 (token-interleaved groups)
+    dscales_i: jax.Array,  # [NB, 128*Td] bf16 (0 for invalid tokens)
     tq: int,
     interpret: bool = False,
-    sub: int = 1,
 ) -> jax.Array:
-    """Exhaustive MaxSim scores [Q, ND] over a TRANSPOSED int8 grid.
+    """Exhaustive MaxSim scores [Q, NB*128] over the INTERLEAVED int8 grid.
 
-    COMPILES AND RUNS ON-CHIP (round 3): the one-hot-lane accumulator cut
-    scoped-VMEM liveness from ~52 MB to ~24 MB, under the raised 100 MB
-    Mosaic limit below. Measured at production shapes (Q=64, Tq=32, Td=384,
-    5632 docs): p50 31.7 ms = 35.7 TFLOPS on the int8 MXU — 2x the bf16
-    kernel (61-95 ms) and faster than the 33.5 ms XLA one-big-dot floor for
-    the same contraction; bit-exact vs interpret mode. `sub` > 1 scores
-    that many docs per MXU dot by lane-concatenating their [d, Td] tiles
-    (bit-exact vs sub=1; see _kernel_int8t)."""
-    nd, d, td = grid_t.shape
+    Grid layout contract (DeviceIndex int8 grids, container.py builders):
+    docs are packed into groups of 128; group g stores doc g*128+j token t
+    at grid_i[g, :, t*128 + j], with dscales_i[g, t*128 + j] its dequant
+    scale (0 for invalid tokens, which also marks them for masking — no
+    separate doclens input). Scores for empty/padding docs come out 0;
+    callers mask ids >= num_docs. Bit-exact vs interpret mode and vs the
+    round-3 transposed kernel (scripts/profile_int8_interleaved.py)."""
+    nb, d, ld = grid_i.shape
+    td = ld // 128
     qf = queries_i8.shape[0]
     q_n = qf // tq
-    # The output block's LANE axis is the doc axis, so dblk must be a
-    # multiple of 128 (Pallas block-shape rule); the int8 grid builder pads
-    # nd to a multiple of 128 by construction.
-    dblk = 128
-    assert nd % dblk == 0, f"int8 grid rows {nd} not a multiple of {dblk}"
-    assert dblk % sub == 0, f"sub {sub} must divide dblk {dblk}"
+    # Token-chunk width: 16 amortizes dot issue overhead best (round-4
+    # sweep: w=16 5.18 ms vs w=4 5.28 ms); int8 Td is a multiple of 128 so
+    # any power of two <= 16 divides it. Shrink when the [Qf, 128w] i32+f32
+    # chunk temporaries would crowd the 100 MB scoped-VMEM budget.
+    w = 16
+    while w > 1 and qf * 128 * w * 8 > 48 * 1024 * 1024:
+        w //= 2
 
     out = pl.pallas_call(
-        functools.partial(_kernel_int8t, tq=tq, sub=sub),
-        out_shape=jax.ShapeDtypeStruct((q_n, nd), jnp.float32),
-        grid=(nd // dblk,),
+        functools.partial(_kernel_int8i, tq=tq, w=w),
+        out_shape=jax.ShapeDtypeStruct((q_n, nb * 128), jnp.float32),
+        grid=(nb,),
         in_specs=[
             pl.BlockSpec((qf, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (dblk, d, td), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, d, ld), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((dblk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (dblk, td), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (1, 1, ld), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((qf, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qf), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (q_n, dblk), lambda i: (0, i), memory_space=pltpu.VMEM
+            (q_n, 128), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-        # The accumulator formulation needs ~24 MB of scoped VMEM at
-        # production shapes (double-buffered 6.3 MB int8 grid blocks + the
-        # per-iteration [Qf, Td] similarity temporaries); raise Mosaic's
-        # default 16 MB scoped-vmem limit — v5e has 128 MB of VMEM.
+        # Double-buffered 6.3 MB grid blocks + [Qf, 128w] chunk temporaries;
+        # raise Mosaic's default 16 MB scoped-vmem limit (v5e: 128 MB VMEM).
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * qf * d * nd * td,
-            bytes_accessed=nd * td * (d + 4) + qf * d + q_n * nd * 4,
+            flops=2 * qf * d * nb * ld,
+            bytes_accessed=nb * ld * (d + 2) + qf * d + q_n * nb * 128 * 4,
             transcendentals=0,
         ),
     )(
         queries_i8,
-        grid_t,
-        doclens,
-        dscales,
-        qscales.reshape(qf, 1),
+        grid_i,
+        dscales_i.reshape(nb, 1, ld),
+        qscales.reshape(1, qf),
     )
-    return out  # [Q, ND]
+    return out  # [Q, NB*128]
 
 
 @functools.partial(jax.jit, static_argnames=("tq", "interpret"))

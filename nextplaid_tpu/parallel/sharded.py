@@ -653,8 +653,11 @@ class ShardedGridIndex:
     """
 
     mesh: Mesh
-    grid: jax.Array  # [S, rows, Td, d] bf16 | [S, rows, d, Td] int8
-    scales: jax.Array  # [S, rows, Td] bf16 (int8) | [S, 0, 0] (bf16 grid)
+    # bf16: grid [S, rows, Td, d]. int8: token-INTERLEAVED 128-doc groups
+    # [S, rows/128, d, 128*Td] (ops/maxsim_kernel.py _kernel_int8i) with
+    # scales [S, rows/128, 128*Td]; bf16 grids carry scales [S, 0, 0].
+    grid: jax.Array
+    scales: jax.Array
     doclens: jax.Array  # [S, rows, 1] i32 (0 = padding row)
     doc_base: jax.Array  # [S] i32
     shard_docs: jax.Array  # [S] i32
@@ -683,6 +686,20 @@ class ShardedGridIndex:
     @property
     def dim(self) -> int:
         return self.grid.shape[2] if self.is_int8 else self.grid.shape[3]
+
+    @property
+    def rows(self) -> int:
+        """Per-shard doc rows (int8 groups hold 128 docs each)."""
+        return (
+            self.grid.shape[1] * 128 if self.is_int8 else self.grid.shape[1]
+        )
+
+    @property
+    def grid_td(self) -> int:
+        """Token axis of the grid (int8 lanes are 128-doc interleaved)."""
+        return (
+            self.grid.shape[3] // 128 if self.is_int8 else self.grid.shape[2]
+        )
 
     @classmethod
     def shard_grid_only(
@@ -741,7 +758,9 @@ class ShardedGridIndex:
         # load_grid_only (the last padded chunk write must never clamp).
         max_chunk_docs = max((len(d) for d in doclens_list), default=1)
         cdoc_pad = max(ru(min(max_chunk_docs, cap), tile), tile)
-        rows = max(ru(cap, tile), tile) + cdoc_pad
+        # +128: the int8 self-carrying group write rewrites the partial
+        # group plus cdoc_pad rows (container._write_int8_groups).
+        rows = max(ru(cap, tile), tile) + cdoc_pad + 128
         ctok_pad = max(
             ru(max((int(d.sum()) for d in doclens_list), default=1), 1 << 18),
             1 << 18,
@@ -766,8 +785,8 @@ class ShardedGridIndex:
                     grid = jnp.zeros((rows, td, dim), jnp.bfloat16)
                     scales = jnp.zeros((0, 0), jnp.bfloat16)
                 else:
-                    grid = jnp.zeros((rows, dim, td), jnp.int8)
-                    scales = jnp.zeros((rows, td), jnp.bfloat16)
+                    grid = jnp.zeros((rows // 128, dim, 128 * td), jnp.int8)
+                    scales = jnp.zeros((rows // 128, 128 * td), jnp.bfloat16)
                 row = 0
                 for i in range(meta.num_chunks):
                     c_lo, c_hi = (
@@ -918,7 +937,7 @@ class ShardedGridIndex:
                 f"{residuals.shape[0]} residuals vs doclens sum {btok}"
             )
         is_int8 = self.is_int8
-        td = int(self.grid.shape[3] if is_int8 else self.grid.shape[2])
+        td = self.grid_td
         if int(doclens.max()) > td:
             return None  # longer than the grid token axis: rebuild
         dim = self.dim
@@ -935,7 +954,7 @@ class ShardedGridIndex:
             return None
 
         n = self.n_shards
-        rows = int(self.grid.shape[1])
+        rows = self.rows
         tile = 128
         doc_base = self.doc_base_host.astype(np.int64).copy()
         shard_docs = self.shard_docs_host.astype(np.int64).copy()
@@ -956,7 +975,11 @@ class ShardedGridIndex:
                 return None  # aggregate row capacity exhausted: re-shard
             free = rows - int(shard_docs[s])
             # Even a sub-tile take writes ru(take, tile) padded rows, so
-            # the acceptance capacity is free rounded DOWN to tiles.
+            # the acceptance capacity is free rounded DOWN to tiles; the
+            # int8 group write additionally rewrites the carried partial
+            # group (+1 tile — container._write_int8_groups).
+            if is_int8:
+                free -= tile
             take = min(nb - lo, (free // tile) * tile)
             if take > 0:
                 plan.append((s, lo, lo + take))
@@ -1106,7 +1129,7 @@ def _sharded_grid_search_jit(
     )
     from nextplaid_tpu.ops.maxsim_kernel import (
         maxsim_grid_scores,
-        maxsim_grid_scores_int8t,
+        maxsim_grid_scores_int8i,
     )
 
     is_int8 = sg.is_int8
@@ -1120,8 +1143,8 @@ def _sharded_grid_search_jit(
             qi8, qscale = quantize_queries_int8(
                 queries.reshape(q_n * tq, d).astype(jnp.float32)
             )
-            scores = maxsim_grid_scores_int8t(
-                qi8, qscale, g, dl, scales[0], tq=tq, interpret=interpret
+            scores = maxsim_grid_scores_int8i(
+                qi8, qscale, g, scales[0], tq=tq, interpret=interpret
             )
         else:
             scores = maxsim_grid_scores(
@@ -1189,7 +1212,7 @@ def search_batch_sharded_grid(
             [q_arr, np.zeros((q_bucket - n, *q_arr.shape[1:]), np.float32)]
         )
 
-    rows = sg.grid.shape[1]
+    rows = sg.rows
     subset_arr = np.zeros((sg.n_shards, rows), bool)
     if subset is not None:
         ids = np.asarray(list(subset), np.int64)

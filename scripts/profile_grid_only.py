@@ -59,8 +59,10 @@ def phase_oracle():
 
 def phase_serve():
     buckets = int(os.environ.get("GRID_BUCKETS", "1"))
+    refine = os.environ.get("GRID_REFINE", "1") == "1"
     t0 = time.perf_counter()
-    index = load_grid_only(PATH, dtype="int8", buckets=buckets)
+    index = load_grid_only(PATH, dtype="int8", buckets=buckets,
+                           refine=refine)
     t_load = time.perf_counter() - t0
     if index.grid_buckets:
         gb = (
@@ -128,11 +130,16 @@ def phase_serve():
     print(f"batch-1 latency p50: {p50_lat:.0f} ms", flush=True)
 
     out_path = OUT.replace(".json", f"_b{buckets}.json") if buckets > 1 else OUT
+    if refine:
+        out_path = out_path.replace(".json", "_refine.json")
     json.dump(
         {
             "what": "grid-only int8 exact serving at 72M embeddings, one "
             "v5e chip (load_grid_only: chunk-streamed grid build, "
-            "codes/residuals never resident)",
+            "codes/residuals never resident"
+            + (", host-refine rerank on" if refine else "")
+            + ")",
+            "refine": refine,
             "buckets": [list(s) for s in shapes],
             "grid_gb": round(gb, 2),
             "load_seconds": round(t_load, 1),

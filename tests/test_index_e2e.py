@@ -506,7 +506,7 @@ def test_int8_kernel_interpret_matches_scan(built):
 
     from nextplaid_tpu.index.exact import exact_all_scores
     from nextplaid_tpu.index.search import _pad_queries
-    from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores_int8t
+    from nextplaid_tpu.ops.maxsim_kernel import maxsim_grid_scores_int8i
 
     docs, path, meta, index = built
     g8 = index.with_token_grid(budget_mb=10_000, dtype="int8")
@@ -517,9 +517,6 @@ def test_int8_kernel_interpret_matches_scan(built):
     want = np.asarray(exact_all_scores(g8, qd, qm, doc_tile=64))
 
     q_n, tq, d = q_arr.shape
-    nd_grid = g8.token_grid.shape[0]
-    doclens = jnp.zeros((nd_grid, 1), jnp.int32)
-    doclens = doclens.at[: g8.num_docs_padded, 0].set(g8.doclens)
     qf32 = qd.reshape(q_n * tq, d)
     maxabs = jnp.max(jnp.abs(qf32), axis=-1)
     qscale = jnp.where(maxabs > 0, maxabs / 127.0, 0.0)
@@ -528,12 +525,11 @@ def test_int8_kernel_interpret_matches_scan(built):
         -127, 127,
     ).astype(jnp.int8)
     got = np.asarray(
-        maxsim_grid_scores_int8t(
+        maxsim_grid_scores_int8i(
             qi8,
             qscale,
             g8.token_grid,
-            doclens,
-            g8.token_scales.astype(jnp.float32),
+            g8.token_scales,
             tq=tq,
             interpret=True,
         )

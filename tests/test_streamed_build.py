@@ -259,8 +259,11 @@ def test_load_grid_only_matches_pinned(corpus, tmp_path):
             full.with_token_grid(budget_mb=10_000, dtype=dtype),
             queries, params,
         )
-        go = load_grid_only(path, dtype=dtype)
+        # refine=False: this test checks the raw grid path equals the
+        # pinned-grid path; the refinement rerank is covered below.
+        go = load_grid_only(path, dtype=dtype, refine=False)
         assert go.grid_only and go.codes.shape[0] == 0
+        assert go.refine_host is None
         assert go.num_documents == full.num_documents
         assert go.num_embeddings == full.num_embeddings
         got = search_batch(go, queries, params)
@@ -269,6 +272,31 @@ def test_load_grid_only_matches_pinned(corpus, tmp_path):
             np.testing.assert_allclose(
                 a.scores, b.scores, rtol=1e-3, atol=1e-3
             )
+
+    # int8 + refinement rerank (the default): final scores must EQUAL the
+    # full-precision exhaustive scores — the refine pass re-scores the int8
+    # top-R from the host-resident compressed arrays with the same
+    # decompress the oracle uses (exact.refine_topk).
+    oracle = search_batch(full, queries, params)
+    go8 = load_grid_only(path, dtype="int8")
+    assert go8.refine_host is not None
+    refined = search_batch(go8, queries, params)
+    for a, b in zip(oracle, refined):
+        assert a.passage_ids == b.passage_ids, (a, b)
+        np.testing.assert_allclose(a.scores, b.scores, rtol=1e-5, atol=1e-5)
+    # gather() returns exactly the on-disk token rows for a scattered set.
+    ids = np.asarray([0, full.num_documents - 1, 3], np.int64)
+    codes_g, res_g, lens_g = go8.refine_host.gather(ids)
+    host = np.asarray(full.doclens)
+    assert lens_g.tolist() == [int(host[i]) for i in ids]
+    offs = np.concatenate([[0], np.cumsum(host)])
+    fc = np.asarray(full.codes)
+    fr = np.asarray(full.residuals)
+    pos = np.concatenate(
+        [np.arange(offs[i], offs[i] + host[i]) for i in ids]
+    )
+    np.testing.assert_array_equal(codes_g, fc[pos])
+    np.testing.assert_array_equal(res_g, fr[pos])
 
     go = load_grid_only(path, dtype="bf16")
     with pytest.raises(UpdateError):
