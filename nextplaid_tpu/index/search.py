@@ -72,7 +72,10 @@ from nextplaid_tpu.index.container import DeviceIndex
 from nextplaid_tpu.ops import codec as codec_ops
 from nextplaid_tpu.utils.errors import SearchError
 
-NEG_INF = jnp.float32(-jnp.inf)
+# np scalar, not jnp: a module-level jnp constant initializes the XLA
+# backend at import, which breaks jax.distributed.initialize (it must run
+# before any backend touch). Same f32 promotion semantics.
+NEG_INF = np.float32(-np.inf)
 
 
 def _round_up(x: int, m: int) -> int:

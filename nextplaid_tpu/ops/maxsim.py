@@ -14,8 +14,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-jnp.inf)
+# np scalar, not jnp: a module-level jnp constant initializes the XLA
+# backend at import, which breaks jax.distributed.initialize (it must run
+# before any backend touch). Same f32 promotion semantics.
+NEG_INF = np.float32(-np.inf)
 
 
 @jax.jit

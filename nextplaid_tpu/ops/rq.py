@@ -59,7 +59,10 @@ import numpy as np
 
 from nextplaid_tpu.ops.kmeans import lloyd
 
-NEG_INF = jnp.float32(-jnp.inf)
+# np scalar, not jnp: a module-level jnp constant initializes the XLA
+# backend at import, which breaks jax.distributed.initialize (it must run
+# before any backend touch). Same f32 promotion semantics.
+NEG_INF = np.float32(-np.inf)
 
 # Pairs whose coarse+fine sum is shorter than this are degenerate (their
 # unit vector is numerically arbitrary); they are excluded from assignment

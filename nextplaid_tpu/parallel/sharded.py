@@ -174,11 +174,19 @@ class ShardedIndex:
         shard_embs = np.asarray(
             [s.num_embeddings for s in shards], np.int32
         )
+        # device_put takes HOST numpy directly: every process holds the same
+        # host data (built from the same on-disk index), so each places its
+        # addressable shards with zero cross-process transfer. Committing to
+        # a local device first (jnp.asarray) and resharding would force a
+        # cross-process equality-check collective that deadlocks/aborts under
+        # the gloo CPU backend (tests/test_multihost.py exercises this).
         arrays = {}
         for f in _ARRAY_FIELDS:
             vals = [np.asarray(getattr(s, f)) for s in shards]
             if f in _REPLICATED:
-                arrays[f] = jnp.asarray(vals[0])
+                arrays[f] = jax.device_put(
+                    vals[0], NamedSharding(mesh, P(*([None] * vals[0].ndim)))
+                )
                 continue
             # Pad per-shard arrays to the max shape, stack, shard over devices.
             max_shape = tuple(
@@ -191,23 +199,19 @@ class ShardedIndex:
                 sl = tuple(slice(0, d) for d in v.shape)
                 stacked[(i, *sl)] = v
             sharding = NamedSharding(mesh, P(DOC_AXIS, *([None] * vals[0].ndim)))
-            arrays[f] = jax.device_put(jnp.asarray(stacked), sharding)
-        for f in _REPLICATED:
-            arrays[f] = jax.device_put(
-                arrays[f], NamedSharding(mesh, P(*([None] * arrays[f].ndim)))
-            )
+            arrays[f] = jax.device_put(stacked, sharding)
 
         return cls(
             mesh=mesh,
             arrays=arrays,
             doc_base=jax.device_put(
-                jnp.asarray(doc_base, jnp.int32), NamedSharding(mesh, P(DOC_AXIS))
+                np.asarray(doc_base, np.int32), NamedSharding(mesh, P(DOC_AXIS))
             ),
             shard_docs=jax.device_put(
-                jnp.asarray(shard_docs), NamedSharding(mesh, P(DOC_AXIS))
+                shard_docs, NamedSharding(mesh, P(DOC_AXIS))
             ),
             shard_embs=jax.device_put(
-                jnp.asarray(shard_embs), NamedSharding(mesh, P(DOC_AXIS))
+                shard_embs, NamedSharding(mesh, P(DOC_AXIS))
             ),
             shard_capacity=cap,
             num_documents=nd,
