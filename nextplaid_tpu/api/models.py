@@ -31,21 +31,36 @@ class DocumentEmbeddings(ApiModel):
     embeddings: Optional[List[List[float]]] = None
     embeddings_b64: Optional[str] = None
     shape: Optional[Tuple[int, int]] = None
+    # Wire dtype of embeddings_b64 (round-4 extension; absent = float32,
+    # the reference wire format). "bfloat16" halves payload bytes and
+    # base64/JSON marshalling time; compute paths are bf16/int8 anyway, so
+    # the truncation is below scoring precision.
+    dtype: Literal["float32", "bfloat16"] = "float32"
 
     def to_array(self) -> np.ndarray:
-        return decode_embeddings(self.embeddings, self.embeddings_b64, self.shape)
+        return decode_embeddings(
+            self.embeddings, self.embeddings_b64, self.shape, self.dtype
+        )
 
 
 def decode_embeddings(
     embeddings: Optional[List[List[float]]],
     b64: Optional[str],
     shape: Optional[Tuple[int, int]],
+    dtype: str = "float32",
 ) -> np.ndarray:
-    """JSON array or base64 LE f32 + shape -> [tokens, dim] f32."""
+    """JSON array or base64 LE (f32 | bf16) + shape -> [tokens, dim] f32."""
     if b64 is not None:
         if shape is None:
             raise NextPlaidError("embeddings_b64 requires shape")
         raw = base64.b64decode(b64)
+        if dtype == "bfloat16":
+            # bf16 = the high 16 bits of f32: widen u16 -> u32<<16, view f32.
+            u16 = np.frombuffer(raw, dtype="<u2")
+            arr = (
+                (u16.astype(np.uint32) << 16).view(np.float32).reshape(shape)
+            )
+            return np.ascontiguousarray(arr)
         arr = np.frombuffer(raw, dtype="<f4").reshape(shape)
         return np.ascontiguousarray(arr, dtype=np.float32)
     if embeddings is not None:
@@ -53,7 +68,18 @@ def decode_embeddings(
     raise NextPlaidError("Provide either embeddings or embeddings_b64 + shape")
 
 
-def encode_embeddings_b64(arr: np.ndarray) -> Tuple[str, Tuple[int, int]]:
+def encode_embeddings_b64(
+    arr: np.ndarray, dtype: str = "float32"
+) -> Tuple[str, Tuple[int, int]]:
+    if dtype == "bfloat16":
+        f32 = np.ascontiguousarray(arr, dtype="<f4")
+        # Round-to-nearest-even on the dropped mantissa bits (cheap vectorized
+        # form: add 0x7FFF + lsb-of-kept before truncating), matching
+        # hardware f32->bf16 casts rather than truncation.
+        u32 = f32.view(np.uint32)
+        rounded = u32 + 0x7FFF + ((u32 >> 16) & 1)
+        u16 = (rounded >> 16).astype("<u2")
+        return base64.b64encode(u16.tobytes()).decode("ascii"), tuple(arr.shape)
     arr = np.ascontiguousarray(arr, dtype="<f4")
     return base64.b64encode(arr.tobytes()).decode("ascii"), tuple(arr.shape)
 
@@ -132,9 +158,12 @@ class QueryEmbeddings(ApiModel):
     embeddings: Optional[List[List[float]]] = None
     embeddings_b64: Optional[str] = None
     shape: Optional[Tuple[int, int]] = None
+    dtype: Literal["float32", "bfloat16"] = "float32"
 
     def to_array(self) -> np.ndarray:
-        return decode_embeddings(self.embeddings, self.embeddings_b64, self.shape)
+        return decode_embeddings(
+            self.embeddings, self.embeddings_b64, self.shape, self.dtype
+        )
 
 
 class SearchParamsRequest(ApiModel):

@@ -48,7 +48,8 @@ from pydantic import ValidationError
 
 from nextplaid_tpu import __version__, filtering
 from nextplaid_tpu.api import models as dto
-from nextplaid_tpu.api.state import AppState
+from nextplaid_tpu.api import state as app_state
+from nextplaid_tpu.api.state import AppState, search_fn_for
 from nextplaid_tpu.filtering import text_search
 from nextplaid_tpu.index import SearchParameters, search_batch
 from nextplaid_tpu.index.config import Metadata
@@ -558,22 +559,7 @@ def _attach_metadata(
         r["metadata"] = [by_id.get(i) for i in r["document_ids"]]
 
 
-def _search_fn_for(index):
-    """Dispatch on the served index type: DeviceIndex (default),
-    ShardedIndex / ShardedGridIndex (serve_mode=sharded / sharded_grid)
-    — all share the (index, queries, params, subset) signature."""
-    from nextplaid_tpu.parallel.sharded import (
-        ShardedGridIndex,
-        ShardedIndex,
-        search_batch_sharded,
-        search_batch_sharded_grid,
-    )
-
-    if isinstance(index, ShardedGridIndex):
-        return search_batch_sharded_grid
-    if isinstance(index, ShardedIndex):
-        return search_batch_sharded
-    return search_batch
+_search_fn_for = search_fn_for
 
 
 async def _run_search(
@@ -603,13 +589,20 @@ async def _run_search(
             if hybrid
             else params
         )
-        search_fn = _search_fn_for(index)
-        semantic = await loop.run_in_executor(
-            None,
-            lambda: search_fn(
-                index, query_arrays, sem_params, subset=subset
-            ),
-        )
+        if subset is None and app_state.SEARCH_COALESCE:
+            # Coalesced path: merge with concurrent requests that share
+            # (index, params) into one device dispatch (state.py).
+            semantic = await state.enqueue_search(
+                name, query_arrays, sem_params
+            )
+        else:
+            search_fn = _search_fn_for(index)
+            semantic = await loop.run_in_executor(
+                None,
+                lambda: search_fn(
+                    index, query_arrays, sem_params, subset=subset
+                ),
+            )
 
     keyword = None
     if text_query:

@@ -50,6 +50,26 @@ from nextplaid_tpu.utils.errors import NextPlaidError
 logger = logging.getLogger(__name__)
 
 MAX_BATCH_DOCUMENTS = int(os.environ.get("MAX_BATCH_DOCUMENTS", "300"))
+# Cross-request search coalescing (round-4): concurrent unfiltered searches
+# that share an (index, SearchParameters) key are merged into single device
+# dispatches — the query analogue of the ingest worker's add coalescing
+# (documents.rs:323-380 is the reference shape for adds; the reference never
+# coalesces searches because its CPU engine gains nothing from batch).
+# DEFAULT OFF: the interleaved A/B (scripts/profile_api_e2e.py, same-process
+# alternating passes so tunnel phase drift hits both arms) measured 1124 QPS
+# coalesced vs 1526 QPS with per-request dispatch at 8 concurrent 64-query
+# clients — parallel fixed-shape dispatches pipeline the device queue better
+# than serialized variable-size merges, whose size variety also costs
+# mid-serving compiles. Coalescing still wins when many SMALL (1-8 query)
+# clients fan in faster than executor threads; enable it for that posture.
+SEARCH_COALESCE = os.environ.get("NEXT_PLAID_SEARCH_COALESCE", "0") == "1"
+MAX_COALESCED_QUERIES = int(
+    os.environ.get("NEXT_PLAID_MAX_COALESCED_QUERIES", "512")
+)
+# Dispatch window depth 2: one batch computes on device while the next is
+# marshalled/dispatched (matches bench.py's measured optimum — deeper
+# windows queue in the tunnel worker instead of overlapping).
+SEARCH_DISPATCH_DEPTH = 2
 MAX_QUEUED_TASKS_PER_INDEX = int(
     os.environ.get("MAX_QUEUED_TASKS_PER_INDEX", "10")
 )
@@ -116,6 +136,32 @@ class _PendingDelete:
     parameters: List[Any]
 
 
+@dataclass
+class _PendingSearch:
+    queries: List[np.ndarray]
+    params: Any  # SearchParameters
+    future: asyncio.Future
+
+
+def search_fn_for(index):
+    """Dispatch on the served index type: DeviceIndex (default),
+    ShardedIndex / ShardedGridIndex (serve_mode=sharded / sharded_grid)
+    — all share the (index, queries, params, subset) signature."""
+    from nextplaid_tpu.index import search_batch
+    from nextplaid_tpu.parallel.sharded import (
+        ShardedGridIndex,
+        ShardedIndex,
+        search_batch_sharded,
+        search_batch_sharded_grid,
+    )
+
+    if isinstance(index, ShardedGridIndex):
+        return search_batch_sharded_grid
+    if isinstance(index, ShardedIndex):
+        return search_batch_sharded
+    return search_batch
+
+
 class AppState:
     def __init__(self, index_dir: str, encoder=None):
         self.index_dir = Path(index_dir)
@@ -142,6 +188,8 @@ class AppState:
         self._queue_sems: Dict[str, asyncio.Semaphore] = {}
         self._delete_queues: Dict[str, asyncio.Queue] = {}
         self._delete_workers: Dict[str, asyncio.Task] = {}
+        self._search_queues: Dict[Any, asyncio.Queue] = {}
+        self._search_workers: Dict[Any, asyncio.Task] = {}
         self._config_cache: Dict[str, IndexConfigStored] = {}
         self.progress: Dict[str, UpdateProgress] = {}
 
@@ -515,6 +563,100 @@ class AppState:
                 continue
             total += delete_with_options(ids, path)
         return total
+
+    # -- search coalescing -----------------------------------------------------
+
+    async def enqueue_search(self, name: str, queries, params) -> List[Any]:
+        """Run a semantic search, coalescing with concurrent requests.
+
+        Requests sharing (index name, SearchParameters) merge into one
+        device dispatch of the concatenated query list; each caller gets
+        back exactly its slice. Greedy-drain policy: at low load a request
+        dispatches alone (zero added latency); under concurrency whatever
+        queued during the previous dispatch forms the next batch, so batch
+        size adapts to load automatically. Only subset-free searches are
+        coalesced (callers handle subset directly).
+        """
+        key = (name, tuple(sorted(params.to_dict().items())))
+        queue = self._search_queues.setdefault(key, asyncio.Queue())
+        worker_lock = self._worker_locks.setdefault(
+            ("search", key), asyncio.Lock()
+        )
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        async with worker_lock:
+            # Same enqueue/respawn discipline as the ingest worker: a
+            # worker deciding to exit rechecks the queue under this lock.
+            await queue.put(_PendingSearch(list(queries), params, fut))
+            if (
+                key not in self._search_workers
+                or self._search_workers[key].done()
+            ):
+                self._search_workers[key] = asyncio.create_task(
+                    self._search_worker(name, key)
+                )
+        return await fut
+
+    async def _search_worker(self, name: str, key) -> None:
+        queue = self._search_queues[key]
+        worker_lock = self._worker_locks[("search", key)]
+        in_flight: List[asyncio.Task] = []
+        while True:
+            try:
+                first = await asyncio.wait_for(queue.get(), timeout=5.0)
+            except asyncio.TimeoutError:
+                if in_flight:
+                    await asyncio.gather(*in_flight, return_exceptions=True)
+                    in_flight = []
+                async with worker_lock:
+                    if not queue.empty():
+                        continue  # an enqueue raced the timeout
+                    self._search_workers.pop(key, None)
+                    return  # idle; the next enqueue respawns the worker
+            batch = [first]
+            total = len(first.queries)
+            # Greedy drain — no wait window: everything already queued (up
+            # to the cap) joins this dispatch; later arrivals form the next.
+            while total < MAX_COALESCED_QUERIES and not queue.empty():
+                nxt = queue.get_nowait()
+                batch.append(nxt)
+                total += len(nxt.queries)
+            in_flight = [t for t in in_flight if not t.done()]
+            while len(in_flight) >= SEARCH_DISPATCH_DEPTH:
+                _, pending = await asyncio.wait(
+                    in_flight, return_when=asyncio.FIRST_COMPLETED
+                )
+                in_flight = list(pending)
+            in_flight.append(
+                asyncio.create_task(self._dispatch_search(name, batch))
+            )
+
+    async def _dispatch_search(
+        self, name: str, batch: List[_PendingSearch]
+    ) -> None:
+        loop = asyncio.get_running_loop()
+        all_q = [q for item in batch for q in item.queries]
+        params = batch[0].params
+        try:
+            index = await self.get_index(name)
+            fn = search_fn_for(index)
+            results = await loop.run_in_executor(
+                None, lambda: fn(index, all_q, params)
+            )
+        except BaseException as e:  # noqa: BLE001 — forwarded to callers
+            for item in batch:
+                if not item.future.done():
+                    item.future.set_exception(
+                        e if isinstance(e, Exception) else RuntimeError(str(e))
+                    )
+            if not isinstance(e, Exception):
+                raise  # CancelledError etc: also unwind the worker task
+            return
+        off = 0
+        for item in batch:
+            n = len(item.queries)
+            if not item.future.done():
+                item.future.set_result(results[off : off + n])
+            off += n
 
     def _ingest_sync(
         self,

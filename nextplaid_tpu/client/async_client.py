@@ -22,10 +22,12 @@ class AsyncNextPlaidClient:
         base_url: str = "http://localhost:8080",
         timeout: float = 300.0,
         use_base64: bool = True,
+        wire_dtype: str = "float32",
     ):
         self.base_url = base_url.rstrip("/")
         self.timeout = aiohttp.ClientTimeout(total=timeout)
         self.use_base64 = use_base64
+        self.wire_dtype = wire_dtype
         self._session: Optional[aiohttp.ClientSession] = None
 
     async def __aenter__(self) -> "AsyncNextPlaidClient":
@@ -113,7 +115,8 @@ class AsyncNextPlaidClient:
             else:
                 payload = {
                     "documents": [
-                        _doc_payload(d, self.use_base64) for d in chunk
+                        _doc_payload(d, self.use_base64, self.wire_dtype)
+                        for d in chunk
                     ]
                 }
                 if meta_chunk is not None:
@@ -156,7 +159,10 @@ class AsyncNextPlaidClient:
         is_text = bool(queries) and isinstance(queries[0], str)
         if queries and not is_text:
             payload: Dict[str, Any] = {
-                "queries": [_doc_payload(q, self.use_base64) for q in queries],
+                "queries": [
+                    _doc_payload(q, self.use_base64, self.wire_dtype)
+                    for q in queries
+                ],
                 "params": params,
             }
             endpoint = f"/indices/{index_name}/search"
@@ -292,7 +298,10 @@ class AsyncNextPlaidClient:
                 "query_b64": _doc_payload(query)["embeddings_b64"],
                 "query_shape": _doc_payload(query)["shape"],
             },
-            "documents": [_doc_payload(d, self.use_base64) for d in documents],
+            "documents": [
+                _doc_payload(d, self.use_base64, self.wire_dtype)
+                for d in documents
+            ],
         }
         return (await self._request("POST", "/rerank", json=payload))["results"]
 

@@ -25,17 +25,20 @@ from nextplaid_tpu.client.exceptions import (
 ArrayLike = Union[np.ndarray, Sequence[Sequence[float]]]
 
 
-def _doc_payload(arr: ArrayLike, use_b64: bool = True) -> Dict[str, Any]:
+def _doc_payload(
+    arr: ArrayLike, use_b64: bool = True, wire_dtype: str = "float32"
+) -> Dict[str, Any]:
     a = np.ascontiguousarray(np.asarray(arr, dtype=np.float32))
     if a.ndim != 2:
         raise ValueError(f"embeddings must be 2-D [tokens, dim], got {a.shape}")
     if use_b64:
-        return {
-            "embeddings_b64": base64.b64encode(
-                a.astype("<f4").tobytes()
-            ).decode("ascii"),
-            "shape": list(a.shape),
-        }
+        from nextplaid_tpu.api.models import encode_embeddings_b64
+
+        b64, shape = encode_embeddings_b64(a, wire_dtype)
+        out = {"embeddings_b64": b64, "shape": list(shape)}
+        if wire_dtype != "float32":
+            out["dtype"] = wire_dtype
+        return out
     return {"embeddings": a.tolist()}
 
 
@@ -46,10 +49,16 @@ class NextPlaidClient:
         timeout: float = 300.0,
         use_base64: bool = True,
         session: Optional[requests.Session] = None,
+        wire_dtype: str = "float32",
     ):
+        """wire_dtype="bfloat16" halves base64 payload bytes (high 16 bits
+        of f32, round-to-nearest-even) — below bf16/int8 scoring precision,
+        so search results are unaffected in practice; keep float32 when
+        archiving embeddings through the API."""
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
         self.use_base64 = use_base64
+        self.wire_dtype = wire_dtype
         self.session = session or requests.Session()
 
     # -- plumbing --------------------------------------------------------------
@@ -136,7 +145,8 @@ class NextPlaidClient:
             else:
                 payload = {
                     "documents": [
-                        _doc_payload(d, self.use_base64) for d in chunk
+                        _doc_payload(d, self.use_base64, self.wire_dtype)
+                        for d in chunk
                     ]
                 }
                 if meta_chunk is not None:
@@ -223,7 +233,10 @@ class NextPlaidClient:
 
         if queries and not is_text:
             payload: Dict[str, Any] = {
-                "queries": [_doc_payload(q, self.use_base64) for q in queries],
+                "queries": [
+                    _doc_payload(q, self.use_base64, self.wire_dtype)
+                    for q in queries
+                ],
                 "params": params,
             }
             endpoint = f"/indices/{index_name}/search"
@@ -399,6 +412,9 @@ class NextPlaidClient:
                 "query_b64": _doc_payload(query)["embeddings_b64"],
                 "query_shape": _doc_payload(query)["shape"],
             },
-            "documents": [_doc_payload(d, self.use_base64) for d in documents],
+            "documents": [
+                _doc_payload(d, self.use_base64, self.wire_dtype)
+                for d in documents
+            ],
         }
         return self._request("POST", "/rerank", json=payload)["results"]

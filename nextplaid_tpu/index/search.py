@@ -101,6 +101,8 @@ class PipelineShapes:
     prune_pool: int = 1024  # stage-3a pool fed to the 3b re-score (== keep
     # when approx_score == "cells"; 4x keep for "codes")
     approx_score: str = "cells"  # "cells" | "codes" (reference semantics)
+    codes_impl: str = "gather"  # 3b lowering: "gather" | "mxu" (see
+    # _approx_codes_scores; static so each variant compiles separately)
     candidate_scope: str = "batch"  # "batch" | "per_query"
     overflow_policy: str = "exact"  # on posting-budget overflow: "exact"
     # fallback (re-run exhaustively) | "prune" (lowest-weight cells dropped,
@@ -219,6 +221,7 @@ class PipelineShapes:
             prune_keep=keep,
             prune_pool=pool,
             approx_score=approx,
+            codes_impl=os.environ.get("NEXT_PLAID_CODES_IMPL", "gather"),
             rerank_kernel=rerank_kernel,
             candidate_scope=params.candidate_scope,
             overflow_policy=params.overflow_policy,
@@ -375,22 +378,50 @@ def _approx_codes_scores(
     qmask: jax.Array,  # [Q, Tq]
     cand_ids: jax.Array,  # [Q, pool] doc ids (capacity sentinel for empty)
     shapes: PipelineShapes,
+    queries: Optional[jax.Array] = None,  # [Q, Tq, d] for the "mxu" variant
 ) -> jax.Array:
     """Stage 3b: reference approximate scoring (search.rs:448-457) on the
     pooled survivors. For each candidate, gather its token codes and score
-    sum_t max_{code in doc} S[q, t, code]. Tiled lax.scan over the pool so
-    the [Q, Tq, tile*Td] gather stays ~50 MB."""
+    sum_t max_{code in doc} S[q, t, code].
+
+    Two TPU lowerings (NEXT_PLAID_CODES_IMPL, default "gather"):
+
+    - "gather": S is transposed ONCE to [Q, K, Tq] so each candidate
+      token's lookup pulls one CONTIGUOUS [Tq] row (gather slice
+      [1, 1, Tq]). The round-3 implementation gathered along the LAST axis
+      of [Q, Tq, K] with per-element indices — slice size 1, the
+      pathological TPU gather — and cost ~7x the whole cells pipeline at
+      72M embeddings (megascale_tpu.json: 7.1 vs 31.4 QPS).
+    - "mxu": recompute the gathered values instead of loading them. Since
+      S[q,t,c] = q_t . centroid_c, the per-candidate score is exactly
+      MaxSim(query, centroids[codes(doc)]) — a batched matmul over
+      centroid-decompressed candidate tokens (the exact-rerank shape minus
+      the residual unpack), trading ~0.8 TFLOP of MXU for the 13 GB of
+      gather traffic.
+    """
     q_n, pool = cand_ids.shape
     td = shapes.doc_token_cap
+    tq = s_masked.shape[1]
     nd_pad = index.num_docs_padded
     nvec_pad = index.codes.shape[0]
     t_ar = jnp.arange(td, dtype=jnp.int32)
-    # tile targeting ~48 MB gathered blocks
-    tile_budget = (48 << 20) // max(q_n * shapes.query_tokens * td * 4, 1)
+    impl = shapes.codes_impl
+
+    if impl == "mxu":
+        assert queries is not None
+        cent = index.centroids.astype(jnp.bfloat16)
+        q_bf = jnp.where(qmask[:, :, None], queries, 0.0).astype(jnp.bfloat16)
+        # tile targeting ~0.5 GB centroid-vector blocks
+        tile_budget = (512 << 20) // max(q_n * td * index.dim * 2, 1)
+    else:
+        # One transpose ([Q, Tq, K] f32, ~2 GB at 72M scale) buys
+        # contiguous gather rows for every tile below.
+        s_t = jnp.swapaxes(s_masked, 1, 2)  # [Q, K, Tq]
+        # tile targeting ~64 MB gathered blocks
+        tile_budget = (64 << 20) // max(q_n * tq * td * 4, 1)
     tile = int(np.clip(tile_budget, 1, pool))
     while pool % tile:
         tile -= 1
-    n_tiles = pool // tile
 
     def step(_, tile_ids):  # tile_ids [Q, tile]
         safe = jnp.clip(tile_ids, 0, nd_pad - 1)
@@ -402,22 +433,30 @@ def _approx_codes_scores(
             offs[:, :, None] + t_ar[None, None, :], 0, nvec_pad - 1
         )  # [Q, tile, Td]
         codes = index.codes[tok_pos]  # [Q, tile, Td] i32
-        flat = codes.reshape(q_n, 1, tile * td)
-        g = jnp.take_along_axis(
-            s_masked,
-            jnp.broadcast_to(flat, (q_n, s_masked.shape[1], tile * td)),
-            axis=2,
-        )  # [Q, Tq, tile*Td]
-        g = g.reshape(q_n, s_masked.shape[1], tile, td)
         tok_valid = t_ar[None, None, :] < lens[:, :, None]  # [Q, tile, Td]
-        g = jnp.where(tok_valid[:, None, :, :], g, NEG_INF)
-        per_tok = jnp.max(g, axis=3)  # [Q, Tq, tile]
+        if impl == "mxu":
+            cvecs = jnp.take(cent, codes.reshape(q_n, tile * td), axis=0)
+            sim = jnp.einsum(
+                "qmd,qtd->qmt",
+                cvecs,
+                q_bf,
+                preferred_element_type=jnp.float32,
+            )  # [Q, tile*Td, Tq]
+            g = sim.reshape(q_n, tile, td, tq)
+        else:
+            g = jnp.take_along_axis(
+                s_t,
+                codes.reshape(q_n, tile * td)[:, :, None],
+                axis=1,
+            ).reshape(q_n, tile, td, tq)  # contiguous [Tq] rows
+        g = jnp.where(tok_valid[:, :, :, None], g, NEG_INF)
+        per_tok = jnp.max(g, axis=2)  # [Q, tile, Tq]
         per_tok = jnp.where(
-            qmask[:, :, None] & jnp.isfinite(per_tok), per_tok, 0.0
+            qmask[:, None, :] & jnp.isfinite(per_tok), per_tok, 0.0
         )
-        return None, jnp.sum(per_tok, axis=1)  # [Q, tile]
+        return None, jnp.sum(per_tok, axis=2)  # [Q, tile]
 
-    tiles = cand_ids.reshape(q_n, n_tiles, tile).transpose(1, 0, 2)
+    tiles = cand_ids.reshape(q_n, pool // tile, tile).transpose(1, 0, 2)
     _, out = jax.lax.scan(step, None, tiles)  # [n_tiles, Q, tile]
     return out.transpose(1, 0, 2).reshape(q_n, pool)
 
@@ -429,6 +468,7 @@ def _prune_candidates(
     shapes: PipelineShapes,
     s_masked: Optional[jax.Array] = None,  # [Q, Tq, K] for stage 3b "codes"
     qmask: Optional[jax.Array] = None,  # [Q, Tq]
+    queries: Optional[jax.Array] = None,  # [Q, Tq, d] for 3b's mxu variant
 ) -> Tuple[jax.Array, jax.Array, Optional[jax.Array]]:
     """Stage 3: flat weighted posting gathers -> per-query approximate
     prune -> batch-wide candidate union.
@@ -560,7 +600,7 @@ def _prune_candidates(
         # the max centroid score among the candidate's OWN token codes,
         # summed over query tokens. Re-rank the pool, keep the top `keep`.
         code_scores = _approx_codes_scores(
-            index, s_masked, qmask, pool_ids, shapes
+            index, s_masked, qmask, pool_ids, shapes, queries=queries
         )  # [Q, pool]
         code_scores = jnp.where(pool_ids < nd_live, code_scores, NEG_INF)
         neg2 = jnp.where(jnp.isfinite(code_scores), -code_scores, jnp.inf)
@@ -831,7 +871,8 @@ def search_pipeline(
     # Stage 3 (+3b): weighted posting streams -> approximate prune ->
     # batch union.
     union_ids, overflow, mine = _prune_candidates(
-        index, cells, weights, shapes, s_masked=s_masked, qmask=qmask
+        index, cells, weights, shapes, s_masked=s_masked, qmask=qmask,
+        queries=queries,
     )
 
     # Stage 4: exact MaxSim on the union (decompress once per candidate).

@@ -722,3 +722,163 @@ def test_bad_serve_mode_rejected(server):
         assert r.status_code >= 400, r.text
     finally:
         os.environ.pop("NEXT_PLAID_SERVE_MODE", None)
+
+
+# ---------------------------------------------------------------------------
+# Round-4: cross-request search coalescing + bf16 wire format
+# ---------------------------------------------------------------------------
+
+
+def test_search_coalescing_merges_and_slices(tmp_path, monkeypatch):
+    """Concurrent enqueue_search calls sharing (index, params) must merge
+    into ONE device dispatch and each caller must get exactly its slice."""
+    from nextplaid_tpu.api import state as state_mod
+    from nextplaid_tpu.index import IndexConfig, SearchParameters, create_index
+
+    docs = make_docs(24)
+    create_index(docs, str(tmp_path / "coal"), IndexConfig(nbits=4, seed=0))
+    st = state_mod.AppState(str(tmp_path))
+
+    calls = []
+    real = state_mod.search_fn_for
+
+    def counting(index):
+        fn = real(index)
+
+        def wrapped(index, queries, params, subset=None):
+            calls.append(len(queries))
+            return fn(index, queries, params, subset=subset)
+
+        return wrapped
+
+    monkeypatch.setattr(state_mod, "search_fn_for", counting)
+    params = SearchParameters(top_k=3)
+
+    async def run():
+        # All six enqueues land on the queue before the worker task first
+        # runs (create_task FIFO; enqueue_search has no true suspension
+        # point before awaiting its future), so the greedy drain sees all
+        # of them — deterministic merge.
+        tasks = [
+            asyncio.ensure_future(
+                st.enqueue_search("coal", [docs[i][:4]], params)
+            )
+            for i in range(6)
+        ]
+        return await asyncio.gather(*tasks)
+
+    results = asyncio.run(run())
+    assert calls == [6], calls  # one dispatch, six queries
+    for i, r in enumerate(results):
+        assert len(r) == 1
+        assert r[0].passage_ids[0] == i
+
+
+def test_search_coalescing_distinct_params_not_merged(tmp_path, monkeypatch):
+    """Different SearchParameters must never share a dispatch (they would
+    change each other's operating point)."""
+    from nextplaid_tpu.api import state as state_mod
+    from nextplaid_tpu.index import IndexConfig, SearchParameters, create_index
+
+    docs = make_docs(12)
+    create_index(docs, str(tmp_path / "coal2"), IndexConfig(nbits=4, seed=0))
+    st = state_mod.AppState(str(tmp_path))
+
+    calls = []
+    real = state_mod.search_fn_for
+
+    def counting(index):
+        fn = real(index)
+
+        def wrapped(index, queries, params, subset=None):
+            calls.append((len(queries), params.top_k))
+            return fn(index, queries, params, subset=subset)
+
+        return wrapped
+
+    monkeypatch.setattr(state_mod, "search_fn_for", counting)
+
+    async def run():
+        tasks = [
+            asyncio.ensure_future(
+                st.enqueue_search(
+                    "coal2", [docs[i][:4]], SearchParameters(top_k=k)
+                )
+            )
+            for i, k in ((0, 3), (1, 5), (2, 3))
+        ]
+        return await asyncio.gather(*tasks)
+
+    results = asyncio.run(run())
+    assert sorted(calls) == [(1, 5), (2, 3)]
+    assert [r[0].passage_ids[0] for r in results] == [0, 1, 2]
+    assert len(results[1][0].passage_ids) == 5
+    assert len(results[0][0].passage_ids) == 3
+
+
+def test_concurrent_searches_over_http(server):
+    """Full-stack coalescing: simultaneous HTTP searches each get their own
+    result (slicing correctness through the server path)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    requests.post(server.url + "/indices", json={"name": "coalhttp"})
+    docs = make_docs(20, seed=3)
+    requests.post(
+        server.url + "/indices/coalhttp/documents",
+        json={"documents": [doc_payload(d) for d in docs]},
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        info = requests.get(server.url + "/indices/coalhttp").json()
+        if info.get("num_documents") == 20:
+            break
+        time.sleep(0.3)
+
+    def one(i):
+        r = requests.post(
+            server.url + "/indices/coalhttp/search",
+            json={
+                "queries": [doc_payload(docs[i][:4], b64=True)],
+                "params": {"top_k": 3},
+            },
+        )
+        assert r.status_code == 200, r.text
+        return r.json()["results"][0]["document_ids"][0]
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        tops = list(pool.map(one, range(16)))
+    assert tops == list(range(16))
+
+
+def test_bf16_wire_search(server):
+    """bfloat16 wire embeddings (half the payload) search correctly."""
+    from nextplaid_tpu.api.models import encode_embeddings_b64
+
+    requests.post(server.url + "/indices", json={"name": "bfwire"})
+    docs = make_docs(15, seed=4)
+    requests.post(
+        server.url + "/indices/bfwire/documents",
+        json={"documents": [doc_payload(d) for d in docs]},
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        info = requests.get(server.url + "/indices/bfwire").json()
+        if info.get("num_documents") == 15:
+            break
+        time.sleep(0.3)
+
+    b64, shape = encode_embeddings_b64(docs[9][:4], "bfloat16")
+    f32_b64, _ = encode_embeddings_b64(docs[9][:4])
+    assert len(b64) < 0.51 * len(f32_b64)
+    r = requests.post(
+        server.url + "/indices/bfwire/search",
+        json={
+            "queries": [
+                {"embeddings_b64": b64, "shape": list(shape),
+                 "dtype": "bfloat16"}
+            ],
+            "params": {"top_k": 3},
+        },
+    )
+    assert r.status_code == 200, r.text
+    assert r.json()["results"][0]["document_ids"][0] == 9

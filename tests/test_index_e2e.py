@@ -608,3 +608,23 @@ def test_staged_kernel_rerank_matches_scan(built, monkeypatch):
     for a, b in zip(results[False], results[True]):
         assert a.passage_ids == b.passage_ids, (a, b)
         np.testing.assert_allclose(a.scores, b.scores, rtol=2e-2, atol=2e-2)
+
+
+def test_codes_impl_variants_agree(built, monkeypatch):
+    """Stage 3b's two lowerings — contiguous-row gather vs MXU recompute
+    (centroid MaxSim) — must select the same documents. The mxu variant
+    recomputes q.centroid in bf16, so scores may differ at ~1e-2; the
+    selected ids at a tight prune must still agree on this fixture."""
+    docs, path, meta, index = built
+    qs, _targets = make_queries(docs, num_queries=6)
+    params = SearchParameters(
+        top_k=5, mode="staged", n_ivf_probe=4, prune_keep=16,
+        centroid_score_threshold=None, approx_score="codes",
+    )
+    monkeypatch.setenv("NEXT_PLAID_CODES_IMPL", "gather")
+    r_g = search_batch(index, qs, params)
+    monkeypatch.setenv("NEXT_PLAID_CODES_IMPL", "mxu")
+    r_m = search_batch(index, qs, params)
+    for a, b in zip(r_g, r_m):
+        assert a.passage_ids == b.passage_ids
+        np.testing.assert_allclose(a.scores, b.scores, rtol=1e-4, atol=1e-4)
