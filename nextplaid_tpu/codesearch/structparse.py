@@ -707,6 +707,35 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
         if language == "go" and w == "func":
             j = i + 1
             recv = None
+            # Var-bound closure: inner := func(...) T { ... } — named by
+            # the binding (tree-sitter's short_var_declaration handling).
+            if (
+                j < n
+                and toks[j].text == "("
+                and i >= 2
+                and toks[i - 1].kind == PUNCT
+                and toks[i - 1].text in (":=", "=")
+                and toks[i - 2].kind == ID
+            ):
+                p_close = _match_bracket(toks, j, "(", ")")
+                body = p_close + 1
+                while body < n and not (
+                    toks[body].kind == PUNCT and toks[body].text in "{;"
+                ):
+                    body += 1
+                if body < n and toks[body].text == "{":
+                    end = _match_bracket(toks, body, "{", "}")
+                    defs.append(
+                        RawDef(
+                            toks[i - 2].text, UnitType.FUNCTION, i - 2,
+                            i - 2, body, end, parent=parent,
+                            params=_params_from_slice(
+                                toks[j + 1 : p_close], language
+                            ),
+                        )
+                    )
+                    i = body + 1
+                    continue
             if j < n and toks[j].text == "(":
                 close = _match_bracket(toks, j, "(", ")")
                 ids = [t2 for t2 in toks[j:close] if t2.kind == ID]
@@ -934,6 +963,15 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                 and toks[i + 2].text == "="
             ):
                 j = i + 3
+                # const obj = { ... }: an OBJECT-LITERAL scope — its
+                # shorthand methods / arrow properties parent to the
+                # object's name (tree-sitter extracts object methods as
+                # named units; extract.rs object/method handling).
+                if j < n and toks[j].text == "{":
+                    end = _match_bracket(toks, j, "{", "}")
+                    class_stack.append((end, toks[i + 1].text))
+                    i = j + 1
+                    continue
                 while j < n and toks[j].kind == ID and toks[j].text == "async":
                     j += 1
                 arrow_at = None
@@ -979,11 +1017,71 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                     )
                     i = body
                     continue
+            # object-literal arrow property: name: (args) => ... /
+            # name: async x => ... with prev "{" or "," (an object-literal
+            # or class-field position; ternaries never have ID ":" "(" ")"
+            # "=>" shapes after those separators).
+            if (
+                i + 1 < n
+                and toks[i + 1].text == ":"
+                and i > 0
+                and toks[i - 1].kind == PUNCT
+                and toks[i - 1].text in "{,"
+            ):
+                j = i + 2
+                while j < n and toks[j].kind == ID and toks[j].text == "async":
+                    j += 1
+                arrow_at = None
+                p_slice: List[Tok] = []
+                if j < n and toks[j].text == "(":
+                    p_close = _match_bracket(toks, j, "(", ")")
+                    k2 = p_close + 1
+                    if k2 < n and toks[k2].text == ":":
+                        while k2 < n and toks[k2].text not in ("=>", ";", ",", "}"):
+                            k2 += 1
+                    if k2 < n and toks[k2].text == "=>":
+                        arrow_at = k2
+                        p_slice = toks[j + 1 : p_close]
+                elif j + 1 < n and toks[j].kind == ID and toks[j + 1].text == "=>":
+                    arrow_at = j + 1
+                    p_slice = [toks[j]]
+                if arrow_at is not None:
+                    body = arrow_at + 1
+                    if body < n and toks[body].text == "{":
+                        end = _match_bracket(toks, body, "{", "}")
+                    else:
+                        end = body
+                        depth = 0
+                        while end < n:
+                            te = toks[end]
+                            if te.kind == PUNCT:
+                                if te.text in "([{":
+                                    depth += 1
+                                elif te.text in ")]}":
+                                    depth -= 1
+                                    if depth < 0:
+                                        break
+                                elif te.text in ",;" and depth == 0:
+                                    break
+                            end += 1
+                        end = min(end, n - 1)
+                    defs.append(
+                        RawDef(
+                            w,
+                            UnitType.METHOD if parent else UnitType.FUNCTION,
+                            i, i, body, end, parent=parent,
+                            params=_params_from_slice(p_slice, language),
+                        )
+                    )
+                    i = body
+                    continue
             # class-body method: IDENT [<T,...>] '(' ... ')' '{' at class
-            # depth. Generic methods (m<T>(x: T)) carry an angle-bracket
-            # group before the parens; match it with a bounded depth scan
-            # (angles are operators, not lexer brackets — a short scan that
-            # must END at "(" keeps comparison chains from matching).
+            # depth (also object-literal shorthand methods via the
+            # object-scope stack). Generic methods (m<T>(x: T)) carry an
+            # angle-bracket group before the parens; match it with a
+            # bounded depth scan (angles are operators, not lexer brackets
+            # — a short scan that must END at "(" keeps comparison chains
+            # from matching).
             paren_i = None
             if parent is not None and i + 1 < n and toks[i + 1].text == "(":
                 paren_i = i + 1
@@ -994,7 +1092,7 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                 and toks[i + 1].text == "<"
             ):
                 depth, j2 = 0, i + 1
-                while j2 < min(n, i + 64):
+                while j2 < min(n, i + 96):
                     t2 = toks[j2].text
                     if t2 == "<":
                         depth += 1
@@ -1002,7 +1100,13 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                         depth -= 1
                         if depth == 0:
                             break
-                    elif t2 in (";", "{", "}", ")"):
+                    elif t2 == "{":
+                        # Object types inside the parameter bound —
+                        # get<V extends {b: boolean}>(...) — are balanced
+                        # brace groups; skip them whole. (A bare "{" in a
+                        # comparison chain still aborts via "}" / ")".)
+                        j2 = _match_bracket(toks, j2, "{", "}")
+                    elif t2 in (";", "}", ")"):
                         j2 = n
                         break
                     j2 += 1
@@ -1025,7 +1129,7 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                 if body < n and toks[body].text == "{":
                     prev = toks[i - 1] if i > 0 else None
                     if prev is None or prev.kind == COMMENT or (
-                        prev.kind == PUNCT and prev.text in "{};"
+                        prev.kind == PUNCT and prev.text in "{};,"
                     ) or (prev.kind == ID and prev.text in _MODIFIERS | {"get", "set"}):
                         end = _match_bracket(toks, body, "{", "}")
                         defs.append(

@@ -1139,3 +1139,114 @@ function refresh(panel) {
     doc = units["Dashboard"]
     assert doc.unit_type == UnitType.DOCUMENT
     assert "main" in doc.variables
+
+
+# ---------------------------------------------------------------------------
+# Round-4 adversarial fixtures: nesting, object literals, generics, strings
+# with braces, var-bound closures (VERDICT item 8; ref extract.rs:1-825)
+# ---------------------------------------------------------------------------
+
+
+def test_js_methods_in_classes_in_closures():
+    src = """
+function outer() {
+  class Inner {
+    method(x) { return x; }
+  }
+  const nested = (a) => (b) => { return a + b; };
+  return Inner;
+}
+"""
+    units = _by_name(extract_units("a.js", src))
+    assert units["outer"].unit_type == UnitType.FUNCTION
+    assert units["Inner"].unit_type == UnitType.CLASS
+    assert units["method"].parent_class == "Inner"
+    assert units["nested"].unit_type == UnitType.FUNCTION
+
+
+def test_js_braces_inside_strings_regex_templates():
+    src = """
+const re = /}{/g;
+const s = `template ${ {a:1}.a } }{ text`;
+const c = "}{ not structure";
+function afterAll(a) { return a; }
+"""
+    units = _by_name(extract_units("a.js", src))
+    a = units["afterAll"]
+    assert a.line == 5 and a.end_line == 5
+
+
+def test_js_object_literal_methods_and_arrow_props():
+    src = """
+const obj = {
+  method(a) { return a; },
+  arrow: (b) => b * 2,
+  async asyncMethod(c) { return c; },
+  plain: 42,
+};
+function after() { return 1; }
+"""
+    units = _by_name(extract_units("a.js", src))
+    assert units["method"].parent_class == "obj"
+    assert units["arrow"].parent_class == "obj"
+    assert units["asyncMethod"].parent_class == "obj"
+    assert "plain" not in units
+    assert units["after"].unit_type == UnitType.FUNCTION
+
+
+def test_ts_generic_method_with_object_type_bound():
+    src = """
+function generic<T extends {a: number}>(x: T): T { return x; }
+class Box<K extends string> {
+  get<V extends {b: boolean}>(k: K): V { return null as any; }
+}
+"""
+    units = _by_name(extract_units("a.ts", src))
+    assert units["generic"].unit_type == UnitType.FUNCTION
+    assert units["get"].parent_class == "Box"
+
+
+def test_ts_arrow_props_with_return_annotations():
+    src = """
+const handlers = {
+  onClick: async (e: Event): Promise<void> => { await submit(e); },
+  onKey: e => e.key,
+};
+"""
+    units = _by_name(extract_units("a.ts", src))
+    assert units["onClick"].parent_class == "handlers"
+    assert units["onKey"].parent_class == "handlers"
+    assert "submit" in units["onClick"].calls
+
+
+def test_go_var_bound_closures_and_string_braces():
+    src = """
+func Outer() func() int {
+	inner := func() int { return 1 }
+	s := "}{ not a brace"
+	return inner
+}
+
+func (t *T) Method(a int) int { return a }
+"""
+    units = _by_name(extract_units("a.go", src))
+    assert units["Outer"].unit_type == UnitType.FUNCTION
+    assert units["Outer"].end_line == 6
+    assert units["inner"].unit_type == UnitType.FUNCTION
+    assert units["Method"].parent_class == "T"
+
+
+def test_js_no_recognizer_misfires_on_calls_and_branches():
+    """Calls followed by blocks, branches, and ternary object literals must
+    never surface as units."""
+    src = """
+function normal() {
+  if (x) { doThing(y); }
+  while (cond) { step(); }
+  helper(a, b);
+  const t = cond ? {k: 1} : other;
+  it('case', () => { expect(1).toBe(1); });
+}
+"""
+    units = _by_name(extract_units("a.js", src))
+    assert set(units) == {"normal"}
