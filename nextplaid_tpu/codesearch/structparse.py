@@ -675,13 +675,19 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
             if (
                 j < n
                 and toks[j].text == "("
-                and language in ("kotlin", "scala")
+                and language in ("kotlin", "scala", "csharp")
             ):
                 # Primary constructor: class Repo(val db: Db) : Base() { .
+                # C# positional records land here too: record Point(int X);
                 j = _match_bracket(toks, j, "(", ")") + 1
                 while j < n and not (
-                    toks[j].kind == PUNCT and toks[j].text in "{;("
+                    toks[j].kind == PUNCT and toks[j].text in "{;"
                 ):
+                    if toks[j].kind == PUNCT and toks[j].text == "(":
+                        # Superclass constructor call (`: Base(db)`) — skip
+                        # the argument group whole, the body brace follows.
+                        j = _match_bracket(toks, j, "(", ")") + 1
+                        continue
                     if (
                         toks[j].kind == ID
                         and toks[j - 1].kind == ID
@@ -689,6 +695,19 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                     ):
                         extends = extends or toks[j].text
                     j += 1
+                if (
+                    language == "csharp"
+                    and j < n
+                    and toks[j].text == ";"
+                ):
+                    # Body-less positional record: the declaration is the
+                    # whole unit.
+                    defs.append(
+                        RawDef(name, UnitType.CLASS, i, name_i, j, j,
+                               parent=parent, extends=extends)
+                    )
+                    i = j + 1
+                    continue
             if j < n and toks[j].text == "{":
                 end = _match_bracket(toks, j, "{", "}")
                 defs.append(
@@ -696,7 +715,10 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                            parent=parent, extends=extends)
                 )
                 if language in ("java", "csharp", "typescript", "javascript",
-                                "cpp", "kotlin", "swift", "scala", "php"):
+                                "cpp", "kotlin", "swift", "scala", "php",
+                                "rust"):
+                    # rust: trait bodies parent their default-method fns
+                    # (struct/enum bodies hold no fns, so pushing is inert).
                     class_stack.append((end, name))
                 i = j + 1
                 continue
@@ -837,6 +859,11 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                 j = _match_bracket(toks, j, "<", ">") + 1
             names = []
             while j < n and toks[j].text != "{" and toks[j].text != "where":
+                # Skip generic argument groups whole: impl<T> Repo<T> must
+                # name Repo, not the type parameter T.
+                if toks[j].kind == PUNCT and toks[j].text == "<":
+                    j = _match_bracket(toks, j, "<", ">") + 1
+                    continue
                 if toks[j].kind == ID and toks[j].text != "for":
                     names.append(toks[j].text)
                 j += 1
@@ -1164,11 +1191,17 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                 ):
                     body += 1
                     while body < n and not (
-                        toks[body].kind == PUNCT and toks[body].text in "{;"
+                        toks[body].kind == PUNCT
+                        and toks[body].text in ("{", ";", "=>")
                     ):
                         body += 1
+                ret_tok = toks[i - 1]
+                ret_type = (
+                    ret_tok.text
+                    if ret_tok.kind == ID and ret_tok.text != parent
+                    else None
+                )
                 if body < n and toks[body].text == "{":
-                    ret_tok = toks[i - 1]
                     end = _match_bracket(toks, body, "{", "}")
                     defs.append(
                         RawDef(
@@ -1177,9 +1210,157 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                             params=_params_from_slice(
                                 toks[i + 2 : p_close], language
                             ),
+                            return_type=ret_type,
+                        )
+                    )
+                    i = body + 1
+                    continue
+                if (
+                    language == "csharp"
+                    and body < n
+                    and toks[body].text == "=>"
+                ):
+                    # Expression-bodied member: T Name(args) => expr; —
+                    # extent runs to the statement-level semicolon.
+                    end = body + 1
+                    depth = 0
+                    while end < n:
+                        te = toks[end]
+                        if te.kind == PUNCT:
+                            if te.text in "([{":
+                                depth += 1
+                            elif te.text in ")]}":
+                                depth -= 1
+                                if depth < 0:
+                                    break
+                            elif te.text == ";" and depth == 0:
+                                break
+                        end += 1
+                    end = min(end, n - 1)
+                    defs.append(
+                        RawDef(
+                            w, UnitType.METHOD, i, i, body, end,
+                            parent=parent,
+                            params=_params_from_slice(
+                                toks[i + 2 : p_close], language
+                            ),
+                            return_type=ret_type,
+                        )
+                    )
+                    i = end + 1
+                    continue
+
+        # ---- cpp: method inside class body ------------------------------
+        cpp_name = w
+        cpp_paren = i + 1
+        if (
+            language == "cpp"
+            and w == "operator"
+            and i + 1 < n
+            and toks[i + 1].kind == PUNCT
+            and toks[i + 1].text != "("
+        ):
+            # Overloaded operator: operator+=(...) — fold the symbol tokens
+            # (the lexer splits compound operators: "+","=") into the name
+            # and shift the parameter list to the following "(".
+            j2, sym = i + 1, ""
+            while (
+                j2 < n
+                and j2 <= i + 3
+                and toks[j2].kind == PUNCT
+                and toks[j2].text != "("
+            ):
+                sym += toks[j2].text
+                j2 += 1
+            if sym and j2 < n and toks[j2].text == "(":
+                cpp_name = "operator" + sym
+                cpp_paren = j2
+        if (
+            language == "cpp"
+            and parent is not None
+            and cpp_paren < n
+            and toks[cpp_paren].text == "("
+            and w not in _NOT_CALLS
+            and w not in _CONTROL_KW
+            and i > 0
+        ):
+            prev = toks[i - 1]
+            is_dtor = prev.kind == PUNCT and prev.text == "~"
+            # Constructor: name == class name, led by an access specifier
+            # (`public:`), a body/member boundary, or the class brace.
+            is_ctor = w == parent and (
+                prev.kind == COMMENT
+                or (prev.kind == PUNCT and prev.text in ("{", "}", ";", ":"))
+            )
+            is_method = (
+                prev.kind == ID
+                and prev.text not in ("return", "new", "throw", "goto",
+                                      "case", "delete")
+            ) or (prev.kind == PUNCT and prev.text in ("*", "&", ">"))
+            if is_dtor or is_ctor or is_method:
+                p_close = _match_bracket(toks, cpp_paren, "(", ")")
+                body = p_close + 1
+                while body < n:
+                    t2 = toks[body]
+                    if t2.kind == ID and t2.text in (
+                        "const", "noexcept", "override", "final",
+                        "volatile", "try",
+                    ):
+                        body += 1
+                        if (
+                            t2.text == "noexcept"
+                            and body < n
+                            and toks[body].text == "("
+                        ):
+                            body = _match_bracket(toks, body, "(", ")") + 1
+                        continue
+                    if t2.kind == PUNCT and t2.text in ("&", "&&"):
+                        body += 1
+                        continue
+                    if t2.kind == PUNCT and t2.text == "->":
+                        # Trailing return type: auto f() -> T { .
+                        body += 1
+                        while body < n and not (
+                            toks[body].kind == PUNCT
+                            and toks[body].text in "{;"
+                        ):
+                            body += 1
+                        continue
+                    if t2.kind == PUNCT and t2.text == ":":
+                        # Constructor-initializer list: skip the
+                        # `member(expr)` / `member{expr}` groups; the body
+                        # brace is the first "{" NOT preceded by an ID.
+                        body += 1
+                        while body < n:
+                            t3 = toks[body]
+                            if t3.kind == PUNCT and t3.text == "(":
+                                body = _match_bracket(toks, body, "(", ")") + 1
+                                continue
+                            if t3.kind == PUNCT and t3.text == "{":
+                                if toks[body - 1].kind == ID:
+                                    body = _match_bracket(
+                                        toks, body, "{", "}"
+                                    ) + 1
+                                    continue
+                                break
+                            if t3.kind == PUNCT and t3.text == ";":
+                                break
+                            body += 1
+                        continue
+                    break
+                if body < n and toks[body].text == "{":
+                    end = _match_bracket(toks, body, "{", "}")
+                    defs.append(
+                        RawDef(
+                            ("~" + w) if is_dtor else cpp_name,
+                            UnitType.METHOD, i, i, body, end,
+                            parent=parent,
+                            params=_params_from_slice(
+                                toks[cpp_paren + 1 : p_close], language
+                            ),
                             return_type=(
-                                ret_tok.text
-                                if ret_tok.kind == ID and ret_tok.text != parent
+                                prev.text
+                                if is_method and prev.kind == ID
                                 else None
                             ),
                         )
@@ -1209,6 +1390,13 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                     "const", "noexcept", "override", "final",
                 ):
                     body += 1
+                if body < n and toks[body].kind == PUNCT and toks[body].text == "->":
+                    # Trailing return type: auto f() -> T { .
+                    body += 1
+                    while body < n and not (
+                        toks[body].kind == PUNCT and toks[body].text in "{;"
+                    ):
+                        body += 1
                 if body < n and toks[body].text == "{":
                     # qualified name Class::method
                     name = w

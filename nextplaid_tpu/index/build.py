@@ -29,6 +29,8 @@ from nextplaid_tpu.storage.npy import (
     atomic_write_json,
     atomic_write_npy,
     file_lock,
+    load_json,
+    load_npy,
 )
 
 logger = logging.getLogger(__name__)
@@ -484,12 +486,146 @@ def _ivf_from_codes_device(
     return np.asarray(sd_k, np.int64), lengths
 
 
+def _train_streamed_artifacts(
+    sample_tokens: jax.Array, est_total_tokens: int, config: IndexConfig
+) -> CodecArtifacts:
+    """Centroid + codec training for the streamed build (K heuristic,
+    flat/RQ k-means on device, quantile buckets on a held-out slice)."""
+    _progress("kmeans")
+    k = kmeans_ops.num_partitions_heuristic(float(est_total_tokens))
+    structure = config.centroid_structure
+    if structure == "auto":
+        # Flat always: MXU chunked-argmax handles even K=262144 (see
+        # the in-memory path's rationale); RQ is explicit opt-in.
+        structure = "flat"
+    rq_book = None
+    if structure == "rq":
+        if k & (k - 1):
+            k = 1 << (k.bit_length() - 1)
+        c, f = rq_ops.rq_split(k)
+        n_s = int(sample_tokens.shape[0])
+        if n_s > rq_ops.RQ_MAX_TRAIN_TOKENS:
+            stride = -(-n_s // rq_ops.RQ_MAX_TRAIN_TOKENS)
+            sample_tokens = sample_tokens[::stride]
+        rq_book = rq_ops.train_rq(
+            sample_tokens, c, f,
+            iters=config.kmeans_niters,
+            seed=config.seed if config.seed is not None else 42,
+        )
+        centroids = rq_book.flat_centroids()
+    else:
+        rng = np.random.default_rng(
+            config.seed if config.seed is not None else 42
+        )
+        n_s = int(sample_tokens.shape[0])
+        k = min(k, n_s)
+        # Init selection stays ON DEVICE: gather k random rows by a
+        # host-generated permutation (tiny h2d of indices). The former
+        # np.asarray(sample_tokens) materialized the WHOLE training
+        # sample to host — hundreds of MB of d2h at megascale, through
+        # a tunnel measured as slow as 1.4 MB/s (round 3).
+        init_idx = jnp.asarray(
+            rng.permutation(n_s)[:k].astype(np.int32)
+        )
+        init = jnp.take(sample_tokens, init_idx, axis=0)
+        # Bound the [chunk, K] assignment buffer (~256 MB); lloyd
+        # itself dispatches one iteration per jit call.
+        chunk = int(max(512, min(65536, (256 << 20) // max(k * 4, 1))))
+        chunk = 1 << (chunk.bit_length() - 1)
+        cents = kmeans_ops.lloyd(
+            sample_tokens, init,
+            iters=config.kmeans_niters, assign_chunk=chunk,
+        )
+        cents = np.asarray(cents)
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
+        )
+        centroids = cents.astype(np.float32)
+
+    _progress("codec")
+    dim = centroids.shape[1]
+    artifacts = CodecArtifacts(
+        centroids=centroids,
+        bucket_cutoffs=np.zeros(0, np.float32),
+        bucket_weights=np.zeros(0, np.float32),
+        avg_residual=np.zeros(dim, np.float32),
+        cluster_threshold=0.0,
+        nbits=config.nbits,
+        rq=rq_book,
+    )
+    heldout_n = min(int(sample_tokens.shape[0]), 50_000)
+    return _finish_codec_artifacts(
+        artifacts, sample_tokens[:heldout_n], config
+    )
+
+
+def _load_streamed_artifacts(
+    layout: IndexLayout, config: IndexConfig
+) -> Optional[CodecArtifacts]:
+    """Reload trained codec artifacts left by an interrupted streamed build.
+
+    Returns None unless every artifact file exists (training never completed
+    or this is a fresh directory)."""
+    needed = (
+        layout.centroids,
+        layout.bucket_cutoffs,
+        layout.bucket_weights,
+        layout.avg_residual,
+        layout.cluster_threshold,
+    )
+    if not all(p.exists() for p in needed):
+        return None
+    rq_book = None
+    if layout.rq_coarse.exists() and layout.rq_fine.exists():
+        rq_book = rq_ops.RQCodebook(
+            coarse=np.asarray(load_npy(layout.rq_coarse, mmap=False), np.float32),
+            fine=np.asarray(load_npy(layout.rq_fine, mmap=False), np.float32),
+        )
+    return CodecArtifacts(
+        centroids=np.asarray(load_npy(layout.centroids, mmap=False), np.float32),
+        bucket_cutoffs=np.asarray(
+            load_npy(layout.bucket_cutoffs, mmap=False), np.float32
+        ),
+        bucket_weights=np.asarray(
+            load_npy(layout.bucket_weights, mmap=False), np.float32
+        ),
+        avg_residual=np.asarray(
+            load_npy(layout.avg_residual, mmap=False), np.float32
+        ),
+        cluster_threshold=float(
+            load_npy(layout.cluster_threshold, mmap=False)[0]
+        ),
+        nbits=config.nbits,
+        rq=rq_book,
+    )
+
+
+def _streamed_chunk_complete(layout: IndexLayout, i: int, offset: int) -> bool:
+    """True when chunk i's four files were fully written by a previous run
+    at the same embedding offset (all writes are atomic tmp+rename, so
+    existence implies completeness)."""
+    meta_p = layout.chunk_metadata(i)
+    if not (
+        meta_p.exists()
+        and layout.chunk_codes(i).exists()
+        and layout.chunk_residuals(i).exists()
+        and layout.chunk_doclens(i).exists()
+    ):
+        return False
+    try:
+        meta = load_json(meta_p)
+    except Exception:
+        return False
+    return int(meta.get("embedding_offset", -1)) == offset
+
+
 def create_index_streamed(
     chunks,
     index_path: str,
     config: Optional[IndexConfig] = None,
     sample_tokens: Optional[jax.Array] = None,
     est_total_tokens: Optional[int] = None,
+    resume: bool = False,
 ) -> Metadata:
     """Index a corpus streamed as DeviceChunks (never materialized on host).
 
@@ -505,6 +641,11 @@ def create_index_streamed(
         (required; callers sample it while producing chunks).
       est_total_tokens: drives the reference K heuristic
         (kmeans.rs:304-309). Required.
+      resume: reuse the codec artifacts and completed chunk files an
+        interrupted previous build left in index_path (a mid-build device
+        abort otherwise restarts a multi-hour build from scratch). The
+        caller must replay the SAME chunk stream; already-written chunks
+        are verified by offset and skipped.
     """
     config = config or IndexConfig()
     if sample_tokens is None or est_total_tokens is None:
@@ -513,77 +654,44 @@ def create_index_streamed(
         )
 
     with file_lock(IndexLayout(index_path).lock):
-        _progress("kmeans")
-        k = kmeans_ops.num_partitions_heuristic(float(est_total_tokens))
-        structure = config.centroid_structure
-        if structure == "auto":
-            # Flat always: MXU chunked-argmax handles even K=262144 (see
-            # the in-memory path's rationale); RQ is explicit opt-in.
-            structure = "flat"
-        rq_book = None
-        if structure == "rq":
-            if k & (k - 1):
-                k = 1 << (k.bit_length() - 1)
-            c, f = rq_ops.rq_split(k)
-            n_s = int(sample_tokens.shape[0])
-            if n_s > rq_ops.RQ_MAX_TRAIN_TOKENS:
-                stride = -(-n_s // rq_ops.RQ_MAX_TRAIN_TOKENS)
-                sample_tokens = sample_tokens[::stride]
-            rq_book = rq_ops.train_rq(
-                sample_tokens, c, f,
-                iters=config.kmeans_niters,
-                seed=config.seed if config.seed is not None else 42,
+        layout = IndexLayout(index_path)
+        artifacts = _load_streamed_artifacts(layout, config) if resume else None
+        resuming = artifacts is not None
+        if resuming:
+            logger.info(
+                "streamed build: resuming with on-disk codec artifacts "
+                "(K=%d)", artifacts.centroids.shape[0],
             )
-            centroids = rq_book.flat_centroids()
+            centroids = artifacts.centroids
+            dim = centroids.shape[1]
         else:
-            rng = np.random.default_rng(
-                config.seed if config.seed is not None else 42
+            artifacts = _train_streamed_artifacts(
+                sample_tokens, est_total_tokens, config
             )
-            n_s = int(sample_tokens.shape[0])
-            k = min(k, n_s)
-            # Init selection stays ON DEVICE: gather k random rows by a
-            # host-generated permutation (tiny h2d of indices). The former
-            # np.asarray(sample_tokens) materialized the WHOLE training
-            # sample to host — hundreds of MB of d2h at megascale, through
-            # a tunnel measured as slow as 1.4 MB/s (round 3).
-            init_idx = jnp.asarray(
-                rng.permutation(n_s)[:k].astype(np.int32)
-            )
-            init = jnp.take(sample_tokens, init_idx, axis=0)
-            # Bound the [chunk, K] assignment buffer (~256 MB); lloyd
-            # itself dispatches one iteration per jit call.
-            chunk = int(max(512, min(65536, (256 << 20) // max(k * 4, 1))))
-            chunk = 1 << (chunk.bit_length() - 1)
-            cents = kmeans_ops.lloyd(
-                sample_tokens, init,
-                iters=config.kmeans_niters, assign_chunk=chunk,
-            )
-            cents = np.asarray(cents)
-            cents = cents / np.maximum(
-                np.linalg.norm(cents, axis=1, keepdims=True), 1e-12
-            )
-            centroids = cents.astype(np.float32)
+            centroids = artifacts.centroids
+            dim = centroids.shape[1]
 
-        _progress("codec")
-        dim = centroids.shape[1]
-        artifacts = CodecArtifacts(
-            centroids=centroids,
-            bucket_cutoffs=np.zeros(0, np.float32),
-            bucket_weights=np.zeros(0, np.float32),
-            avg_residual=np.zeros(dim, np.float32),
-            cluster_threshold=0.0,
-            nbits=config.nbits,
-            rq=rq_book,
-        )
-        heldout_n = min(int(sample_tokens.shape[0]), 50_000)
-        artifacts = _finish_codec_artifacts(
-            artifacts, sample_tokens[:heldout_n], config
-        )
+        # Persist the trained codec BEFORE the encode loop so an aborted
+        # build can resume without retraining (writes are atomic).
+        layout.root.mkdir(parents=True, exist_ok=True)
+        if not resuming:
+            atomic_write_npy(layout.centroids, artifacts.centroids)
+            if artifacts.rq is not None:
+                atomic_write_npy(layout.rq_coarse, artifacts.rq.coarse)
+                atomic_write_npy(layout.rq_fine, artifacts.rq.fine)
+            else:
+                layout.rq_coarse.unlink(missing_ok=True)
+                layout.rq_fine.unlink(missing_ok=True)
+            atomic_write_npy(layout.bucket_cutoffs, artifacts.bucket_cutoffs)
+            atomic_write_npy(layout.bucket_weights, artifacts.bucket_weights)
+            atomic_write_npy(layout.avg_residual, artifacts.avg_residual)
+            atomic_write_npy(
+                layout.cluster_threshold,
+                np.asarray([artifacts.cluster_threshold], np.float32),
+            )
 
         # Encode chunk-by-chunk, write chunk files incrementally, keep codes
         # ON DEVICE for the IVF build (i32: 256 MB at 64M tokens).
-        layout = IndexLayout(index_path)
-        layout.root.mkdir(parents=True, exist_ok=True)
         # Retain codes for the IVF build on ONLY the side the size-based
         # branch below will consume — keeping both wastes ~512 MB of host
         # RAM (int64 codes) at 64M tokens on the device path, or pins the
@@ -595,6 +703,25 @@ def create_index_streamed(
         i = -1
         for i, chunk in enumerate(chunks):
             _progress("encode", processed=offset)
+            if resuming and _streamed_chunk_complete(layout, i, offset):
+                codes_host = np.asarray(
+                    load_npy(layout.chunk_codes(i), mmap=False)
+                )
+                doclens = np.asarray(
+                    load_json(layout.chunk_doclens(i)), np.int64
+                )
+                all_codes.append(
+                    jnp.asarray(codes_host.astype(np.int32))
+                    if ivf_on_device
+                    else codes_host.astype(np.int64)
+                )
+                all_doclens.append(doclens)
+                offset += int(codes_host.shape[0])
+                continue
+            # First gap: later same-offset chunk files (if any) would be
+            # re-encoded and atomically overwritten — stop skipping so the
+            # offset bookkeeping can never diverge from the stream.
+            resuming = False
             codes_dev = assign_with_artifacts(chunk.tokens, artifacts)
             packed = _residual_quantize_tiled(
                 chunk.tokens,
@@ -625,20 +752,6 @@ def create_index_streamed(
         if num_chunks == 0:
             raise ValueError("No chunks provided")
 
-        atomic_write_npy(layout.centroids, artifacts.centroids)
-        if artifacts.rq is not None:
-            atomic_write_npy(layout.rq_coarse, artifacts.rq.coarse)
-            atomic_write_npy(layout.rq_fine, artifacts.rq.fine)
-        else:
-            layout.rq_coarse.unlink(missing_ok=True)
-            layout.rq_fine.unlink(missing_ok=True)
-        atomic_write_npy(layout.bucket_cutoffs, artifacts.bucket_cutoffs)
-        atomic_write_npy(layout.bucket_weights, artifacts.bucket_weights)
-        atomic_write_npy(layout.avg_residual, artifacts.avg_residual)
-        atomic_write_npy(
-            layout.cluster_threshold,
-            np.asarray([artifacts.cluster_threshold], np.float32),
-        )
         atomic_write_json(
             layout.plan, {"nbits": config.nbits, "num_chunks": num_chunks}
         )

@@ -125,6 +125,7 @@ def build():
         IndexConfig(nbits=NBITS, seed=42),
         sample_tokens=sample,
         est_total_tokens=est,
+        resume=True,  # mid-build TPU aborts pick up from the last chunk
     )
     dt = time.time() - t0
     print(

@@ -574,3 +574,64 @@ def test_choose_bucket_tds_subsampled_candidates():
         prev = td
     assert covered == len(lens)
     assert slots < len(lens) * int(per_doc.max())
+
+
+def test_streamed_build_resume_after_abort(corpus, tmp_path):
+    """A mid-build abort (device error, process kill) must be resumable:
+    resume=True reuses the on-disk codec artifacts and completed chunk
+    files, and the finished index is byte-identical to a from-scratch
+    build of the same stream."""
+    docs, _ = corpus
+    total = sum(d.shape[0] for d in docs)
+    sample = jnp.asarray(np.concatenate(docs))
+    cfg = IndexConfig(nbits=2, seed=42)
+
+    p_full = str(tmp_path / "full")
+    create_index_streamed(
+        _chunks(docs), p_full, cfg, sample_tokens=sample,
+        est_total_tokens=total,
+    )
+
+    # Abort after 2 of 4 chunks.
+    class Abort(RuntimeError):
+        pass
+
+    def aborting_chunks():
+        for i, c in enumerate(_chunks(docs)):
+            if i == 2:
+                raise Abort()
+            yield c
+
+    p_res = str(tmp_path / "resumed")
+    with pytest.raises(Abort):
+        create_index_streamed(
+            aborting_chunks(), p_res, cfg, sample_tokens=sample,
+            est_total_tokens=total,
+        )
+    # Artifacts + first two chunks are on disk; metadata.json is not.
+    import os
+
+    assert os.path.exists(p_res + "/centroids.npy")
+    assert not os.path.exists(p_res + "/metadata.json")
+
+    meta = create_index_streamed(
+        _chunks(docs), p_res, cfg, sample_tokens=sample,
+        est_total_tokens=total, resume=True,
+    )
+    assert meta.num_chunks == 4
+    assert meta.num_embeddings == total
+
+    # Byte-identical to the from-scratch build.
+    import pathlib
+
+    files_full = sorted(
+        p.name for p in pathlib.Path(p_full).iterdir() if p.suffix != ".lock"
+    )
+    files_res = sorted(
+        p.name for p in pathlib.Path(p_res).iterdir() if p.suffix != ".lock"
+    )
+    assert files_full == files_res
+    for name in files_full:
+        a = (pathlib.Path(p_full) / name).read_bytes()
+        b = (pathlib.Path(p_res) / name).read_bytes()
+        assert a == b, f"{name} differs between resumed and fresh build"

@@ -1250,3 +1250,114 @@ function normal() {
 """
     units = _by_name(extract_units("a.js", src))
     assert set(units) == {"normal"}
+
+
+def test_rust_impl_generics_and_trait_default_methods():
+    """impl<T> Repo<T> must parent methods to Repo (not the type param);
+    trait default methods parent to the trait (extract.rs impl/trait
+    handling)."""
+    src = """
+impl<T: Clone> Repo<T> where T: Send {
+    pub fn get(&self, id: u64) -> Option<T> { None }
+}
+impl Store for Repo<u8> {
+    fn put(&self, v: &str) -> bool { true }
+}
+trait Store {
+    fn put_default(&self, v: &str) -> bool { v.len() > 0 }
+}
+"""
+    units = _by_name(extract_units("a.rs", src))
+    assert units["get"].parent_class == "Repo"
+    assert units["put"].parent_class == "Repo"
+    assert units["put_default"].parent_class == "Store"
+    assert units["put_default"].unit_type == UnitType.METHOD
+
+
+def test_csharp_expression_bodies_and_records():
+    """Expression-bodied members (=> expr;) and positional records — both
+    body-less and brace-bodied with a base ctor call — are modern-C#
+    staples the token parser must extract."""
+    src = """
+namespace App.Core {
+    public class Service : IService {
+        public async Task<int> GetAsync(int id) => await Fetch(id);
+        public int Sum(int a, int b) { return a + b; }
+    }
+    public record Point(int X, int Y);
+    public record Circle(double R) : Shape(R) {
+        public double Area() => 3.14 * R * R;
+    }
+}
+"""
+    units = _by_name(extract_units("a.cs", src))
+    assert units["GetAsync"].parent_class == "Service"
+    assert units["GetAsync"].unit_type == UnitType.METHOD
+    assert units["Point"].unit_type == UnitType.CLASS
+    assert units["Circle"].unit_type == UnitType.CLASS
+    assert units["Area"].parent_class == "Circle"
+
+
+def test_cpp_in_class_methods_full_fidelity():
+    """In-class C++ definitions: constructor with initializer list (paren
+    AND brace inits), destructor, const/noexcept qualifiers, trailing
+    return, template method, overloaded operators."""
+    src = """
+class Matrix {
+ public:
+  Matrix(int n) : n_(n), data_{nullptr} {}
+  ~Matrix() { release(); }
+  int size() const noexcept { return n_; }
+  auto rows() const -> int { return n_; }
+  template <typename T>
+  T scale(T v) { return v * n_; }
+  Matrix& operator+=(const Matrix& o) { return *this; }
+  bool operator==(const Matrix& o) const { return n_ == o.n_; }
+ private:
+  int n_;
+  int* data_;
+};
+auto trailing_free() -> int { return 1; }
+"""
+    units = _by_name(extract_units("a.cpp", src))
+    for name in ("Matrix", "~Matrix", "size", "rows", "scale",
+                 "operator+=", "operator=="):
+        assert name in units, name
+        if name != "Matrix":
+            assert units[name].parent_class == "Matrix", name
+    assert units["size"].return_type == "int"
+    assert units["scale"].return_type == "T"
+    assert units["trailing_free"].unit_type == UnitType.FUNCTION
+
+
+def test_cpp_no_misfires_on_calls_and_decls():
+    """Calls, local declarations, and forward declarations inside class or
+    function bodies must not surface as definitions."""
+    src = """
+class W {
+ public:
+  void process() {
+    helper(1, 2);
+    Matrix m(3);
+    int y = compute(m);
+    if (check(y)) { emit(y); }
+  }
+  int forward_decl(int a);
+};
+"""
+    units = _by_name(extract_units("a.cpp", src))
+    assert set(units) == {"W", "process"}
+    assert units["process"].parent_class == "W"
+
+
+def test_kotlin_primary_ctor_with_base_call():
+    """class Repo(val db: Db) : Base(db) { ... } — the superclass
+    constructor CALL must not abort class recognition."""
+    src = """
+class Repo(val db: Db) : Base(db) {
+    fun find(id: Long): Row? { return db.get(id) }
+}
+"""
+    units = _by_name(extract_units("a.kt", src))
+    assert units["Repo"].unit_type == UnitType.CLASS
+    assert units["find"].parent_class == "Repo"
