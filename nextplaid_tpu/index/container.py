@@ -53,8 +53,14 @@ def _posting_mass_prefix(ivf_lengths: np.ndarray) -> Tuple[int, ...]:
 
 def _grid_td_for(max_doclen: int, dtype: str) -> int:
     """Token-axis padding of the pinned grid (single source of truth —
-    also used by plan_capacity_factor's what-if sizing)."""
-    mult = 128 if dtype == "int8" else 8
+    also used by plan_capacity_factor's what-if sizing).
+
+    int8 mult: the interleaved kernel (_kernel_int8i) only needs Td
+    divisible by its <=16-token chunk width, so 32 suffices (and is
+    int8-sublane aligned). The original 128 padded the 100-220-doclen
+    megascale corpus by 41% of slots (14.3 GB grid vs 11 GB at mult 32) —
+    HBM that now holds the device-resident refine arrays instead."""
+    mult = 32 if dtype == "int8" else 8
     return max(_round_up(max(max_doclen, 1), mult), mult)
 
 
@@ -130,8 +136,11 @@ class DeviceIndex:
     posting_mass_prefix: Tuple[int, ...] = dataclasses.field(
         metadata=dict(static=True), default=()
     )
-    # Grid-only serving mode (`load_grid_only`): codes/residuals/IVF are
-    # 0-row placeholders; only the exact pinned-grid path is valid.
+    # Grid-only serving mode (`load_grid_only`): the IVF is a 0-row
+    # placeholder and only the exact pinned-grid path is valid.
+    # codes/residuals are 0-row too UNLESS refine="device" kept them
+    # resident as the refinement rerank's lookup tables (still immutable —
+    # staged search / appends raise regardless).
     grid_only: bool = dataclasses.field(
         metadata=dict(static=True), default=False
     )
@@ -1357,7 +1366,7 @@ def load_grid_only(
     buckets: int = 4,
     bucket_min_gain: float = 0.08,
     bucket_row_pad: int = 128,
-    refine: bool = True,
+    refine=True,
 ) -> "DeviceIndex":
     """Load an index for EXACT-ONLY serving: stream the on-disk chunks
     through the decompress+quantize pipeline into a pinned token grid, with
@@ -1378,10 +1387,18 @@ def load_grid_only(
     long-tailed corpora gain more). Bucketing is applied only when it
     saves >=8% of token slots; `buckets=1` forces the single-grid layout.
 
+    `refine` configures the int8 grid's exact-rerank stage (reference
+    rerank semantics: search.rs:460-493). True = auto: DEVICE-resident
+    codes/residuals lookup tables when they fit HBM next to the grid
+    (refine then costs one extra device dispatch per batch — no host
+    round-trip), else the host-gather fallback. "device"/"host" force a
+    side; False disables refinement.
+
     The returned index serves `search_batch`/`search_batch_async` in exact
     mode only; staged search, appends, and IVF refresh raise UpdateError /
     SearchError (reload with `DeviceIndex.load` for mutation). Peak HBM
-    during the build is grid(s) + one padded chunk + one decompress tile.
+    during the build is grid(s) + one padded chunk + one decompress tile
+    (+ the refine tables when device-resident).
     """
     from nextplaid_tpu.utils.errors import StorageError
 
@@ -1417,7 +1434,7 @@ def load_grid_only(
     nd = int(doclens_all.shape[0])
     n_emb = int(doclens_all.sum())
     max_doclen = int(doclens_all.max()) if nd else 0
-    mult = 128 if dtype == "int8" else 8
+    mult = 32 if dtype == "int8" else 8  # see _grid_td_for
     tile = 128
 
     tds = (
@@ -1438,13 +1455,33 @@ def load_grid_only(
     doc_offsets = np.zeros(nd_pad + 1, np.int64)
     np.cumsum(doclens_p, out=doc_offsets[1:])
 
-    refine_data = None
-    if refine and nd > 0:
+    # Refine-mode resolution. True = auto: DEVICE-resident refine tables
+    # when they fit HBM next to the grid (refine then costs one extra
+    # device dispatch — no per-batch host gather / candidate h2d, which
+    # measured ~0.5 s/batch through this environment's tunnel, 93% of the
+    # host path's refine cost at 72M), else the host-gather fallback.
+    if refine is True:
+        refine_mode = "auto"
+    elif refine in (False, None):
+        refine_mode = "none"
+    elif refine in ("auto", "host", "device"):
+        refine_mode = refine
+    else:
+        raise StorageError(
+            f"refine must be True/False/'auto'/'host'/'device': {refine!r}"
+        )
+    if nd == 0:
+        refine_mode = "none"
+    refine_dev_bytes = (
+        n_emb * (4 + packed_dim) if refine_mode in ("auto", "device") else 0
+    )
+
+    def make_host_refine() -> HostRefineData:
         cds = np.zeros(meta.num_chunks + 1, np.int64)
         cts = np.zeros(meta.num_chunks + 1, np.int64)
         np.cumsum([len(d) for d in doclens_list], out=cds[1:])
         np.cumsum([int(d.sum()) for d in doclens_list], out=cts[1:])
-        refine_data = HostRefineData(
+        return HostRefineData(
             chunk_codes=[
                 load_npy(layout.chunk_codes(i))
                 for i in range(meta.num_chunks)
@@ -1458,6 +1495,31 @@ def load_grid_only(
             doc_offsets=doc_offsets,
             doclens=doclens_all,
         )
+
+    def resolve_refine(grid_b: int, staging_b: int) -> str:
+        """Pick the refine side once the grid footprint is known."""
+        if refine_mode != "auto":
+            return refine_mode
+        limit = _device_hbm_bytes()
+        if limit is None or grid_b + staging_b + refine_dev_bytes <= limit:
+            return "device"
+        return "host"
+
+    def upload_refine_tables():
+        """Concatenate the chunk codes/residuals and ship them to device
+        (one load-time h2d; per-batch refine then never touches the host)."""
+        codes_all = np.empty(n_emb, np.int32)
+        res_all = np.empty((n_emb, packed_dim), np.uint8)
+        off = 0
+        for i in range(meta.num_chunks):
+            c = np.asarray(load_npy(layout.chunk_codes(i))).astype(np.int32)
+            r = np.asarray(load_npy(layout.chunk_residuals(i)))
+            codes_all[off : off + c.shape[0]] = c
+            res_all[off : off + c.shape[0]] = r
+            off += c.shape[0]
+        return jnp.asarray(codes_all), jnp.asarray(res_all)
+
+    refine_data = None
 
     common = dict(
         centroids=centroids,
@@ -1525,7 +1587,12 @@ def load_grid_only(
             + cdoc_pad * td * slot_bytes * (3 if dtype == "int8" else 1)
             + (128 << 20)
         )
-        _require_grid_fits(nd_grid * td * slot_bytes, staging)
+        refine_side = resolve_refine(nd_grid * td * slot_bytes, staging)
+        _require_grid_fits(
+            nd_grid * td * slot_bytes
+            + (refine_dev_bytes if refine_side == "device" else 0),
+            staging,
+        )
         if dtype == "bf16":
             grid = jnp.zeros((nd_grid, td, dim), jnp.bfloat16)
             scales = jnp.zeros((0, 0), jnp.bfloat16)
@@ -1556,6 +1623,10 @@ def load_grid_only(
                 kind=dtype,
             )
             row += int(dl.shape[0])
+        if refine_side == "device":
+            common["codes"], common["residuals"] = upload_refine_tables()
+        elif refine_side == "host":
+            refine_data = make_host_refine()
         out = DeviceIndex(
             token_grid=grid,
             token_scales=scales if dtype == "int8" else None,
@@ -1607,14 +1678,22 @@ def load_grid_only(
         for b in range(n_b)
     ]
     slot_bytes = dim + 2 if dtype == "int8" else dim * 2
-    _require_grid_fits(
-        sum(rows_b[b] * tds[b] for b in range(n_b)) * slot_bytes,
+    bucket_grid_bytes = (
+        sum(rows_b[b] * tds[b] for b in range(n_b)) * slot_bytes
+    )
+    bucket_staging = (
         ctok_pad * (4 + packed_dim)
         + tile * max(tds) * dim * 4
         + max(cdoc_pads[b] * tds[b] for b in range(n_b))
         * slot_bytes
         * (3 if dtype == "int8" else 1)
-        + (128 << 20),
+        + (128 << 20)
+    )
+    refine_side = resolve_refine(bucket_grid_bytes, bucket_staging)
+    _require_grid_fits(
+        bucket_grid_bytes
+        + (refine_dev_bytes if refine_side == "device" else 0),
+        bucket_staging,
     )
     grids = []
     scale_grids = []
@@ -1679,6 +1758,10 @@ def load_grid_only(
     if dtype != "int8":
         scale_grids = []
 
+    if refine_side == "device":
+        common["codes"], common["residuals"] = upload_refine_tables()
+    elif refine_side == "host":
+        refine_data = make_host_refine()
     out = DeviceIndex(
         grid_buckets=tuple(grids),
         scale_buckets=tuple(scale_grids),

@@ -586,6 +586,50 @@ def _refine_scores_jit(
     tile: int,
 ):
     """Exact MaxSim of every query against `cap` candidate docs: [Q, cap]."""
+    return _refine_scores_scan(
+        queries, qmask, codes_u, res_u, lens_u, offs_u, centroids,
+        bucket_weights, nbits, td, tile,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "td", "tile"))
+def _refine_scores_device_jit(
+    queries,  # [Q, Tq, d] f32 (zero-padded)
+    qmask,  # [Q, Tq] bool
+    ids_p,  # [cap] i32 candidate doc ids (any value in padding slots)
+    n_valid,  # scalar i32: ids_p[:n_valid] are live
+    codes,  # [Nvec_pad] i32 — the FULL corpus table, device-resident
+    res,  # [Nvec_pad, pd] u8
+    doc_offsets,  # [ndocs_pad + 1] i32
+    doclens,  # [ndocs_pad] i32
+    centroids,
+    bucket_weights,
+    nbits: int,
+    td: int,
+    tile: int,
+):
+    """Device-gather variant of _refine_scores_jit: candidates are looked
+    up directly in the corpus codes/residuals tables (load_grid_only
+    refine="device"), so the per-batch host gather + compressed-candidate
+    h2d of the host path — ~0.5 s/batch through this environment's tunnel,
+    93% of the refine cost at 72M — disappears entirely. Only the [cap]
+    id vector crosses the wire."""
+    cap = ids_p.shape[0]
+    safe = jnp.clip(ids_p, 0, doclens.shape[0] - 1)
+    lens_u = jnp.where(
+        jnp.arange(cap, dtype=jnp.int32) < n_valid, doclens[safe], 0
+    )
+    offs_u = doc_offsets[safe]
+    return _refine_scores_scan(
+        queries, qmask, codes, res, lens_u, offs_u, centroids,
+        bucket_weights, nbits, td, tile,
+    )
+
+
+def _refine_scores_scan(
+    queries, qmask, codes_u, res_u, lens_u, offs_u, centroids,
+    bucket_weights, nbits, td, tile,
+):
     cap = lens_u.shape[0]
     ctok = codes_u.shape[0]
     t_arange = jnp.arange(td, dtype=jnp.int32)
@@ -635,8 +679,6 @@ def refine_topk(
     candidates — scoring it too only raises recall; candidate_scope="batch"
     semantics, matching the default staged pipeline).
     """
-    refine = index.refine_host
-    assert refine is not None
     n = cand_ids.shape[0]
     valid = cand_ids >= 0
     uniq = np.unique(cand_ids[valid]).astype(np.int64)
@@ -645,6 +687,35 @@ def refine_topk(
         k = min(top_k, cand_ids.shape[1])
         return cand_ids[:, :k], np.full((n, k), -np.inf, np.float32)
 
+    if index.codes.shape[0] > 0:
+        # Device-resident refine tables (load_grid_only refine="device"):
+        # score straight off the corpus arrays — no host gather, no
+        # candidate h2d. cap is bucketed to bound compile variants.
+        cap = max(_round_up(len(uniq), 512), 512)
+        ids_p = np.zeros(cap, np.int32)
+        ids_p[: len(uniq)] = uniq
+        td = max(_round_up(max(index.max_doclen, 1), 32), 32)
+        scores = np.asarray(
+            _refine_scores_device_jit(
+                jnp.asarray(q_arr),
+                jnp.asarray(q_mask),
+                jnp.asarray(ids_p),
+                jnp.int32(len(uniq)),
+                index.codes,
+                index.residuals,
+                index.doc_offsets,
+                index.doclens,
+                index.centroids,
+                index.bucket_weights,
+                nbits=index.nbits,
+                td=td,
+                tile=min(128, cap),
+            )
+        )[:n]
+        return _refine_finalize(uniq, scores, top_k, n)
+
+    refine = index.refine_host
+    assert refine is not None
     codes, res, lens = refine.gather(uniq)
     cap = max(_round_up(len(uniq), 128), 128)
     ctok_pad = max(_round_up(codes.shape[0], 1 << 14), 1 << 14)
@@ -673,7 +744,10 @@ def refine_topk(
             tile=min(128, cap),
         )
     )[:n]  # [n, cap]
+    return _refine_finalize(uniq, scores, top_k, n)
 
+
+def _refine_finalize(uniq, scores, top_k, n):
     k = min(top_k, len(uniq))
     top_slots = np.argpartition(-scores, k - 1, axis=1)[:, :k]
     top_scores = np.take_along_axis(scores, top_slots, axis=1)

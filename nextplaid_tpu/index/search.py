@@ -1130,8 +1130,9 @@ def search_batch_async(
         refine_k = 0
         top_k_eff = params.top_k
         if (
-            index.grid_is_int8
-            and index.refine_host is not None
+            index.grid_only
+            and index.grid_is_int8
+            and (index.refine_host is not None or index.codes.shape[0] > 0)
             and params.refine_depth >= 0
         ):
             depth = params.refine_depth or max(4 * params.top_k, 32)

@@ -751,7 +751,7 @@ class ShardedGridIndex:
         nd = int(doclens_all.shape[0])
         ne = int(doclens_all.sum())
         max_doclen = int(doclens_all.max()) if nd else 0
-        mult = 128 if dtype == "int8" else 8
+        mult = 32 if dtype == "int8" else 8  # see container._grid_td_for
         td = max(ru(max(max_doclen, 1), mult), mult)
         tile = 128
 

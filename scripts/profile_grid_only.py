@@ -79,7 +79,12 @@ def phase_serve():
         flush=True,
     )
     queries = make_queries(topic_table())
-    params = SearchParameters(top_k=10, stage1_precision="default")
+    # refine_depth: 0 = default candidate depth (4*top_k); >0 overrides —
+    # deeper recall stage for higher refined recall at some QPS cost.
+    depth = int(os.environ.get("GRID_REFINE_DEPTH", "0"))
+    params = SearchParameters(
+        top_k=10, stage1_precision="default", refine_depth=depth
+    )
 
     t0 = time.perf_counter()
     res = search_batch(index, queries[:64], params)
@@ -131,7 +136,8 @@ def phase_serve():
 
     out_path = OUT.replace(".json", f"_b{buckets}.json") if buckets > 1 else OUT
     if refine:
-        out_path = out_path.replace(".json", "_refine.json")
+        tag = f"_refine{depth}" if depth else "_refine"
+        out_path = out_path.replace(".json", tag + ".json")
     json.dump(
         {
             "what": "grid-only int8 exact serving at 72M embeddings, one "
@@ -140,6 +146,7 @@ def phase_serve():
             + (", host-refine rerank on" if refine else "")
             + ")",
             "refine": refine,
+            "refine_depth": depth or (40 if refine else None),
             "buckets": [list(s) for s in shapes],
             "grid_gb": round(gb, 2),
             "load_seconds": round(t_load, 1),

@@ -275,18 +275,28 @@ def test_load_grid_only_matches_pinned(corpus, tmp_path):
 
     # int8 + refinement rerank (the default): final scores must EQUAL the
     # full-precision exhaustive scores — the refine pass re-scores the int8
-    # top-R from the host-resident compressed arrays with the same
-    # decompress the oracle uses (exact.refine_topk).
+    # top-R from the compressed arrays with the same decompress the oracle
+    # uses (exact.refine_topk). Default True = auto resolves to DEVICE
+    # tables when HBM allows (always on CPU); both forced sides must agree
+    # with the oracle AND each other.
     oracle = search_batch(full, queries, params)
     go8 = load_grid_only(path, dtype="int8")
-    assert go8.refine_host is not None
+    assert go8.codes.shape[0] > 0  # auto -> device-resident refine tables
+    assert go8.refine_host is None
     refined = search_batch(go8, queries, params)
     for a, b in zip(oracle, refined):
         assert a.passage_ids == b.passage_ids, (a, b)
         np.testing.assert_allclose(a.scores, b.scores, rtol=1e-5, atol=1e-5)
+
+    go8h = load_grid_only(path, dtype="int8", refine="host")
+    assert go8h.refine_host is not None and go8h.codes.shape[0] == 0
+    refined_h = search_batch(go8h, queries, params)
+    for a, b in zip(refined, refined_h):
+        assert a.passage_ids == b.passage_ids, (a, b)
+        np.testing.assert_allclose(a.scores, b.scores, rtol=1e-6, atol=1e-6)
     # gather() returns exactly the on-disk token rows for a scattered set.
     ids = np.asarray([0, full.num_documents - 1, 3], np.int64)
-    codes_g, res_g, lens_g = go8.refine_host.gather(ids)
+    codes_g, res_g, lens_g = go8h.refine_host.gather(ids)
     host = np.asarray(full.doclens)
     assert lens_g.tolist() == [int(host[i]) for i in ids]
     offs = np.concatenate([[0], np.cumsum(host)])
