@@ -103,7 +103,13 @@ class SearchParameters:
     #     each candidate's own token codes and taking the per-query-token
     #     max over those codes' centroid scores. Sharper prune: at megascale
     #     the same recall needs a fraction of the exact-rerank breadth.
-    approx_score: str = "cells"
+    # DEFAULT "codes" since round 4: the measured 72M frontier
+    # (docs/benchmarks/megascale_codes_frontier.json) has codes >= cells
+    # at matched recall above ~0.95 and strictly dominant at the >=0.99
+    # band the reference's defaults target (15.8 QPS @ 0.9953 vs the best
+    # cells point 13.7 @ 0.9906) — so the faithful semantics is also the
+    # better operating point. "cells" remains the cheap low-recall knob.
+    approx_score: str = "codes"
     # Flat posting-stream budget per query (entries gathered across all
     # probed cells). 0 = auto (4x the probe fan-out x average posting
     # length, floor 65536). Overflow is counted, reported, and handled per

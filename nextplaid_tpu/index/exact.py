@@ -665,6 +665,130 @@ def _refine_scores_scan(
     return out.transpose(1, 0, 2).reshape(queries.shape[0], cap)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("nbits", "td", "top_k", "q_tile")
+)
+def _refine_own_topk_jit(
+    queries,  # [Qp, Tq, d] f32 (Qp divisible by q_tile)
+    qmask,  # [Qp, Tq] bool
+    ids,  # [Qp, R] i32 recall candidates per query (-1 invalid)
+    codes,  # [Nvec_pad] i32 — FULL corpus table, device-resident
+    res,  # [Nvec_pad, pd] u8
+    doc_offsets,  # [ndocs_pad + 1] i64/i32
+    doclens,  # [ndocs_pad] i32
+    centroids,
+    bucket_weights,
+    nbits: int,
+    td: int,
+    top_k: int,
+    q_tile: int,
+):
+    """Fused per-query refinement: each query re-scores only ITS OWN top-R
+    recall candidates (reference rerank depth semantics, search.rs:460-469)
+    and the final top-k happens on device. vs the union path
+    (_refine_scores_device_jit) this is ~Q× fewer MACs (no query×union
+    cross product) and, because ids never leave the device, the whole
+    refined search is ONE dispatch chain — async batches pipeline through
+    the tunnel with no per-batch host round trip."""
+    q_n, tq, d = queries.shape
+    r = ids.shape[1]
+    ctok = codes.shape[0]
+    t_arange = jnp.arange(td, dtype=jnp.int32)
+    n_tiles = q_n // q_tile
+
+    def score_tile(_, start):
+        qs = start + jnp.arange(q_tile, dtype=jnp.int32)
+        q_t = queries[qs]  # [qt, Tq, d]
+        m_t = qmask[qs]
+        ids_t = ids[qs]  # [qt, R]
+        valid = (ids_t >= 0) & (ids_t < doclens.shape[0])
+        safe = jnp.clip(ids_t, 0, doclens.shape[0] - 1)
+        lens = jnp.where(valid, doclens[safe], 0)  # [qt, R]
+        offs = doc_offsets[safe].astype(jnp.int32)
+        tok_pos = jnp.clip(
+            offs[..., None] + t_arange[None, None, :], 0, ctok - 1
+        )  # [qt, R, td]
+        tok_valid = t_arange[None, None, :] < lens[..., None]
+        emb = codec_ops.decompress_residuals(
+            res[tok_pos], codes[tok_pos], centroids, bucket_weights,
+            nbits, normalize=True,
+        )  # [qt, R, td, d] f32
+        sim = jnp.einsum(
+            "qtd,qrjd->qrtj",
+            q_t,
+            emb,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [qt, R, Tq, td]
+        sim = jnp.where(tok_valid[:, :, None, :], sim, NEG_INF)
+        per_tok = jnp.max(sim, axis=-1)  # [qt, R, Tq]
+        per_tok = jnp.where(
+            m_t[:, None, :] & jnp.isfinite(per_tok), per_tok, 0.0
+        )
+        scores = jnp.sum(per_tok, axis=-1)  # [qt, R]
+        return None, jnp.where(lens > 0, scores, NEG_INF)
+
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * q_tile
+    _, out = jax.lax.scan(score_tile, None, starts)
+    scores = out.reshape(q_n, r)  # [Qp, R]
+    k = min(top_k, r)
+    top_scores, slots = jax.lax.top_k(scores, k)
+    top_ids = jnp.take_along_axis(ids, slots, axis=1)
+    top_ids = jnp.where(jnp.isfinite(top_scores), top_ids, -1)
+    return top_ids, top_scores
+
+
+def refine_own_topk_device(
+    index: DeviceIndex,
+    q_arr,  # [Q, Tq, d] f32 device or host
+    q_mask,  # [Q, Tq] bool
+    cand_ids,  # [Q, R] i32 DEVICE array from the recall stage
+    top_k: int,
+):
+    """Dispatch the fused device refine; returns DEVICE ([Q, k] ids, scores).
+
+    Requires device-resident refine tables (load_grid_only refine="device").
+    Caller guarantees R ≤ 128 (the default depth is 4*top_k = 40); deeper
+    refines take the union path, whose tile scan bounds the decompress
+    transient instead."""
+    q_n, r = cand_ids.shape[0], cand_ids.shape[1]
+    td = max(_round_up(max(index.max_doclen, 1), 32), 32)
+    # Bound the decompress transient (~q_tile*R*td*d*4) to ~150 MB.
+    budget = (150 << 20) // max(r * td * index.dim * 4, 1)
+    q_tile = 8 if budget >= 8 else max(int(budget), 1)
+    q_pad = _round_up(max(q_n, 1), q_tile)
+    if q_pad != q_n:
+        q_arr = jnp.concatenate(
+            [jnp.asarray(q_arr),
+             jnp.zeros((q_pad - q_n,) + tuple(q_arr.shape[1:]),
+                       jnp.asarray(q_arr).dtype)]
+        )
+        q_mask = jnp.concatenate(
+            [jnp.asarray(q_mask),
+             jnp.zeros((q_pad - q_n, q_mask.shape[1]), bool)]
+        )
+        cand_ids = jnp.concatenate(
+            [cand_ids,
+             jnp.full((q_pad - q_n, r), -1, cand_ids.dtype)]
+        )
+    ids, scores = _refine_own_topk_jit(
+        jnp.asarray(q_arr).astype(jnp.float32),
+        jnp.asarray(q_mask),
+        cand_ids.astype(jnp.int32),
+        index.codes,
+        index.residuals,
+        index.doc_offsets,
+        index.doclens,
+        index.centroids,
+        index.bucket_weights,
+        nbits=index.nbits,
+        td=td,
+        top_k=top_k,
+        q_tile=q_tile,
+    )
+    return ids[:q_n], scores[:q_n]
+
+
 def refine_topk(
     index: DeviceIndex,
     q_arr: np.ndarray,  # [Q, Tq, d] padded queries

@@ -1159,6 +1159,17 @@ def search_batch_async(
                 top_k=top_k_eff,
                 has_subset=subset is not None,
             )
+            if refine_k and index.codes.shape[0] > 0 and top_k_eff <= 128:
+                # Fused device refine: candidates never leave the device,
+                # so the refined search stays one async dispatch chain
+                # (exact.refine_own_topk_device; host/union fallback below
+                # for deeper depths).
+                from nextplaid_tpu.index.exact import refine_own_topk_device
+
+                ids, scores = refine_own_topk_device(
+                    index, q_arr, q_mask, ids, refine_k
+                )
+                refine_k = 0
             return PendingSearch(
                 index, queries, params, subset, n, ids, scores, None, None,
                 refine_k=refine_k,
@@ -1181,6 +1192,17 @@ def search_batch_async(
             use_kernel=kernel_eligible,
             q_scan=q_scan,
         )
+        if (
+            refine_k
+            and index.codes.shape[0] > 0
+            and min(top_k_eff, max(index.num_docs_padded - 1, 1)) <= 128
+        ):
+            from nextplaid_tpu.index.exact import refine_own_topk_device
+
+            ids, scores = refine_own_topk_device(
+                index, q_arr, q_mask, ids, refine_k
+            )
+            refine_k = 0
         return PendingSearch(
             index, queries, params, subset, n, ids, scores, None, None,
             refine_k=refine_k,

@@ -645,3 +645,66 @@ def test_streamed_build_resume_after_abort(corpus, tmp_path):
         a = (pathlib.Path(p_full) / name).read_bytes()
         b = (pathlib.Path(p_res) / name).read_bytes()
         assert a == b, f"{name} differs between resumed and fresh build"
+
+
+def test_refine_own_fused_matches_union_scorer(corpus, tmp_path):
+    """The fused per-query device refine (exact.refine_own_topk_device) must
+    produce, for every (query, candidate) pair it scores, EXACTLY the score
+    the union scorer computes for the same pair — and handle -1 padding ids
+    and query counts that don't divide the q_tile."""
+    from nextplaid_tpu.index import load_grid_only
+    from nextplaid_tpu.index.build import create_index
+    from nextplaid_tpu.index.exact import (
+        _round_up,
+        refine_own_topk_device,
+        refine_topk,
+    )
+    from nextplaid_tpu.index.search import _pad_queries
+
+    docs, topics = corpus
+    path = str(tmp_path / "fused")
+    create_index(docs, path, IndexConfig(nbits=2, seed=7))
+    index = load_grid_only(path, dtype="int8")  # auto -> device tables
+    assert index.codes.shape[0] > 0
+
+    rng = np.random.default_rng(3)
+    queries = [
+        _unit(
+            topics[rng.integers(0, 30, size=6)]
+            + 0.1 * rng.standard_normal((6, 24))
+        ).astype(np.float32)
+        for _ in range(5)  # 5 queries: not a multiple of q_tile=8
+    ]
+    q_arr, q_mask = _pad_queries(queries, index.dim)
+
+    # Hand-built candidate lists incl. -1 padding and scattered ids.
+    cand = np.full((5, 12), -1, np.int32)
+    for i in range(5):
+        cand[i, : 8 + i % 3] = rng.choice(
+            len(docs), size=8 + i % 3, replace=False
+        )
+    ids_f, scores_f = refine_own_topk_device(
+        index, q_arr, q_mask, jnp.asarray(cand), top_k=4
+    )
+    ids_f, scores_f = np.asarray(ids_f), np.asarray(scores_f)
+
+    # Union-scope oracle over the same candidate rows: its per-(q, doc)
+    # scores must match the fused path's bit-for-bit-ish (same decompress,
+    # same einsum reduction order up to f32 associativity).
+    ids_u, scores_u = refine_topk(index, q_arr, q_mask, cand, top_k=4)
+    for i in range(5):
+        own = set(cand[i][cand[i] >= 0].tolist())
+        by_id_u = dict(zip(ids_u[i].tolist(), scores_u[i].tolist()))
+        by_id_f = dict(zip(ids_f[i].tolist(), scores_f[i].tolist()))
+        # Every fused winner drawn from the query's own candidates.
+        assert set(by_id_f) <= own | {-1}
+        # Shared winners score identically.
+        for doc in set(by_id_f) & set(by_id_u):
+            if doc >= 0:
+                np.testing.assert_allclose(
+                    by_id_f[doc], by_id_u[doc], rtol=1e-5, atol=1e-5
+                )
+        # Fused ranking is descending with -1 padding at the tail.
+        finite = scores_f[i][np.isfinite(scores_f[i])]
+        assert (np.diff(finite) <= 1e-6).all()
+        assert (ids_f[i][len(finite):] == -1).all()
