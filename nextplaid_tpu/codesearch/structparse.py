@@ -1287,16 +1287,23 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
             prev = toks[i - 1]
             is_dtor = prev.kind == PUNCT and prev.text == "~"
             # Constructor: name == class name, led by an access specifier
-            # (`public:`), a body/member boundary, or the class brace.
+            # (`public:`), a body/member boundary, the class brace, or a
+            # declaration qualifier (`explicit Matrix(int n)`).
+            _CPP_DECL_QUALIFIERS = ("explicit", "inline", "constexpr",
+                                    "consteval", "virtual")
             is_ctor = w == parent and (
                 prev.kind == COMMENT
                 or (prev.kind == PUNCT and prev.text in ("{", "}", ";", ":"))
+                or (prev.kind == ID and prev.text in _CPP_DECL_QUALIFIERS)
             )
-            is_method = (
-                prev.kind == ID
-                and prev.text not in ("return", "new", "throw", "goto",
-                                      "case", "delete")
-            ) or (prev.kind == PUNCT and prev.text in ("*", "&", ">"))
+            is_method = not is_ctor and (
+                (
+                    prev.kind == ID
+                    and prev.text not in ("return", "new", "throw", "goto",
+                                          "case", "delete")
+                )
+                or (prev.kind == PUNCT and prev.text in ("*", "&", ">"))
+            )
             if is_dtor or is_ctor or is_method:
                 p_close = _match_bracket(toks, cpp_paren, "(", ")")
                 body = p_close + 1
@@ -1360,7 +1367,9 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                             ),
                             return_type=(
                                 prev.text
-                                if is_method and prev.kind == ID
+                                if is_method
+                                and prev.kind == ID
+                                and prev.text not in _CPP_DECL_QUALIFIERS
                                 else None
                             ),
                         )

@@ -559,13 +559,34 @@ def _train_streamed_artifacts(
     )
 
 
+def _streamed_fingerprint_dict(
+    config: IndexConfig, est_total_tokens: int
+) -> dict:
+    """The config facets a resumed streamed build must match. nbits changes
+    residual packing width, seed/structure/iters change the trained
+    centroids, est_total_tokens drives the K heuristic — reusing artifacts
+    trained under any different value silently corrupts the index."""
+    return {
+        "nbits": int(config.nbits),
+        "seed": int(config.seed if config.seed is not None else 42),
+        "centroid_structure": str(config.centroid_structure),
+        "kmeans_niters": int(config.kmeans_niters),
+        "est_total_tokens": int(est_total_tokens),
+    }
+
+
 def _load_streamed_artifacts(
-    layout: IndexLayout, config: IndexConfig
+    layout: IndexLayout, config: IndexConfig, est_total_tokens: int
 ) -> Optional[CodecArtifacts]:
     """Reload trained codec artifacts left by an interrupted streamed build.
 
     Returns None unless every artifact file exists (training never completed
-    or this is a fresh directory)."""
+    or this is a fresh directory). Raises StorageError when artifacts exist
+    but were trained under a different config fingerprint — resuming with
+    e.g. nbits=4 over nbits=2 artifacts would pack residuals at a width
+    that disagrees with the stored bucket_weights."""
+    from nextplaid_tpu.utils.errors import StorageError
+
     needed = (
         layout.centroids,
         layout.bucket_cutoffs,
@@ -575,6 +596,22 @@ def _load_streamed_artifacts(
     )
     if not all(p.exists() for p in needed):
         return None
+    if not layout.streamed_fingerprint.exists():
+        # Pre-fingerprint build (or hand-assembled dir): refuse the reuse
+        # rather than guess; retraining is the safe path.
+        logger.warning(
+            "streamed resume: artifacts present but no fingerprint file; "
+            "retraining codec instead of reusing them"
+        )
+        return None
+    stored = load_json(layout.streamed_fingerprint)
+    expected = _streamed_fingerprint_dict(config, est_total_tokens)
+    if stored != expected:
+        raise StorageError(
+            "streamed resume refused: on-disk codec artifacts were trained "
+            f"under {stored}, current build wants {expected}. Clear the "
+            "index directory (or pass the original config) to proceed."
+        )
     rq_book = None
     if layout.rq_coarse.exists() and layout.rq_fine.exists():
         rq_book = rq_ops.RQCodebook(
@@ -655,7 +692,11 @@ def create_index_streamed(
 
     with file_lock(IndexLayout(index_path).lock):
         layout = IndexLayout(index_path)
-        artifacts = _load_streamed_artifacts(layout, config) if resume else None
+        artifacts = (
+            _load_streamed_artifacts(layout, config, est_total_tokens)
+            if resume
+            else None
+        )
         resuming = artifacts is not None
         if resuming:
             logger.info(
@@ -689,6 +730,10 @@ def create_index_streamed(
                 layout.cluster_threshold,
                 np.asarray([artifacts.cluster_threshold], np.float32),
             )
+            atomic_write_json(
+                layout.streamed_fingerprint,
+                _streamed_fingerprint_dict(config, est_total_tokens),
+            )
 
         # Encode chunk-by-chunk, write chunk files incrementally, keep codes
         # ON DEVICE for the IVF build (i32: 256 MB at 64M tokens).
@@ -710,6 +755,18 @@ def create_index_streamed(
                 doclens = np.asarray(
                     load_json(layout.chunk_doclens(i)), np.int64
                 )
+                incoming = np.asarray(chunk.doclens, np.int64)
+                if not np.array_equal(doclens, incoming):
+                    from nextplaid_tpu.utils.errors import StorageError
+
+                    raise StorageError(
+                        f"streamed resume refused at chunk {i}: stored "
+                        f"doclens ({doclens.shape[0]} docs, "
+                        f"{int(doclens.sum())} tokens) differ from the "
+                        f"replayed stream ({incoming.shape[0]} docs, "
+                        f"{int(incoming.sum())} tokens) — the index dir "
+                        "holds a different corpus. Clear it to rebuild."
+                    )
                 all_codes.append(
                     jnp.asarray(codes_host.astype(np.int32))
                     if ivf_on_device

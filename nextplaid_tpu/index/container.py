@@ -262,6 +262,21 @@ class DeviceIndex:
         pays off on int8 grids (a bf16 grid is already oracle-exact)."""
         return getattr(self, "_refine_host", None)
 
+    @property
+    def refine_side(self) -> str:
+        """Resolved grid-only refinement side: 'device' (codes/residuals
+        lookup tables HBM-resident, one extra dispatch per batch), 'host'
+        (host-gather fallback), or 'none'. Benchmarks record this so a
+        device-refine and a host-refine measurement can never be written
+        to the same artifact again (round-4 evidence bug)."""
+        if not self.grid_only:
+            return "none"
+        if int(self.codes.shape[0]) > 0:
+            return "device"
+        if self.refine_host is not None:
+            return "host"
+        return "none"
+
     def grid_bytes(self, dtype: str = "bf16") -> int:
         return _grid_bytes_for(
             self.num_docs_padded, self.max_doclen, self.dim, dtype
@@ -1471,6 +1486,12 @@ def load_grid_only(
             f"refine must be True/False/'auto'/'host'/'device': {refine!r}"
         )
     if nd == 0:
+        refine_mode = "none"
+    # bf16 grids are already oracle-exact (refine_host docstring /
+    # search.py's grid_is_int8 gate): refinement only ever runs for int8
+    # grids, so shipping n_emb*(4+packed_dim) bytes of lookup tables
+    # (~2.6 GB at 72M, nbits=2) next to a bf16 grid would be dead HBM.
+    if dtype != "int8":
         refine_mode = "none"
     refine_dev_bytes = (
         n_emb * (4 + packed_dim) if refine_mode in ("auto", "device") else 0

@@ -169,9 +169,10 @@ def maxsim_grid_scores_int8i(
     qf = queries_i8.shape[0]
     q_n = qf // tq
     # Token-chunk width: 16 amortizes dot issue overhead best (round-4
-    # sweep: w=16 5.18 ms vs w=4 5.28 ms); int8 Td is a multiple of 128 so
-    # any power of two <= 16 divides it. Shrink when the [Qf, 128w] i32+f32
-    # chunk temporaries would crowd the 100 MB scoped-VMEM budget.
+    # sweep: w=16 5.18 ms vs w=4 5.28 ms); int8 Td is a multiple of 32
+    # (container._grid_td_for mult=32), which every chunk width <= 16
+    # divides. Shrink when the [Qf, 128w] i32+f32 chunk temporaries would
+    # crowd the 100 MB scoped-VMEM budget.
     w = 16
     while w > 1 and qf * 128 * w * 8 > 48 * 1024 * 1024:
         w //= 2

@@ -166,6 +166,13 @@ class IndexLayout:
     def config(self) -> Path:
         return self.root / "config.json"
 
+    @property
+    def streamed_fingerprint(self) -> Path:
+        """Config/corpus fingerprint written next to the streamed-build codec
+        artifacts; a resume with a different config or corpus is refused
+        instead of silently producing a corrupt index."""
+        return self.root / "streamed_fingerprint.json"
+
     # Optional RQ sidecars (TPU-only factored centroid structure; the flat
     # centroids.npy remains authoritative and reference-compatible).
     @property

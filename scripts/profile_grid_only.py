@@ -30,6 +30,7 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 import numpy as np
 
+from bench_guard import write_benchmark_json
 from profile_megascale import PATH, make_queries, topic_table, _ranged_exact
 
 from nextplaid_tpu.index import (
@@ -135,17 +136,23 @@ def phase_serve():
     print(f"batch-1 latency p50: {p50_lat:.0f} ms", flush=True)
 
     out_path = OUT.replace(".json", f"_b{buckets}.json") if buckets > 1 else OUT
+    side = index.refine_side
     if refine:
-        tag = f"_refine{depth}" if depth else "_refine"
+        # The resolved side (device-resident tables vs host-gather) is part
+        # of the experiment identity — distinct filenames so one can never
+        # silently replace the other (round-4 evidence bug).
+        tag = (f"_refine{depth}" if depth else "_refine") + f"_{side}"
         out_path = out_path.replace(".json", tag + ".json")
-    json.dump(
+    write_benchmark_json(
+        out_path,
         {
             "what": "grid-only int8 exact serving at 72M embeddings, one "
             "v5e chip (load_grid_only: chunk-streamed grid build, "
             "codes/residuals never resident"
-            + (", host-refine rerank on" if refine else "")
+            + (f", {side}-refine rerank on" if refine else "")
             + ")",
             "refine": refine,
+            "refine_side": side,
             "refine_depth": depth or (40 if refine else None),
             "buckets": [list(s) for s in shapes],
             "grid_gb": round(gb, 2),
@@ -161,10 +168,7 @@ def phase_serve():
                 "staged_recall": 0.991,
             },
         },
-        open(out_path, "w"),
-        indent=2,
     )
-    print(f"wrote {out_path}", flush=True)
 
 
 if __name__ == "__main__":

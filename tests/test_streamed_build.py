@@ -309,6 +309,12 @@ def test_load_grid_only_matches_pinned(corpus, tmp_path):
     np.testing.assert_array_equal(res_g, fr[pos])
 
     go = load_grid_only(path, dtype="bf16")
+    # bf16 grids are oracle-exact: refine=True (the default) must resolve
+    # to 'none' — no dead refine tables uploaded next to a bf16 grid
+    # (ADVICE r4 medium).
+    assert go.refine_side == "none"
+    assert go.codes.shape[0] == 0 and go.refine_host is None
+    assert go8.refine_side == "device" and go8h.refine_side == "host"
     with pytest.raises(UpdateError):
         go.append_batch(
             np.zeros(3, np.int32),
@@ -645,6 +651,91 @@ def test_streamed_build_resume_after_abort(corpus, tmp_path):
         a = (pathlib.Path(p_full) / name).read_bytes()
         b = (pathlib.Path(p_res) / name).read_bytes()
         assert a == b, f"{name} differs between resumed and fresh build"
+
+
+def test_streamed_resume_refuses_config_mismatch(corpus, tmp_path):
+    """resume=True with a changed config (nbits 2 -> 4) must refuse: the
+    on-disk bucket_weights were trained for nbits=2 and reusing them would
+    pack residuals at a width that disagrees with the new config
+    (ADVICE r4 medium)."""
+    from nextplaid_tpu.utils.errors import StorageError
+
+    docs, _ = corpus
+    total = sum(d.shape[0] for d in docs)
+    sample = jnp.asarray(np.concatenate(docs))
+    p = str(tmp_path / "idx")
+
+    class Abort(RuntimeError):
+        pass
+
+    def aborting_chunks():
+        for i, c in enumerate(_chunks(docs)):
+            if i == 2:
+                raise Abort()
+            yield c
+
+    with pytest.raises(Abort):
+        create_index_streamed(
+            aborting_chunks(), p, IndexConfig(nbits=2, seed=42),
+            sample_tokens=sample, est_total_tokens=total,
+        )
+    with pytest.raises(StorageError, match="resume refused"):
+        create_index_streamed(
+            _chunks(docs), p, IndexConfig(nbits=4, seed=42),
+            sample_tokens=sample, est_total_tokens=total, resume=True,
+        )
+    # Different seed is likewise refused.
+    with pytest.raises(StorageError, match="resume refused"):
+        create_index_streamed(
+            _chunks(docs), p, IndexConfig(nbits=2, seed=7),
+            sample_tokens=sample, est_total_tokens=total, resume=True,
+        )
+    # The original config still resumes fine.
+    meta = create_index_streamed(
+        _chunks(docs), p, IndexConfig(nbits=2, seed=42),
+        sample_tokens=sample, est_total_tokens=total, resume=True,
+    )
+    assert meta.num_embeddings == total
+
+
+def test_streamed_resume_refuses_different_corpus(corpus, tmp_path):
+    """resume=True replaying a DIFFERENT chunk stream over leftover chunk
+    files must refuse at the first divergent chunk instead of silently
+    stitching two corpora into one index (ADVICE r4 medium)."""
+    from nextplaid_tpu.utils.errors import StorageError
+
+    docs, _ = corpus
+    total = sum(d.shape[0] for d in docs)
+    sample = jnp.asarray(np.concatenate(docs))
+    cfg = IndexConfig(nbits=2, seed=42)
+    p = str(tmp_path / "idx")
+
+    class Abort(RuntimeError):
+        pass
+
+    def aborting_chunks():
+        for i, c in enumerate(_chunks(docs)):
+            if i == 2:
+                raise Abort()
+            yield c
+
+    with pytest.raises(Abort):
+        create_index_streamed(
+            aborting_chunks(), p, cfg, sample_tokens=sample,
+            est_total_tokens=total,
+        )
+    # Same doc count and SAME total tokens (so the config fingerprint
+    # matches) but one token moved between docs 0 and 1: the stored chunk-0
+    # doclens disagree with the replayed stream.
+    docs2 = list(docs)
+    docs2[0] = docs[0][:-1]
+    docs2[1] = np.concatenate([docs[0][-1:], docs[1]])
+    assert sum(d.shape[0] for d in docs2) == total
+    with pytest.raises(StorageError, match="different corpus"):
+        create_index_streamed(
+            _chunks(docs2), p, cfg, sample_tokens=sample,
+            est_total_tokens=total, resume=True,
+        )
 
 
 def test_refine_own_fused_matches_union_scorer(corpus, tmp_path):
