@@ -508,8 +508,50 @@ def _orchestrate():
     )
 
 
+def _run_e2e_composite():
+    """BENCH_E2E=1: the full-stack composite (text -> server-side encoding
+    -> index -> search_with_encoding) instead of the embeddings-first
+    search bench — the apples-to-apples configuration against the
+    reference's published numbers, which all include the encoder
+    (scifact_docker_benchmark.json:16-32). Delegates to
+    scripts/profile_e2e_composite.py and re-emits its one JSON line."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(here, "scripts",
+                                      "profile_e2e_composite.py")],
+        capture_output=True,
+        text=True,
+        timeout=7200,
+    )
+    line = None
+    for ln in reversed(proc.stdout.strip().splitlines()):
+        try:
+            cand = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(cand, dict) and "metric" in cand:
+            line = ln
+            break
+    if proc.returncode != 0 or line is None:
+        print(
+            json.dumps({
+                "metric": "e2e_composite",
+                "value": 0.0,
+                "unit": "qps_with_encoding",
+                "vs_baseline": 0.0,
+                "detail": {"error": proc.stderr[-1500:]},
+            })
+        )
+        sys.exit(1)
+    print(line)
+
+
 if __name__ == "__main__":
-    if os.environ.get("_BENCH_CHILD") == "1":
+    if os.environ.get("BENCH_E2E") == "1":
+        _run_e2e_composite()
+    elif os.environ.get("_BENCH_CHILD") == "1":
         run_once()
     else:
         _orchestrate()

@@ -31,6 +31,11 @@ def pool_size_default() -> int:
     return int(os.environ.get("MODEL_POOL_SIZE", "1"))
 
 
+# Max texts merged into one coalesced encode dispatch (matches the server's
+# MAX_BATCH_TEXTS request cap; reference encode.rs MAX_BATCH_TEXTS=64).
+_COALESCE_MAX_TEXTS = int(os.environ.get("ENCODE_COALESCE_MAX", "64"))
+
+
 def make_replicas(encoder, size: Optional[int] = None) -> List:
     """Build up to `size` encoder replicas, one per local device.
 
@@ -84,24 +89,57 @@ class EncoderPool:
     async def _worker(self, encoder) -> None:
         loop = asyncio.get_running_loop()
         while True:
-            texts, input_type, pool_factor, fut = await self._queue.get()
-            if fut.cancelled():
-                continue
-
-            def _run():
-                if input_type == "query":
-                    return encoder.encode_queries(texts)
-                return encoder.encode_documents(
-                    texts, pool_factor=pool_factor
+            first = await self._queue.get()
+            batch = [first]
+            # Coalesce whatever is already queued into this dispatch: the
+            # reference-protocol load shape is ONE query per HTTP request
+            # with N concurrent workers (README benchmarks), which would
+            # otherwise serialize N single-text forwards through the
+            # device queue — each paying full dispatch latency. Merging
+            # the backlog into one padded forward costs nothing when
+            # requests arrive alone and multiplies throughput when they
+            # arrive together. Per-text results are batch-composition
+            # independent (attention masks; tests/test_api.py asserts
+            # allclose vs solo encodes).
+            n_texts = len(first[0])
+            while n_texts < _COALESCE_MAX_TEXTS:
+                try:
+                    item = self._queue.get_nowait()
+                except asyncio.QueueEmpty:
+                    break
+                batch.append(item)
+                n_texts += len(item[0])
+            groups: dict = {}
+            for texts, input_type, pool_factor, fut in batch:
+                groups.setdefault((input_type, pool_factor), []).append(
+                    (texts, fut)
                 )
+            for (input_type, pool_factor), items in groups.items():
+                live = [(t, f) for t, f in items if not f.cancelled()]
+                if not live:
+                    continue
+                all_texts = [t for ts, _ in live for t in ts]
 
-            try:
-                result = await loop.run_in_executor(None, _run)
-                if not fut.cancelled():
-                    fut.set_result(result)
-            except Exception as e:  # propagate to the caller, keep draining
-                if not fut.cancelled():
-                    fut.set_exception(e)
+                def _run(texts=all_texts, input_type=input_type,
+                         pool_factor=pool_factor):
+                    if input_type == "query":
+                        return encoder.encode_queries(texts)
+                    return encoder.encode_documents(
+                        texts, pool_factor=pool_factor
+                    )
+
+                try:
+                    result = await loop.run_in_executor(None, _run)
+                    off = 0
+                    for ts, f in live:
+                        part = result[off : off + len(ts)]
+                        off += len(ts)
+                        if not f.cancelled():
+                            f.set_result(part)
+                except Exception as e:  # propagate, keep draining
+                    for _, f in live:
+                        if not f.cancelled():
+                            f.set_exception(e)
 
     async def encode(
         self,

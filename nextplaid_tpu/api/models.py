@@ -171,6 +171,11 @@ class SearchParamsRequest(ApiModel):
     n_ivf_probe: Optional[int] = None
     n_full_scores: Optional[int] = None
     centroid_score_threshold: Optional[float] = None
+    # Recall-targeted operating point (TPU extension): a float target into
+    # the measured QPS/recall frontier, or a named preset via `profile`
+    # ("latency" | "balanced" | "quality" | "exact").
+    target_recall: Optional[float] = None
+    profile: Optional[str] = None
 
 
 class SearchRequest(ApiModel):

@@ -542,6 +542,19 @@ def _search_params(req: dto.SearchParamsRequest) -> SearchParameters:
         kw["n_full_scores"] = req.n_full_scores
     if req.centroid_score_threshold is not None:
         kw["centroid_score_threshold"] = req.centroid_score_threshold
+    if req.profile is not None:
+        if req.profile not in SearchParameters.PRESETS:
+            from nextplaid_tpu.utils.errors import SearchError
+
+            raise SearchError(  # -> HTTP 400 via trace middleware
+                f"unknown profile {req.profile!r}: expected one of "
+                f"{sorted(SearchParameters.PRESETS)}"
+            )
+        kw.setdefault(
+            "target_recall", SearchParameters.PRESETS[req.profile]
+        )
+    if req.target_recall is not None:
+        kw["target_recall"] = req.target_recall
     return SearchParameters(**kw)
 
 
@@ -1149,7 +1162,19 @@ def main(argv=None) -> None:
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--query-length", type=int, default=None)
     parser.add_argument("--document-length", type=int, default=None)
+    parser.add_argument(
+        "--platform", default=None,
+        help="force the JAX platform (cpu|tpu), overriding any "
+        "environment/sitecustomize default — needed because a "
+        "JAX_PLATFORMS env var can be clobbered by site hooks before "
+        "main() runs (the out-of-process test tier uses --platform cpu)",
+    )
     args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     encoder = None
     if args.model:

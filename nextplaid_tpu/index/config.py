@@ -133,6 +133,42 @@ class SearchParameters:
     # the int8 recall stage). 0 = auto (4 x top_k, min 32) when the index
     # carries refine data; -1 disables refinement.
     refine_depth: int = 0
+    # Recall-targeted operating point (no reference equivalent — the
+    # reference ships one fixed default, search.rs:58-69). When set, the
+    # staged pipeline's (approx_score, prune_keep) pair is chosen from the
+    # measured 72M-embedding frontier (docs/benchmarks/
+    # megascale_codes_frontier.json) as the HIGHEST-QPS point whose
+    # measured recall@10 meets the target; a target above the best staged
+    # point routes to mode="exact" (always-correct exhaustive scan).
+    # Explicitly-set approx_score/prune_keep/mode win over the selector.
+    # The frontier was measured at 72M embeddings / nprobe=8; smaller
+    # corpora only over-deliver recall, so the selection is conservative.
+    # None = reference-default behavior. See also
+    # `SearchParameters.preset()` for named profiles.
+    target_recall: Optional[float] = None
+
+    # Named operating-point presets over target_recall. Values are recall
+    # targets into the measured frontier; "exact" pins the exhaustive path.
+    PRESETS = {
+        "latency": 0.92,
+        "balanced": 0.97,
+        "quality": 0.995,
+        "exact": 1.0,
+    }
+
+    @classmethod
+    def preset(cls, name: str, **overrides: Any) -> "SearchParameters":
+        """Operating-point presets: 'latency' (recall >= 0.92 at max QPS),
+        'balanced' (>= 0.97), 'quality' (>= 0.995), 'exact' (exhaustive).
+        Measured points at 72M embeddings: latency -> cells/keep=512
+        (28.4 QPS @ 0.9422), balanced -> cells/keep=1024 (23.4 QPS @
+        0.9781), quality -> codes/keep=512 (15.8 QPS @ 0.9953)."""
+        if name not in cls.PRESETS:
+            raise ValueError(
+                f"unknown preset {name!r}: expected one of "
+                f"{sorted(cls.PRESETS)}"
+            )
+        return cls(target_recall=cls.PRESETS[name], **overrides)
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -141,6 +177,66 @@ class SearchParameters:
     def from_dict(cls, d: Dict[str, Any]) -> "SearchParameters":
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})
+
+
+# Measured (approx_score, prune_keep) -> (QPS, recall@10) frontier at 72M
+# embeddings, one v5e chip, nprobe=8, batch 64 pipelined. MUST mirror
+# docs/benchmarks/megascale_codes_frontier.json (tests/test_target_recall.py
+# pins them together). Sorted by QPS descending so selection is a scan.
+MEASURED_FRONTIER_72M = (
+    ("cells", 128, 33.87, 0.8656),
+    ("cells", 256, 31.80, 0.9188),
+    ("cells", 512, 28.38, 0.9422),
+    ("codes", 128, 27.37, 0.9234),
+    ("cells", 1024, 23.35, 0.9781),
+    ("codes", 256, 22.00, 0.9719),
+    ("codes", 512, 15.81, 0.9953),
+    ("codes", 1024, 10.11, 0.9969),
+)
+
+
+def resolve_target_recall(params: "SearchParameters") -> "SearchParameters":
+    """Materialize `target_recall` into concrete staged-pipeline settings.
+
+    Picks the highest-QPS measured frontier point whose recall@10 meets the
+    target; above the best staged point (0.9969) the exhaustive exact path
+    is the only honest answer. Fields the caller set explicitly (non-default
+    approx_score/prune_keep/mode) are respected — the selector only fills
+    defaults. Returns `params` unchanged when target_recall is None.
+    """
+    if params.target_recall is None:
+        return params
+    t = float(params.target_recall)
+    defaults = SearchParameters()
+    # Caller overrides win: only select for fields left at their defaults,
+    # and restrict the frontier to rows consistent with fixed fields (a
+    # caller pinning approx_score="cells" must not get a prune_keep chosen
+    # for a codes row).
+    free_mode = params.mode == defaults.mode
+    free_score = params.approx_score == defaults.approx_score
+    free_keep = params.prune_keep == defaults.prune_keep
+    best = None
+    for score, keep, qps, recall in MEASURED_FRONTIER_72M:
+        if not free_score and score != params.approx_score:
+            continue
+        if not free_keep and keep != params.prune_keep:
+            continue
+        if recall >= t and (best is None or qps > best[2]):
+            best = (score, keep, qps, recall)
+    kw: Dict[str, Any] = {}
+    if best is None:
+        # No staged point meets the target: exhaustive scan (recall 1.0 by
+        # construction; int8 grids additionally refine — f32-true scores).
+        if free_mode:
+            kw["mode"] = "exact"
+    else:
+        if free_score:
+            kw["approx_score"] = best[0]
+        if free_keep:
+            kw["prune_keep"] = best[1]
+    if not kw:
+        return params
+    return dataclasses.replace(params, **kw)
 
 
 @dataclass

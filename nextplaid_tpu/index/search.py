@@ -1030,6 +1030,10 @@ def search_batch_async(
     search.rs:643 — its rayon fan-out becomes async XLA dispatch here).
     """
     params = params or SearchParameters()
+    if params.target_recall is not None:
+        from nextplaid_tpu.index.config import resolve_target_recall
+
+        params = resolve_target_recall(params)
     if not queries:
         return PendingSearch(
             index, queries, params, subset, 0, None, None, None, None

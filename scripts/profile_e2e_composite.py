@@ -243,14 +243,8 @@ def main():
     hits = sum(
         1
         for (_, res), s in zip(outs, src_ids)
-        if s in [h["passage_id"] for h in res["passages"]][:10]
-    ) if outs and "passages" in outs[0][1] else None
-    if hits is None:
-        hits = sum(
-            1
-            for (_, res), s in zip(outs, src_ids)
-            if s in res["passage_ids"][:10]
-        )
+        if s in res["document_ids"][:10]
+    )
     self_recall = hits / len(queries)
     print(
         f"composite search: {len(queries)} q in {search_s:.1f}s = "

@@ -140,6 +140,25 @@ def test_index_lifecycle(server):
         json={"queries": [doc_payload(q, b64=True)], "params": {"top_k": 3}},
     )
     assert r.json()["results"][0]["document_ids"][0] == 7
+    # recall-targeted operating points: every preset/profile and an
+    # explicit target_recall return the right answer at this small scale.
+    for params in (
+        {"top_k": 3, "profile": "quality"},
+        {"top_k": 3, "profile": "exact"},
+        {"top_k": 3, "target_recall": 0.92},
+    ):
+        r = requests.post(
+            server.url + "/indices/lifecycle/search",
+            json={"queries": [doc_payload(q)], "params": params},
+        )
+        assert r.status_code == 200, r.text
+        assert r.json()["results"][0]["document_ids"][0] == 7, params
+    r = requests.post(
+        server.url + "/indices/lifecycle/search",
+        json={"queries": [doc_payload(q)], "params": {"profile": "warp"}},
+    )
+    assert r.status_code == 400
+    assert "unknown profile" in r.text
     # filtered search
     r = requests.post(
         server.url + "/indices/lifecycle/search/filtered",
@@ -391,6 +410,53 @@ def test_encode_endpoint(enc_server):
     )
     body = r.json()
     assert body["shapes"][0] == [16, 16]  # query expansion to query_length
+
+
+def test_encode_coalescing_matches_solo(enc_server):
+    """Concurrent single-text /encode requests (the reference benchmark's
+    load shape) coalesce into one device forward; every caller still gets
+    exactly its own embeddings (allclose vs a solo encode)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    texts = [f"quick fox {i} lazy dog" for i in range(12)]
+    solo = {}
+    for t in texts:
+        r = requests.post(
+            enc_server.url + "/encode",
+            json={"texts": [t], "input_type": "query"},
+        )
+        solo[t] = np.asarray(r.json()["embeddings"][0], np.float32)
+
+    def one(t):
+        r = requests.post(
+            enc_server.url + "/encode",
+            json={"texts": [t], "input_type": "query"},
+        )
+        assert r.status_code == 200, r.text
+        return t, np.asarray(r.json()["embeddings"][0], np.float32)
+
+    with ThreadPoolExecutor(max_workers=12) as pool:
+        for t, emb in pool.map(one, texts):
+            np.testing.assert_allclose(emb, solo[t], rtol=1e-4, atol=1e-5)
+
+    # Mixed input types under concurrency keep their own semantics (query
+    # expansion vs document truncation produce different shapes).
+    def one_typed(args):
+        t, typ = args
+        r = requests.post(
+            enc_server.url + "/encode",
+            json={"texts": [t], "input_type": typ},
+        )
+        return typ, np.asarray(r.json()["embeddings"][0], np.float32)
+
+    jobs = [(t, "query" if i % 2 else "document")
+            for i, t in enumerate(texts)]
+    with ThreadPoolExecutor(max_workers=12) as pool:
+        for typ, emb in pool.map(one_typed, jobs):
+            if typ == "query":
+                assert emb.shape[0] == 16  # expanded to query_length
+            else:
+                assert emb.shape[0] < 16
 
 
 def test_encoding_ingest_and_search(enc_server):

@@ -1361,3 +1361,144 @@ class Repo(val db: Db) : Base(db) {
     units = _by_name(extract_units("a.kt", src))
     assert units["Repo"].unit_type == UnitType.CLASS
     assert units["find"].parent_class == "Repo"
+
+
+# ---------------------------------------------------------------------------
+# Call-graph fixture parity for the 5 priority languages (VERDICT r4 #8)
+# ---------------------------------------------------------------------------
+
+
+def test_call_graph_edges_js_ts_go_rust_java():
+    """calls AND called_by edges for JS/TS/Go/Rust/Java: a helper called by
+    two functions records both callers; a caller records all its callees
+    (ref colgrep/src/parser/call_graph.rs)."""
+    fixtures = {
+        "a.js": """
+function helper(x) { return x + 1; }
+function alpha(v) { return helper(v) * 2; }
+function beta(v) { if (v) { return helper(v) - 1; } return 0; }
+""",
+        "a.ts": """
+function helper(x: number): number { return x + 1; }
+function alpha(v: number): number { return helper(v) * 2; }
+function beta(v: number): number { return v ? helper(v) : 0; }
+""",
+        "a.go": """package main
+
+func helper(x int) int { return x + 1 }
+
+func alpha(v int) int {
+\treturn helper(v) * 2
+}
+
+func beta(v int) int {
+\tif v > 0 {
+\t\treturn helper(v) - 1
+\t}
+\treturn 0
+}
+""",
+        "a.rs": """
+fn helper(x: i32) -> i32 { x + 1 }
+
+fn alpha(v: i32) -> i32 {
+    helper(v) * 2
+}
+
+fn beta(v: i32) -> i32 {
+    if v > 0 { helper(v) - 1 } else { 0 }
+}
+""",
+        "A.java": """
+public class A {
+    static int helper(int x) { return x + 1; }
+
+    static int alpha(int v) {
+        return helper(v) * 2;
+    }
+
+    static int beta(int v) {
+        if (v > 0) { return helper(v) - 1; }
+        return 0;
+    }
+}
+""",
+    }
+    for path, src in fixtures.items():
+        units = _by_name(extract_units(path, src))
+        assert "helper" in units, (path, sorted(units))
+        assert "helper" in units["alpha"].calls, path
+        assert "helper" in units["beta"].calls, path
+        assert set(units["helper"].called_by) >= {"alpha", "beta"}, (
+            path, units["helper"].called_by
+        )
+
+
+# ---------------------------------------------------------------------------
+# Fuzz: random/adversarial token soup through every lexer config
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_token_soup_no_crash_no_phantom_units():
+    """Random and adversarial inputs through every _LEX language: the
+    parser must never crash, every returned unit must have a sane extent,
+    and no FUNCTION/CLASS/METHOD unit may be invented whose name does not
+    appear in the source (phantom units poison the embedding index)."""
+    import random
+
+    from nextplaid_tpu.codesearch.structparse import _LEX
+
+    ext = {
+        "c": "f.c", "cpp": "f.cpp", "csharp": "f.cs", "css": "f.css",
+        "elixir": "f.ex", "go": "f.go", "haskell": "f.hs", "java": "F.java",
+        "javascript": "f.js", "julia": "f.jl", "kotlin": "f.kt",
+        "lua": "f.lua", "ocaml": "f.ml", "php": "f.php", "qml": "f.qml",
+        "r": "f.r", "ruby": "f.rb", "rust": "f.rs", "scala": "f.scala",
+        "sql": "f.sql", "swift": "f.swift", "typescript": "f.ts",
+        "zig": "f.zig",
+    }
+    assert set(ext) == set(_LEX)
+
+    pieces = [
+        "fn", "func", "def", "function", "class", "struct", "impl",
+        "end", "{", "}", "(", ")", "[", "]", ";", ":", "::", "->", "=>",
+        "=", ":=", "\"unterminated", "'x'", "'", "`tpl ${", "/*", "*/",
+        "//", "#", "--", '"""', "[[", "]]", "<<<EOT", "$$", "\\\\", "~",
+        "@", "0x1f", "1e9", "...", "..", ",", ".", "r#\"", "\"#", "?",
+        "foo", "Bar", "baz_qux", "名前", "\t", "\n\n", " ",
+    ]
+    rng = random.Random(42)
+    for language, path in ext.items():
+        samples = []
+        for _ in range(8):
+            samples.append(" ".join(
+                rng.choice(pieces)
+                for _ in range(rng.randrange(5, 200))
+            ))
+        # Adversarial: deep unbalanced nesting, comment/string bombs.
+        samples += [
+            "{" * 400,
+            ")" * 400 + "(" * 400,
+            "/*" * 200,
+            '"' + "a" * 5000,
+            "def " * 300,
+            "\x00\x01\x02 binary \xff garbage",
+            "",
+        ]
+        for src in samples:
+            units = extract_units(path, src)  # must not raise
+            n_lines = len(src.splitlines())
+            for u in units:
+                assert 1 <= u.line <= max(n_lines, 1), (language, u)
+                assert u.line <= u.end_line <= max(n_lines, 1) + 1, (
+                    language, u
+                )
+                if u.unit_type in (
+                    UnitType.FUNCTION, UnitType.METHOD, UnitType.CLASS
+                ):
+                    # Name must come from the source (allowing the parser's
+                    # own prefixes like "~dtor" / "operator+").
+                    stem = u.name.lstrip("~").split("operator")[-1] or u.name
+                    assert stem in src or u.name in src, (
+                        language, u.name, src[:80]
+                    )
