@@ -368,6 +368,7 @@ class DeviceIndex:
         rq_fine: Optional[np.ndarray] = None,
         doc_capacity: int = 0,
         token_capacity: int = 0,
+        ivf_capacity: int = 0,
     ) -> "DeviceIndex":
         ndocs = int(doclens.shape[0])
         nvec = int(codes.shape[0])
@@ -387,7 +388,12 @@ class DeviceIndex:
         nvec_pad = max(_round_up(max(nvec, token_capacity), pad_tokens),
                        pad_tokens)
         nnz = int(ivf_doc_ids.shape[0])
-        nnz_pad = max(_round_up(nnz, pad_tokens), pad_tokens)
+        # ivf_capacity reserves padded IVF slots so a later in-place IVF
+        # refresh (sharded staged append) can hold the grown posting set
+        # without a shape change.
+        nnz_pad = max(
+            _round_up(max(nnz, ivf_capacity), pad_tokens), pad_tokens
+        )
 
         doclens_p = np.zeros(ndocs_pad, np.int32)
         doclens_p[:ndocs] = doclens

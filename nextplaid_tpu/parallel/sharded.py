@@ -29,16 +29,24 @@ after which the serving process re-loads and re-shards:
     index = DeviceIndex.load(path)            # fresh snapshot
     sindex = ShardedIndex.shard(HostIndexData.from_device_index(index), mesh)
 
-Re-sharding 1M docs is seconds of host slicing + h2d; mutations are orders of
-magnitude rarer than queries in this system (the API layer coalesces them
-into batches already), so for the STAGED sharded pipeline in-place per-shard
-append is deliberately not implemented — it would complicate the
-uniform-capacity invariant (every shard padded to the same doc capacity so
-ONE compiled program serves all shards) for no measured win. The GRID path
-is different: `ShardedGridIndex.append_batch` advances the served shards in
-place (O(batch) decompress on the tail shard's device, writing into the
-build-time row slack) because at grid-only scale a full re-shard re-streams
-the whole corpus through HBM per ingest batch. The API server's swap-slot
+Round 4 deliberately skipped in-place staged append on the claim that
+"re-sharding 1M docs is seconds". Round 5 MEASURED it at the 72M corpus
+(docs/benchmarks/reshard_cost.json): `shard()` is 113-147 s on the 8-device
+mesh — 600x+ a grid `append_batch` (0.196 s, device_append.json) — so the
+claim does not survive scale and BOTH sharded paths now append in place:
+
+- `ShardedGridIndex.append_batch`: O(batch) decompress into the tail
+  shard's build-time row slack (exact path needs no IVF).
+- `ShardedIndex.append_batch` (round 5): writes the encoded batch into the
+  tail shard's reserved slack (`shard(capacity_factor=1.5)`) in one sharded
+  dispatch, marks the IVF stale — staged searches route to the per-shard
+  exhaustive path (always correct, the DeviceIndex.append_batch contract) —
+  and `refresh_ivf()` rebuilds ONE shard's IVF (O(shard), not O(corpus))
+  to restore the staged pipeline. Reference incremental semantics at any
+  scale: index.rs:1431-1591.
+
+Full reload + re-shard remains the fallback when a batch outgrows the
+reserved slack (append_batch returns None). The API server's swap-slot
 pattern (api/state.py, reference state.rs ArcSwap) means readers never
 observe a half-mutated index either way: searches drain on the old object
 while the new one loads/appends, then the slot swaps atomically.
@@ -109,6 +117,15 @@ class ShardedIndex:
     num_documents: int  # true global doc count
     max_shard_embeddings: int  # max per-shard token count (host hint)
     static: dict  # static fields for the per-shard DeviceIndex
+    # Set by append_batch: the tail shard's device IVF no longer covers the
+    # appended docs, so staged searches route to the per-shard exhaustive
+    # path (always correct) until refresh_ivf() — the same stale-IVF
+    # contract as the single-device DeviceIndex.append_batch.
+    ivf_stale: bool = False
+    # HOST-tracked max live docs on any shard (appends grow the tail past
+    # shard_capacity). Kept on host because shard_docs spans ALL processes'
+    # devices under jax.distributed — fetching it on one host is illegal.
+    max_shard_docs: int = 0
 
     @property
     def n_shards(self) -> int:
@@ -120,11 +137,32 @@ class ShardedIndex:
 
     # ------------------------------------------------------------------
     @classmethod
-    def shard(cls, index: "HostIndexData", mesh: Mesh) -> "ShardedIndex":
-        """Build from host arrays by contiguous doc-range partitioning."""
+    def shard(
+        cls,
+        index: "HostIndexData",
+        mesh: Mesh,
+        capacity_factor: float = 1.0,
+    ) -> "ShardedIndex":
+        """Build from host arrays by contiguous doc-range partitioning.
+
+        capacity_factor > 1 reserves padded doc/token/IVF slack in every
+        shard so `append_batch` can grow the corpus IN PLACE (tail shard)
+        without a shape change — the measured alternative is a full
+        reload+re-shard per ingest batch (docs/benchmarks/reshard_cost.json)."""
         n = mesh.devices.size
         nd = len(index.doclens)
         cap = max(-(-nd // n), 1)
+        doc_capacity = int(np.ceil(cap * capacity_factor)) + 1
+        max_shard_tokens = max(
+            int(index.doc_offsets[min((s + 1) * cap, nd)])
+            - int(index.doc_offsets[min(s * cap, nd)])
+            for s in range(n)
+        )
+        token_capacity = (
+            int(np.ceil(max_shard_tokens * capacity_factor))
+            if capacity_factor > 1.0
+            else 0
+        )
 
         shards: List[DeviceIndex] = []
         doc_base = []
@@ -156,6 +194,11 @@ class ShardedIndex:
                     bucket_weights=index.bucket_weights,
                     avg_residual=index.avg_residual,
                     nbits=index.nbits,
+                    doc_capacity=(
+                        doc_capacity if capacity_factor > 1.0 else 0
+                    ),
+                    token_capacity=token_capacity,
+                    ivf_capacity=token_capacity,
                 )
             )
 
@@ -194,7 +237,11 @@ class ShardedIndex:
             )
             stacked = np.zeros((n, *max_shape), vals[0].dtype)
             if f == "ivf_doc_ids":
-                stacked[:] = cap  # sentinel doc id
+                # Sentinel = the LAST padded doc slot (doclen 0 forever:
+                # append_batch bounds growth below it). The former `cap`
+                # sentinel becomes a live doc id once appends advance the
+                # tail shard past its initial capacity.
+                stacked[:] = int(shards[0].doclens.shape[0]) - 1
             for i, v in enumerate(vals):
                 sl = tuple(slice(0, d) for d in v.shape)
                 stacked[(i, *sl)] = v
@@ -217,6 +264,7 @@ class ShardedIndex:
             num_documents=nd,
             max_shard_embeddings=max_emb,
             static=static,
+            max_shard_docs=int(shard_docs.max()) if nd else 0,
         )
 
     def local_index_template(self) -> DeviceIndex:
@@ -229,9 +277,261 @@ class ShardedIndex:
                 kwargs[f] = a
             else:
                 kwargs[f] = jax.ShapeDtypeStruct(a.shape[1:], a.dtype)
+        # Appends can grow the tail shard past the build-time uniform
+        # capacity; shape planning must see the larger live count.
+        max_docs = max(self.shard_capacity, self.max_shard_docs)
         return DeviceIndex(**kwargs, **self.static)._set_host_counts(
-            self.shard_capacity, self.max_shard_embeddings
+            max_docs, self.max_shard_embeddings
         )
+
+    # ------------------------------------------------------------------
+    # In-place staged append (reference incremental semantics at any scale,
+    # index.rs:1431-1591; measured justification docs/benchmarks/
+    # reshard_cost.json — a full reload+re-shard at 72M is minutes, this
+    # is one O(batch) sharded dispatch into the tail shard's padded slack)
+    # ------------------------------------------------------------------
+
+    def append_batch(
+        self,
+        codes: np.ndarray,
+        residuals: np.ndarray,
+        doclens: np.ndarray,
+    ) -> Optional["ShardedIndex"]:
+        """Append encoded documents into the TAIL shard's reserved slack
+        (shard with `capacity_factor` > 1). Marks the IVF stale: staged
+        searches route to the per-shard exhaustive path until
+        `refresh_ivf()`. Returns None when the batch does not fit in
+        place — the caller falls back to reload + re-shard."""
+        doclens = np.asarray(doclens, np.int64)
+        b = int(doclens.shape[0])
+        t = int(doclens.sum())
+        if b == 0:
+            return self
+        codes = np.asarray(codes, np.int32)
+        residuals = np.asarray(residuals, np.uint8)
+        if codes.shape[0] != t or residuals.shape[0] != t:
+            raise ValueError(
+                f"batch shapes disagree: {codes.shape[0]} codes / "
+                f"{residuals.shape[0]} residuals vs doclens sum {t}"
+            )
+        tail = self.n_shards - 1
+        shard_docs = np.asarray(self.shard_docs).copy()
+        shard_embs = np.asarray(self.shard_embs).copy()
+        docs_tail = int(shard_docs[tail])
+        embs_tail = int(shard_embs[tail])
+        nd_pad = self.arrays["doclens"].shape[1]
+        tok_pad = self.arrays["codes"].shape[1]
+        # The LAST doc slot stays empty forever — it is the IVF padding
+        # sentinel (see shard()'s stacking).
+        if docs_tail + b > nd_pad - 1:
+            return None
+        if embs_tail + t > tok_pad:
+            return None
+
+        # Bucket batch shapes (powers of two) so appends reuse compiled
+        # programs; zero-padded doclens entries write doclen-0 slots past
+        # the live count, which stay invalid (n_docs advances by b only).
+        b_pad = max(8, 1 << (b - 1).bit_length())
+        b_pad = min(b_pad, nd_pad - 1 - docs_tail)
+        t_pad = max(128, 1 << (t - 1).bit_length())
+        t_pad = min(t_pad, tok_pad - embs_tail)
+        if b_pad < b or t_pad < t:
+            return None
+        packed_dim = self.arrays["residuals"].shape[2]
+        codes_p = np.zeros(t_pad, np.int32)
+        codes_p[:t] = codes
+        res_p = np.zeros((t_pad, packed_dim), np.uint8)
+        res_p[:t] = residuals
+        dl_dtype = np.asarray(self.arrays["doclens"][:1]).dtype
+        dl_p = np.zeros(b_pad, dl_dtype)
+        dl_p[:b] = doclens
+        off_dtype = np.asarray(self.arrays["doc_offsets"][:1]).dtype
+        off_p = (embs_tail + np.cumsum(dl_p)).astype(off_dtype)
+
+        fn = _tail_append_jit(
+            self.mesh, tail,
+            self.arrays["codes"].shape,
+            self.arrays["residuals"].shape,
+            self.arrays["doclens"].shape,
+            self.arrays["doc_offsets"].shape,
+            t_pad, b_pad, str(dl_dtype), str(off_dtype),
+        )
+        new_codes, new_res, new_dl, new_off = fn(
+            self.arrays["codes"], self.arrays["residuals"],
+            self.arrays["doclens"], self.arrays["doc_offsets"],
+            jnp.asarray(codes_p), jnp.asarray(res_p), jnp.asarray(dl_p),
+            jnp.asarray(off_p),
+            jnp.asarray(embs_tail, jnp.int32),
+            jnp.asarray(docs_tail, jnp.int32),
+        )
+        arrays = dict(self.arrays)
+        arrays["codes"], arrays["residuals"] = new_codes, new_res
+        arrays["doclens"], arrays["doc_offsets"] = new_dl, new_off
+
+        shard_docs[tail] += b
+        shard_embs[tail] += t
+        static = dict(self.static)
+        static["max_doclen"] = max(
+            static["max_doclen"], int(doclens.max())
+        )
+        return ShardedIndex(
+            mesh=self.mesh,
+            arrays=arrays,
+            doc_base=self.doc_base,
+            shard_docs=jax.device_put(
+                shard_docs, NamedSharding(self.mesh, P(DOC_AXIS))
+            ),
+            shard_embs=jax.device_put(
+                shard_embs, NamedSharding(self.mesh, P(DOC_AXIS))
+            ),
+            shard_capacity=self.shard_capacity,
+            num_documents=self.num_documents + b,
+            max_shard_embeddings=max(
+                self.max_shard_embeddings, int(shard_embs[tail])
+            ),
+            static=static,
+            ivf_stale=True,
+            max_shard_docs=max(
+                self.max_shard_docs, self.shard_capacity, docs_tail + b
+            ),
+        )
+
+    def refresh_ivf(self) -> Optional["ShardedIndex"]:
+        """Rebuild the tail shard's device IVF from its (appended) codes and
+        clear the stale flag, restoring the staged pipeline. One shard's
+        codes cross to host (O(shard), not O(corpus)). Returns None when the
+        grown posting set exceeds the reserved IVF slack — caller re-shards."""
+        if not self.ivf_stale:
+            return self
+        tail = self.n_shards - 1
+        t = int(np.asarray(self.shard_embs)[tail])
+        codes_tail = np.asarray(self.arrays["codes"][tail])[:t]
+        doclens_tail = np.asarray(self.arrays["doclens"][tail])
+        k = self.arrays["centroids"].shape[0]
+        ivf_ids, ivf_lengths = build_ivf(
+            codes_tail, doclens_tail.astype(np.int64), k
+        )
+        width = self.arrays["ivf_doc_ids"].shape[1]
+        nnz = int(ivf_ids.shape[0])
+        if nnz > width:
+            return None
+        nd_pad = self.arrays["doclens"].shape[1]
+        ivf_p = np.full(width, nd_pad - 1, np.int32)
+        ivf_p[:nnz] = ivf_ids
+        off = np.zeros(k + 1, np.int64)
+        np.cumsum(np.asarray(ivf_lengths, np.int64), out=off[1:])
+        off_dtype = np.asarray(self.arrays["ivf_offsets"][:1]).dtype
+        fn = _tail_ivf_write_jit(
+            self.mesh, tail,
+            self.arrays["ivf_offsets"].shape,
+            self.arrays["ivf_doc_ids"].shape,
+            str(off_dtype),
+        )
+        new_offsets, new_ids = fn(
+            self.arrays["ivf_offsets"], self.arrays["ivf_doc_ids"],
+            jnp.asarray(off.astype(off_dtype)), jnp.asarray(ivf_p),
+        )
+        arrays = dict(self.arrays)
+        arrays["ivf_offsets"], arrays["ivf_doc_ids"] = new_offsets, new_ids
+        static = dict(self.static)
+        static["max_posting_len"] = max(
+            static["max_posting_len"],
+            int(np.max(ivf_lengths)) if len(ivf_lengths) else 0,
+        )
+        return ShardedIndex(
+            mesh=self.mesh,
+            arrays=arrays,
+            doc_base=self.doc_base,
+            shard_docs=self.shard_docs,
+            shard_embs=self.shard_embs,
+            shard_capacity=self.shard_capacity,
+            num_documents=self.num_documents,
+            max_shard_embeddings=self.max_shard_embeddings,
+            static=static,
+            ivf_stale=False,
+            max_shard_docs=self.max_shard_docs,
+        )
+
+
+_TAIL_WRITE_JIT_CACHE: dict = {}
+
+
+def _tail_append_jit(mesh, tail, codes_shape, res_shape, dl_shape,
+                     off_shape, t_pad, b_pad, dl_dtype, off_dtype):
+    """Jitted shard_map program writing an encoded batch into the tail
+    shard's padded slack (every other shard passes its arrays through
+    unchanged — no cross-device traffic)."""
+    key = ("append", mesh, tail, codes_shape, res_shape, dl_shape,
+           off_shape, t_pad, b_pad, dl_dtype, off_dtype)
+    cached = _TAIL_WRITE_JIT_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def body(codes_a, res_a, dl_a, off_a, new_c, new_r, new_dl, new_off,
+             start_tok, start_doc):
+        is_tail = jax.lax.axis_index(DOC_AXIS) == tail
+        c2 = jax.lax.dynamic_update_slice(
+            codes_a, new_c[None], (0, start_tok)
+        )
+        r2 = jax.lax.dynamic_update_slice(
+            res_a, new_r[None], (0, start_tok, 0)
+        )
+        d2 = jax.lax.dynamic_update_slice(
+            dl_a, new_dl[None].astype(dl_a.dtype), (0, start_doc)
+        )
+        o2 = jax.lax.dynamic_update_slice(
+            off_a, new_off[None].astype(off_a.dtype), (0, start_doc + 1)
+        )
+        return (
+            jnp.where(is_tail, c2, codes_a),
+            jnp.where(is_tail, r2, res_a),
+            jnp.where(is_tail, d2, dl_a),
+            jnp.where(is_tail, o2, off_a),
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                P(DOC_AXIS), P(DOC_AXIS), P(DOC_AXIS), P(DOC_AXIS),
+                P(), P(), P(), P(), P(), P(),
+            ),
+            out_specs=(P(DOC_AXIS),) * 4,
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1, 2, 3),
+    )
+    _TAIL_WRITE_JIT_CACHE[key] = fn
+    return fn
+
+
+def _tail_ivf_write_jit(mesh, tail, off_shape, ids_shape, off_dtype):
+    """Jitted shard_map program replacing the tail shard's IVF arrays."""
+    key = ("ivf", mesh, tail, off_shape, ids_shape, off_dtype)
+    cached = _TAIL_WRITE_JIT_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def body(off_a, ids_a, new_off, new_ids):
+        is_tail = jax.lax.axis_index(DOC_AXIS) == tail
+        return (
+            jnp.where(is_tail, new_off[None].astype(off_a.dtype), off_a),
+            jnp.where(is_tail, new_ids[None].astype(ids_a.dtype), ids_a),
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(DOC_AXIS), P(DOC_AXIS), P(), P()),
+            out_specs=(P(DOC_AXIS),) * 2,
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1),
+    )
+    _TAIL_WRITE_JIT_CACHE[key] = fn
+    return fn
 
 
 @dataclass
@@ -439,6 +739,7 @@ def sharded_search_jit(
     key = (
         sindex.mesh,
         sindex.shard_capacity,
+        sindex.max_shard_docs,
         sindex.max_shard_embeddings,
         tuple(sorted(sindex.static.items())),
         tuple(
@@ -492,6 +793,23 @@ def search_batch_sharded(
     params = params or SearchParameters()
     if not queries:
         return []
+    if params.target_recall is not None:
+        from nextplaid_tpu.index.config import resolve_target_recall
+
+        params = resolve_target_recall(params)
+    if sindex.ivf_stale and params.mode != "exact":
+        # Appended docs are invisible to the stale per-shard IVF; the
+        # exhaustive path is always correct (DeviceIndex.append_batch's
+        # contract, mirrored here). refresh_ivf() restores staged mode.
+        import dataclasses as _dc
+        import logging as _logging
+
+        _logging.getLogger(__name__).warning(
+            "sharded IVF is stale after append_batch; routing to "
+            "exhaustive search (call ShardedIndex.refresh_ivf to restore "
+            "staged mode)"
+        )
+        params = _dc.replace(params, mode="exact")
     n = len(queries)
     q_bucket = max(8, 1 << (n - 1).bit_length())
     q_arr, q_mask = _pad_queries(queries, sindex.dim)
@@ -507,14 +825,19 @@ def search_batch_sharded(
         sindex, params, q_bucket, q_arr.shape[1], subset is not None
     )
 
-    # Per-shard subset masks (global doc ids -> local ranges).
-    cap = sindex.shard_capacity
+    # Per-shard subset masks (global doc ids -> (shard, local slot) via the
+    # doc_base boundaries — appends grow the tail shard past the uniform
+    # capacity, so the former `id // cap` mapping no longer holds there).
     nd_pad = sindex.arrays["doclens"].shape[1]
     subset_arr = np.zeros((sindex.n_shards, nd_pad), bool)
     if subset is not None:
         ids = np.asarray(list(subset), np.int64)
         ids = ids[(ids >= 0) & (ids < sindex.num_documents)]
-        subset_arr[ids // cap, ids % cap] = True
+        base = np.asarray(sindex.doc_base, np.int64)
+        shard_of = np.searchsorted(base, ids, side="right") - 1
+        local = ids - base[shard_of]
+        keep = local < nd_pad
+        subset_arr[shard_of[keep], local[keep]] = True
 
     args = [sindex.arrays[f] for f in _ARRAY_FIELDS]
     ids, scores, overflow = fn(

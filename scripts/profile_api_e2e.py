@@ -21,6 +21,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -108,17 +109,52 @@ def main():
     n_workers = int(os.environ.get("API_E2E_WORKERS", "8"))
     n_passes = 8
 
+    # Same-process in-process arm (VERDICT r4 next #6): the HTTP figure is
+    # only interpretable next to an in-process measurement from the SAME
+    # tunnel phase — measure it here, minutes apart, not hours.
+    from nextplaid_tpu.index import (
+        DeviceIndex,
+        SearchParameters,
+        search_batch,
+        search_batch_async,
+    )
+
+    inproc_index = DeviceIndex.load(dst).with_token_grid(dtype="bf16")
+    inproc_params = SearchParameters(top_k=10, stage1_precision="default")
+    search_batch(inproc_index, queries, inproc_params)  # warm
+    marks, in_flight = [], []
+    t_start = time.perf_counter()
+    for p in range(10):
+        in_flight.append(
+            search_batch_async(inproc_index, queries, inproc_params)
+        )
+        if len(in_flight) > 1:
+            in_flight.pop(0).result()
+            marks.append(time.perf_counter())
+    while in_flight:
+        in_flight.pop(0).result()
+        marks.append(time.perf_counter())
+    deltas = np.diff(np.asarray([t_start] + marks))[1:]
+    inproc_qps = float(np.median(len(queries) / deltas))
+    print(f"in-process (same phase): {inproc_qps:.1f} QPS", flush=True)
+
     # A/B the server-side search coalescer with INTERLEAVED passes
     # (coalesce on, off, on, off, ...) so tunnel phase drift — the dominant
     # noise source, worth 2-3x across an hour — hits both arms equally.
     from nextplaid_tpu.api import state as app_state
 
+    req_lats: list = []
+
+    def timed_search(qs):
+        t0 = time.perf_counter()
+        out = c.search("bench", qs, top_k=10)
+        req_lats.append(time.perf_counter() - t0)
+        return out
+
     def one_pass(pool):
         t0 = time.perf_counter()
         futs = [
-            pool.submit(
-                c.search, "bench", queries[s : s + batch], top_k=10
-            )
+            pool.submit(timed_search, queries[s : s + batch])
             for s in range(0, len(queries), batch)
         ]
         outs = [f.result() for f in futs]
@@ -139,29 +175,51 @@ def main():
     p50_on = float(np.median(arm_qps[True]))
     p50_off = float(np.median(arm_qps[False]))
     p50 = max(p50_on, p50_off)
-    print(
-        json.dumps(
-            {
-                "metric": "api_e2e_search_qps",
-                "value": round(p50, 2),
-                "unit": "qps",
-                "detail": {
-                    "batch": batch,
-                    "batches_per_pass": n_batches,
-                    "passes_per_arm": n_passes,
-                    "qps_p50": round(p50, 2),
-                    "qps_p50_coalesce_on": round(p50_on, 2),
-                    "qps_p50_coalesce_off": round(p50_off, 2),
-                    "qps_worst_on": round(min(arm_qps[True]), 2),
-                    "qps_worst_off": round(min(arm_qps[False]), 2),
-                    "transport": f"HTTP + base64 {wire} embeddings, "
-                    f"{n_workers} concurrent clients; interleaved "
-                    "coalesce-on/off arms",
-                },
-            }
-        ),
-        flush=True,
-    )
+    lats_ms = np.sort(np.asarray(req_lats)) * 1e3
+    lat_p50 = float(lats_ms[len(lats_ms) // 2])
+    lat_p95 = float(lats_ms[int(len(lats_ms) * 0.95)])
+    payload = {
+        "metric": "api_e2e_search_qps",
+        "value": round(p50, 2),
+        "unit": "qps",
+        "detail": {
+            "batch": batch,
+            "batches_per_pass": n_batches,
+            "passes_per_arm": n_passes,
+            "qps_p50": round(p50, 2),
+            "qps_p50_coalesce_on": round(p50_on, 2),
+            "qps_p50_coalesce_off": round(p50_off, 2),
+            "qps_worst_on": round(min(arm_qps[True]), 2),
+            "qps_worst_off": round(min(arm_qps[False]), 2),
+            "request_p50_ms": round(lat_p50, 1),
+            "request_p95_ms": round(lat_p95, 1),
+            # Same-phase comparison (minutes apart in this process):
+            # the HTTP/in-process ratio is the serving-stack overhead,
+            # stripped of tunnel-phase drift.
+            "inproc_qps_same_phase": round(inproc_qps, 2),
+            "http_over_inproc_ratio": round(p50 / inproc_qps, 3)
+            if inproc_qps
+            else None,
+            "transport": f"HTTP + base64 {wire} embeddings, "
+            f"{n_workers} concurrent clients; interleaved "
+            "coalesce-on/off arms",
+        },
+    }
+    print(json.dumps(payload), flush=True)
+    try:
+        from bench_guard import write_benchmark_json
+
+        write_benchmark_json(
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "docs/benchmarks/api_http_serving.json",
+            ),
+            {"what": "HTTP serving e2e with same-phase in-process arm "
+             "(window-2 pipelined) and per-request p50/p95 latency",
+             **payload["detail"]},
+        )
+    except Exception as e:  # keep the measurement even if guarded write fails
+        print(f"artifact write skipped: {e}", flush=True)
 
 
 if __name__ == "__main__":

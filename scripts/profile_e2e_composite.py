@@ -210,8 +210,22 @@ def main():
     ]
 
     # ---- composite indexing: text in, searchable index out ----
+    # Reference protocol: batches uploaded IN PARALLEL (README.md:254-267
+    # "docs uploaded in parallel batches of 64") — concurrency is what lets
+    # the server's ingest worker coalesce to MAX_BATCH_DOCUMENTS=300 per
+    # update cycle; sequential uploads would serialize one update (reload,
+    # re-pin) per 64 docs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def upload(start):
+        chunk = docs[start : start + UPLOAD_BATCH]
+        meta_chunk = metadata[start : start + UPLOAD_BATCH]
+        return c.add(name, chunk, metadata=meta_chunk,
+                     batch_size=UPLOAD_BATCH)
+
     t0 = time.perf_counter()
-    c.add(name, docs, metadata=metadata, batch_size=UPLOAD_BATCH)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(upload, range(0, len(docs), UPLOAD_BATCH)))
     index_s = time.perf_counter() - t0
     info = c.get_index(name)
     assert info["num_documents"] == len(docs), info
