@@ -223,37 +223,44 @@ def run_once():
     # the API server's async workers, measured here the same way. Per-pass
     # marginal times (completion-to-completion) give p50/worst/best so
     # tunnel variance stays visible in the record.
+    # Pipeline window: round 3's sweep picked 2 (the tunnel then queued
+    # rather than overlapped beyond one pending dispatch); the round-5
+    # interleaved A/B (docs/benchmarks/dispatch_budget.json window sweep)
+    # showed the tunnel now rewards depth — window 6 runs compute-bound at
+    # ~54 ms/pass vs ~118 ms at window 2, same phase. The tunnel's overlap
+    # behavior has CHANGED once already, so don't hardcode either: sweep
+    # both windows every run, take the best, and record both medians.
     n_passes = 12
-    marks = []
     results = []
     n_done = 0
+    window_qps = {}
     t_start = time.perf_counter()
-    in_flight = []
-    for p in range(n_passes):
-        in_flight.append(
-            search_batch_async(index, queries[:batch], params)
-        )
-        # Window of 2 in flight: the A/B sweep (depth 1/2/4/6 over a
-        # prebuilt index) showed overall throughput HIGHEST at one extra
-        # batch in flight (~2100 QPS) and degrading with deeper windows
-        # (~1650 at 3, ~1550 at 7) — the tunnel worker queues rather than
-        # overlaps beyond one pending dispatch.
-        if len(in_flight) > 1:
+    for window in (2, 6):
+        marks = []
+        in_flight = []
+        t_w = time.perf_counter()
+        for p in range(n_passes):
+            in_flight.append(
+                search_batch_async(index, queries[:batch], params)
+            )
+            if len(in_flight) >= window:
+                out = in_flight.pop(0).result()
+                marks.append(time.perf_counter())
+                if not results:
+                    results, n_done = out, len(out)
+        while in_flight:
             out = in_flight.pop(0).result()
             marks.append(time.perf_counter())
             if not results:
                 results, n_done = out, len(out)
-    while in_flight:
-        out = in_flight.pop(0).result()
-        marks.append(time.perf_counter())
-        if not results:
-            results, n_done = out, len(out)
+        # Marginal per-pass QPS from completion deltas; the first `window`
+        # deltas include the fill, so skip them.
+        deltas = np.diff(np.asarray([t_w] + marks))
+        steady = deltas[min(window, len(deltas) - 1):]
+        window_qps[window] = float(np.median(float(n_done) / steady))
     total_s = time.perf_counter() - t_start
-    # Marginal per-pass QPS from completion deltas (first delta is measured
-    # against the dispatch start of the window, so skip it).
-    deltas = np.diff(np.asarray([t_start] + marks))[1:]
-    pass_qps = sorted(float(n_done) / deltas)
-    qps = float(np.median(pass_qps))
+    best_window = max(window_qps, key=window_qps.get)
+    qps = window_qps[best_window]
     probe_after = _tunnel_probe()
 
     # MFU estimate for the exact-kernel operating point: the dominant FLOPs
@@ -291,9 +298,13 @@ def run_once():
         json.dumps(
             {
                 "qps_p50": round(qps, 2),
-                "qps_worst": round(pass_qps[0], 2),
-                "qps_best": round(pass_qps[-1], 2),
-                "qps_overall": round(n_passes * n_done / total_s, 2),
+                "pipeline_window": best_window,
+                "qps_p50_per_window": {
+                    str(w): round(v, 2) for w, v in window_qps.items()
+                },
+                "qps_overall": round(
+                    len(window_qps) * n_passes * n_done / total_s, 2
+                ),
                 "mfu_pct": round(100 * mfu, 2),
                 "recall_at_10_vs_f32_oracle": round(recall, 4),
                 "build_s": round(build_s, 1),
@@ -459,19 +470,20 @@ def _orchestrate():
                     "runs": len(ok),
                     "runs_failed": len(runs) - len(ok),
                     "protocol": "median of per-fresh-process-run p50s; "
-                    "warmup pass discarded per run; index built once, "
-                    "reloaded per run",
+                    "each run sweeps pipeline windows 2 and 6 and reports "
+                    "the best window's median pass-marginal; warmup pass "
+                    "discarded per run; index built once, reloaded per run",
                     "qps_p50": round(headline, 2),
                     "qps_p50_per_run": [round(p, 2) for p in p50s],
                     "qps_p50_min": round(p50s[0], 2),
                     "qps_p50_max": round(p50s[-1], 2),
                     "cross_run_spread_pct": round(spread_pct, 1),
-                    "qps_worst_pass": round(
-                        min(r["qps_worst"] for r in ok), 2
-                    ),
-                    "qps_best_pass": round(
-                        max(r["qps_best"] for r in ok), 2
-                    ),
+                    "pipeline_windows": [
+                        r.get("pipeline_window") for r in ok
+                    ],
+                    "qps_p50_per_window_per_run": [
+                        r.get("qps_p50_per_window") for r in ok
+                    ],
                     "mfu_pct": round(
                         float(np.median([r["mfu_pct"] for r in ok])), 2
                     ),

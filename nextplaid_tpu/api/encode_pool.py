@@ -153,3 +153,31 @@ class EncoderPool:
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         await self._queue.put((list(texts), input_type, pool_factor, fut))
         return await fut
+
+    def warm(self) -> float:
+        """Pre-compile every query-forward batch bucket (and one full
+        document batch) on every replica; returns wall-clock seconds.
+
+        The reference's ONNX sessions have ONE fixed graph, so its model
+        load is the whole warm-up (onnx lib.rs session build). XLA instead
+        specializes the jitted forward per (batch-bucket, length-bucket)
+        shape — without warming, a production mix of coalesced batch sizes
+        (1..N concurrent single-query requests) pays a multi-second compile
+        at first occurrence of EACH power-of-two bucket, which reads as a
+        latency storm. Call at startup (ENCODE_WARM=1 / --warm-encode) to
+        move all of it off the serving path; compiles land in the
+        persistent cache so later processes warm in milliseconds.
+        """
+        import time
+
+        t0 = time.perf_counter()
+        for enc in self.replicas:
+            b = 1
+            while b <= min(enc.batch_size, _COALESCE_MAX_TEXTS):
+                enc.encode_queries(["warm up"] * b)
+                b *= 2
+            # One full-batch, full-length document forward (the bulk-ingest
+            # shape: encode_documents length-sorts then pads per batch).
+            filler = "warm " * max(enc.config.document_length, 1)
+            enc.encode_documents([filler] * enc.batch_size)
+        return time.perf_counter() - t0

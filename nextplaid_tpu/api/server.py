@@ -1150,6 +1150,22 @@ def build_app(index_dir: str, encoder=None) -> web.Application:
     r.add_post("/encode", encode)
     r.add_post("/rerank", rerank)
     r.add_post("/rerank_with_encoding", rerank_with_encoding)
+
+    if encoder is not None and os.environ.get("ENCODE_WARM") == "1":
+        # Pre-compile every encode batch bucket before serving traffic:
+        # XLA specializes the forward per (batch, length) bucket, so a cold
+        # server otherwise pays a multi-second compile on the first request
+        # of each coalesced batch size (encode_pool.warm docstring). The
+        # reference has no analogue — one fixed ONNX graph — so this is the
+        # TPU serving counterpart of its session-build-at-boot.
+        async def _warm_encode(app):
+            state: AppState = app["state"]
+            warm_s = await asyncio.get_running_loop().run_in_executor(
+                None, state.encoder_pool.warm
+            )
+            _log.info("encode warm-up done in %.1fs", warm_s)
+
+        app.on_startup.append(_warm_encode)
     return app
 
 
@@ -1163,6 +1179,11 @@ def main(argv=None) -> None:
     parser.add_argument("--query-length", type=int, default=None)
     parser.add_argument("--document-length", type=int, default=None)
     parser.add_argument(
+        "--warm-encode", action="store_true",
+        help="pre-compile every encode batch bucket at startup "
+        "(equivalent to ENCODE_WARM=1; see EncoderPool.warm)",
+    )
+    parser.add_argument(
         "--platform", default=None,
         help="force the JAX platform (cpu|tpu), overriding any "
         "environment/sitecustomize default — needed because a "
@@ -1175,6 +1196,8 @@ def main(argv=None) -> None:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    if args.warm_encode:
+        os.environ["ENCODE_WARM"] = "1"
 
     encoder = None
     if args.model:

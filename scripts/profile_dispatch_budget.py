@@ -103,12 +103,15 @@ def main():
     dl = jnp.zeros((nd_grid, 1), jnp.int32)
     dl = dl.at[: index.num_docs_padded, 0].set(index.doclens)
 
+    # grid/dl MUST be jit arguments, not closure captures: a captured
+    # device array is embedded in the compile payload as a constant, and
+    # the remote-compile tunnel rejects the multi-GB request (HTTP 413).
     @jax.jit
-    def kernel_only(qf):
+    def kernel_only(qf, grid_a, dl_a):
         sub_qf = (q_n // q_scan) * tq
 
         def step(_, blk):
-            return None, maxsim_grid_scores(blk, grid, dl, tq=tq)
+            return None, maxsim_grid_scores(blk, grid_a, dl_a, tq=tq)
 
         _, s = jax.lax.scan(
             step, None,
@@ -120,11 +123,11 @@ def main():
     nd_cap = index.num_docs_padded - 1
 
     @jax.jit
-    def kernel_topk(qf):
+    def kernel_topk(qf, grid_a, dl_a):
         sub_qf = (q_n // q_scan) * tq
 
         def step(_, blk):
-            return None, maxsim_grid_scores(blk, grid, dl, tq=tq)
+            return None, maxsim_grid_scores(blk, grid_a, dl_a, tq=tq)
 
         _, s = jax.lax.scan(
             step, None,
@@ -136,9 +139,11 @@ def main():
         return _topk_wide(s, 10)
 
     q_dev = jax.device_put(q_arr.reshape(q_n * tq, d))
-    kernel_s = median_time(lambda: np.asarray(kernel_only(q_dev)))
+    kernel_s = median_time(
+        lambda: np.asarray(kernel_only(q_dev, grid, dl))
+    )
     kernel_topk_s = median_time(
-        lambda: tuple(np.asarray(x) for x in kernel_topk(q_dev))
+        lambda: tuple(np.asarray(x) for x in kernel_topk(q_dev, grid, dl))
     )
 
     serial_s = median_time(

@@ -186,10 +186,18 @@ def main():
     encoder, vocab = make_encoder()
     docs = make_text_corpus(vocab)
     queries, src_ids = make_excerpt_queries(docs)
-    # Compile the encoder's padded batch shapes outside the timed windows
-    # (the reference's ORT session warms on model load too).
+    # Compile every encode batch bucket outside the timed windows (the
+    # reference's fixed ONNX graph warms once at session build; XLA
+    # specializes per batch bucket, so N concurrent single-query requests
+    # coalesce into batch sizes 1..N and a cold bucket reads as a
+    # 20-40 s remote-compile stall INSIDE the timed search phase —
+    # exactly what the first smoke run recorded). Same warming the server
+    # does at startup with ENCODE_WARM=1 (EncoderPool.warm).
     encoder.encode_documents(docs[:UPLOAD_BATCH])
-    encoder.encode_queries(queries[:1])
+    b = 1
+    while b <= min(encoder.batch_size, SEARCH_WORKERS * 2):
+        encoder.encode_queries(queries[:1] * b)
+        b *= 2
     t_warm = time.perf_counter() - t_model0
     print(f"encoder+corpus+warm: {t_warm:.1f}s", flush=True)
 
@@ -245,8 +253,11 @@ def main():
         return time.perf_counter() - t0, r["results"][0]
 
     with ThreadPoolExecutor(max_workers=SEARCH_WORKERS) as pool:
-        # Warm the query-path shapes.
-        list(pool.map(one_query, queries[:SEARCH_WORKERS]))
+        # Warm the query-path shapes: concurrent single-query requests
+        # coalesce into varying batch sizes server-side, so run THREE warm
+        # rounds to hit the realistic bucket mix before timing.
+        for _ in range(3):
+            list(pool.map(one_query, queries[:SEARCH_WORKERS]))
         t0 = time.perf_counter()
         outs = list(pool.map(one_query, queries))
         search_s = time.perf_counter() - t0
@@ -254,17 +265,45 @@ def main():
     qps = len(queries) / search_s
     p50 = float(lats[len(lats) // 2]) * 1e3
     p95 = float(lats[int(len(lats) * 0.95)]) * 1e3
-    hits = sum(
-        1
-        for (_, res), s in zip(outs, src_ids)
-        if s in res["document_ids"][:10]
-    )
-    self_recall = hits / len(queries)
     print(
         f"composite search: {len(queries)} q in {search_s:.1f}s = "
-        f"{qps:.1f} QPS, p50 {p50:.0f} ms, p95 {p95:.0f} ms, "
-        f"self-retrieval@10 {self_recall:.3f}",
+        f"{qps:.1f} QPS, p50 {p50:.0f} ms, p95 {p95:.0f} ms",
         flush=True,
+    )
+
+    # ---- pipeline-correctness oracle ----
+    # Self-retrieval is NOT a valid correctness signal here: a 12-layer
+    # random-weight transformer context-mixes token identity away, so
+    # excerpt->source retrieval sits near the random baseline by
+    # construction (measured: 0.44@64docs raw MaxSim, random=0.16).
+    # The honest check is pipeline EQUALITY: the API result for each text
+    # query must match running the same encoder + the same on-disk index
+    # through the library directly. That proves text->encode->index->search
+    # did what the library does, independent of IR quality of random
+    # weights (real-weight IR quality is scripts/eval_beir.py's job).
+    from nextplaid_tpu.index import (
+        DeviceIndex, SearchParameters, search_batch,
+    )
+
+    oracle_index = DeviceIndex.load(os.path.join(indices_dir, name))
+    n_oracle = min(64, len(queries))
+    q_embs = encoder.encode_queries(queries[:n_oracle])
+    oracle = search_batch(
+        oracle_index, q_embs, SearchParameters(top_k=10)
+    )
+    overlaps = []
+    for (_, res), o in zip(outs[:n_oracle], oracle):
+        got = set(res["document_ids"][:10])
+        want = set(o.passage_ids[:10])
+        overlaps.append(len(got & want) / max(len(want), 1))
+    api_vs_library = float(np.mean(overlaps))
+    print(
+        f"pipeline equality: API top-10 vs local library top-10 overlap "
+        f"{api_vs_library:.3f} over {n_oracle} queries",
+        flush=True,
+    )
+    assert api_vs_library >= 0.8, (
+        "API pipeline diverged from the library oracle", api_vs_library
     )
 
     payload = {
@@ -282,7 +321,11 @@ def main():
         "search_qps": round(qps, 1),
         "search_p50_ms": round(p50, 1),
         "search_p95_ms": round(p95, 1),
-        "self_retrieval_at_10": round(self_recall, 4),
+        "api_vs_library_top10_overlap": round(api_vs_library, 4),
+        "correctness_note": "pipeline equality vs in-process library "
+        "oracle (same encoder, same on-disk index); self-retrieval is "
+        "meaningless under random weights — see scripts/eval_beir.py for "
+        "real-weight IR quality",
         "encoder_warm_s": round(t_warm, 1),
         "reference_baselines": {
             "scifact_docker_cpu": {"docs_per_s": 19.8, "qps": 55.3},

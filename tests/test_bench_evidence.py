@@ -43,7 +43,21 @@ HEADLINE_CLAIMS = [
      "recall_at_10_vs_bf16_exhaustive", "{:.4f}"),
     ("megascale_grid_only_b4_refine_host.json", "batch64_qps_p50", "{:.1f}"),
     ("stress_acceptance.json", "cycles", "{:.0f} "),
+    ("dispatch_budget.json", "kernel_ms", "{:.2f}"),
+    ("dispatch_budget.json", "pipelined_pass_ms", "{:.2f}"),
+    ("dispatch_budget.json", "h2d_query_ms", "{:.2f}"),
 ]
+
+
+def test_docs_quote_window_sweep():
+    sweep = _load("window_sweep.json")["windows"]
+    for w in ("2", "6"):
+        quoted = "{:.1f} ms".format(sweep[w]["marginal_ms_median"])
+        assert quoted.split()[0] in DOCS, (
+            f"window {w} marginal {quoted} not quoted in docs/BENCHMARKS.md"
+        )
+    q6 = "{:.1f}".format(sweep["6"]["qps_median"])
+    assert q6 in DOCS
 
 
 @pytest.mark.parametrize("fname,key,fmt", HEADLINE_CLAIMS)

@@ -493,3 +493,17 @@ def test_hub_resolution(tmp_path, monkeypatch):
     monkeypatch.setattr(huggingface_hub, "snapshot_download", offline)
     with pytest.raises(EncodingError, match="org/nope"):
         hub.resolve_model_dir("org/nope")
+
+
+def test_encoder_pool_warm(encoder):
+    """warm() pre-compiles every query batch bucket and the full document
+    batch without error, and encoding after warm matches encoding before
+    (warming must not mutate replica state)."""
+    from nextplaid_tpu.api.encode_pool import EncoderPool
+
+    before = encoder.encode_queries(["quick fox"])[0]
+    pool = EncoderPool(encoder, size=1)
+    warm_s = pool.warm()
+    assert warm_s >= 0.0
+    after = encoder.encode_queries(["quick fox"])[0]
+    np.testing.assert_allclose(after, before, rtol=1e-6, atol=1e-6)
