@@ -602,9 +602,14 @@ async def _run_search(
             if hybrid
             else params
         )
-        if subset is None and app_state.SEARCH_COALESCE:
+        if subset is None and (
+            app_state.SEARCH_COALESCE
+            or app_state.coalesce_eligible(len(query_arrays))
+        ):
             # Coalesced path: merge with concurrent requests that share
-            # (index, params) into one device dispatch (state.py).
+            # (index, params) into one device dispatch (state.py —
+            # default "auto" coalesces only small requests; the measured
+            # rationale is on _SEARCH_COALESCE_MODE).
             semantic = await state.enqueue_search(
                 name, query_arrays, sem_params
             )

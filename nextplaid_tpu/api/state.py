@@ -55,21 +55,47 @@ MAX_BATCH_DOCUMENTS = int(os.environ.get("MAX_BATCH_DOCUMENTS", "300"))
 # dispatches — the query analogue of the ingest worker's add coalescing
 # (documents.rs:323-380 is the reference shape for adds; the reference never
 # coalesces searches because its CPU engine gains nothing from batch).
-# DEFAULT OFF: the interleaved A/B (scripts/profile_api_e2e.py, same-process
-# alternating passes so tunnel phase drift hits both arms) measured 1124 QPS
-# coalesced vs 1526 QPS with per-request dispatch at 8 concurrent 64-query
-# clients — parallel fixed-shape dispatches pipeline the device queue better
-# than serialized variable-size merges, whose size variety also costs
-# mid-serving compiles. Coalescing still wins when many SMALL (1-8 query)
-# clients fan in faster than executor threads; enable it for that posture.
-SEARCH_COALESCE = os.environ.get("NEXT_PLAID_SEARCH_COALESCE", "0") == "1"
+# DEFAULT AUTO — the two measured regimes disagree on the best policy:
+#   - 8 concurrent 64-QUERY clients: per-request dispatch wins (1526 vs
+#     1124 QPS, round-4 interleaved A/B in scripts/profile_api_e2e.py) —
+#     parallel fixed-shape dispatches pipeline the device queue better
+#     than serialized variable-size merges.
+#   - 16 concurrent SINGLE-query clients (the reference README protocol,
+#     round-5 composite): per-request dispatch serializes one ~19 ms
+#     device pass per query (51.8 QPS); coalescing merges the backlog
+#     into one padded dispatch (e2e_composite.json A/B).
+# "auto" routes by request size: requests with <= COALESCE_SMALL_QUERIES
+# queries coalesce, bigger ones dispatch directly. "1"/"0" force.
+_SEARCH_COALESCE_MODE = os.environ.get("NEXT_PLAID_SEARCH_COALESCE", "auto")
+COALESCE_SMALL_QUERIES = int(
+    os.environ.get("NEXT_PLAID_COALESCE_SMALL_QUERIES", "8")
+)
+
+
+def coalesce_eligible(n_queries: int) -> bool:
+    if _SEARCH_COALESCE_MODE == "1":
+        return True
+    if _SEARCH_COALESCE_MODE == "auto":
+        return n_queries <= COALESCE_SMALL_QUERIES
+    return False
+
+
+# Back-compat: a few tests/scripts flip this module flag directly; it
+# forces always-on when True and defers to the mode string when False.
+SEARCH_COALESCE = _SEARCH_COALESCE_MODE == "1"
 MAX_COALESCED_QUERIES = int(
     os.environ.get("NEXT_PLAID_MAX_COALESCED_QUERIES", "512")
 )
-# Dispatch window depth 2: one batch computes on device while the next is
-# marshalled/dispatched (matches bench.py's measured optimum — deeper
-# windows queue in the tunnel worker instead of overlapping).
-SEARCH_DISPATCH_DEPTH = 2
+# Dispatch window depth 6: keep several coalesced batches in flight so
+# marshalling/h2d of later batches overlaps device compute of earlier ones.
+# Round 3 measured depth 2 as the optimum (the tunnel then queued instead
+# of overlapping); the round-5 interleaved window sweep
+# (docs/benchmarks/window_sweep.json) shows depth 6 runs compute-bound —
+# 60.5 ms vs 121.0 ms marginal per 320-query pass. Env-tunable because the
+# tunnel's overlap behavior has already changed once.
+SEARCH_DISPATCH_DEPTH = int(
+    os.environ.get("NEXT_PLAID_SEARCH_DISPATCH_DEPTH", "6")
+)
 MAX_QUEUED_TASKS_PER_INDEX = int(
     os.environ.get("MAX_QUEUED_TASKS_PER_INDEX", "10")
 )
@@ -298,8 +324,14 @@ class AppState:
                 )
             # Disk -> host -> shards: the corpus never transits a single
             # device (it would OOM at exactly the scale sharded serves).
+            # capacity_factor reserves per-shard slack so ingest appends
+            # in place (measured: a reload+re-shard is 113-147 s at 72M,
+            # docs/benchmarks/reshard_cost.json).
             return ShardedIndex.shard(
-                HostIndexData.load(str(self.index_path(name))), mesh
+                HostIndexData.load(str(self.index_path(name))), mesh,
+                capacity_factor=float(
+                    os.environ.get("NEXT_PLAID_SHARD_CAPACITY_FACTOR", "1.5")
+                ),
             )
         if mode == "grid_only":
             from nextplaid_tpu.index.container import load_grid_only
@@ -745,8 +777,29 @@ class AppState:
         ):
             return False
         codes, residuals, doclens = encoded
-        from nextplaid_tpu.parallel.sharded import ShardedGridIndex
+        from nextplaid_tpu.parallel.sharded import (
+            ShardedGridIndex,
+            ShardedIndex,
+        )
 
+        if isinstance(served, ShardedIndex):
+            # serve_mode=sharded: O(batch) write into the tail shard's
+            # reserved slack, then an O(shard) IVF refresh to restore the
+            # staged pipeline (append_batch leaves it stale-but-correct).
+            # None (slack exhausted) falls back to reload + re-shard.
+            try:
+                appended = served.append_batch(codes, residuals, doclens)
+                if appended is not None:
+                    appended = appended.refresh_ivf()
+            except Exception:
+                logger.exception(
+                    "sharded staged append failed; falling back to reload"
+                )
+                return False
+            if appended is None:
+                return False
+            self.register(name, appended)
+            return True
         if isinstance(served, ShardedGridIndex):
             # serve_mode=sharded_grid: O(batch) per-shard append into the
             # tail shard's row slack; None (capacity/geometry limits)

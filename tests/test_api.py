@@ -948,3 +948,81 @@ def test_bf16_wire_search(server):
     )
     assert r.status_code == 200, r.text
     assert r.json()["results"][0]["document_ids"][0] == 9
+
+
+def test_sharded_staged_append_in_place(server, monkeypatch):
+    """serve_mode=sharded ingests append IN PLACE (tail-shard slack +
+    one-shard IVF refresh) — the reload+re-shard fallback must NOT run
+    (measured at 113-147 s per batch at 72M, reshard_cost.json)."""
+    import os
+
+    from nextplaid_tpu.parallel.sharded import ShardedIndex
+
+    name = "srv_sharded_inplace"
+    os.environ["NEXT_PLAID_SERVE_MODE"] = "sharded"
+    # At 32 docs / 8 shards the default 1.5x slack is 3 doc slots — smaller
+    # than the 4-doc batch; production corpora have proportional slack.
+    os.environ["NEXT_PLAID_SHARD_CAPACITY_FACTOR"] = "3.0"
+    try:
+        # start_from_scratch=0: below the default 999-doc threshold every
+        # ingest is a scratch rebuild (correctly NOT appendable); disable
+        # it so the second ingest takes the buffer path this test covers.
+        r = requests.post(
+            server.url + "/indices",
+            json={
+                "name": name,
+                "config": {"nbits": 4, "start_from_scratch": 0},
+            },
+        )
+        assert r.status_code == 201, r.text
+        docs = make_docs(32, seed=41)
+        r = requests.post(
+            server.url + f"/indices/{name}/documents",
+            json={"documents": [doc_payload(d) for d in docs]},
+        )
+        assert r.status_code == 202, r.text
+        # Force the sharded load (first search shards with capacity slack).
+        q = docs[7][:6]
+        r = requests.post(
+            server.url + f"/indices/{name}/search",
+            json={"queries": [doc_payload(q)], "params": {"top_k": 5}},
+        )
+        assert r.status_code == 200, r.text
+        assert r.json()["results"][0]["document_ids"][0] == 7
+
+        shard_calls = []
+        orig_shard = ShardedIndex.shard.__func__
+
+        def counting_shard(cls, *a, **kw):
+            shard_calls.append(1)
+            return orig_shard(cls, *a, **kw)
+
+        monkeypatch.setattr(
+            ShardedIndex, "shard", classmethod(counting_shard)
+        )
+        more = make_docs(4, seed=42)
+        r = requests.post(
+            server.url + f"/indices/{name}/documents",
+            json={"documents": [doc_payload(d) for d in more]},
+        )
+        assert r.status_code == 202, r.text
+        q2 = more[2][:6]
+        r = requests.post(
+            server.url + f"/indices/{name}/search",
+            json={"queries": [doc_payload(q2)], "params": {"top_k": 5}},
+        )
+        assert r.status_code == 200, r.text
+        assert r.json()["results"][0]["document_ids"][0] == 34
+        # And the old corpus is still served correctly post-append.
+        r = requests.post(
+            server.url + f"/indices/{name}/search",
+            json={"queries": [doc_payload(q)], "params": {"top_k": 5}},
+        )
+        assert r.json()["results"][0]["document_ids"][0] == 7
+        assert not shard_calls, (
+            "ingest fell back to reload+re-shard; expected in-place "
+            "ShardedIndex.append_batch"
+        )
+    finally:
+        os.environ.pop("NEXT_PLAID_SERVE_MODE", None)
+        os.environ.pop("NEXT_PLAID_SHARD_CAPACITY_FACTOR", None)

@@ -46,6 +46,9 @@ HEADLINE_CLAIMS = [
     ("dispatch_budget.json", "kernel_ms", "{:.2f}"),
     ("dispatch_budget.json", "pipelined_pass_ms", "{:.2f}"),
     ("dispatch_budget.json", "h2d_query_ms", "{:.2f}"),
+    ("e2e_composite.json", "indexing_docs_per_s", "{:.1f}"),
+    ("e2e_composite.json", "search_qps", "{:.1f}"),
+    ("e2e_composite.json", "api_vs_library_top10_overlap", "{:.4f}"),
 ]
 
 
