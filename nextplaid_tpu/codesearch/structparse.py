@@ -923,13 +923,50 @@ def _find_defs(toks: List[Tok], language: str) -> List[RawDef]:
                             k2 += 1
                         ret = " ".join(parts)[:60] or None
                     body += 1
-                # Scala/Kotlin expression bodies (`= expr`) have no brace
-                # block; only brace-bodied definitions become units here
-                # (expression forms fall to the RawCode layer).
+                # Scala/Kotlin expression bodies (`= expr`): the unit spans
+                # to the end of the logical line, with bracketed groups
+                # allowed to continue across lines (fun f(x: Int): Int =
+                # x + 1 is the idiomatic Kotlin single-expression form —
+                # leaving it to the RawCode layer lost its signature,
+                # params and call edges).
                 if body < n and toks[body].text == "=":
                     nxt = body + 1
                     if nxt < n and toks[nxt].text == "{":
                         body = nxt
+                    elif language in ("kotlin", "scala") and nxt < n:
+                        k2 = nxt
+                        last = nxt
+                        while k2 < n:
+                            t2 = toks[k2]
+                            if t2.kind == PUNCT and t2.text in "([{":
+                                close = {"(": ")", "[": "]", "{": "}"}[
+                                    t2.text
+                                ]
+                                k2 = _match_bracket(
+                                    toks, k2, t2.text, close
+                                )
+                                last = k2
+                                k2 += 1
+                                continue
+                            if t2.line > toks[last].line:
+                                break
+                            last = k2
+                            k2 += 1
+                        defs.append(
+                            RawDef(
+                                name,
+                                UnitType.METHOD
+                                if parent
+                                else UnitType.FUNCTION,
+                                i, name_i, nxt, last, parent=parent,
+                                params=_params_from_slice(
+                                    toks[j + 1 : p_close], language
+                                ),
+                                return_type=ret,
+                            )
+                        )
+                        i = last + 1
+                        continue
                 if body < n and toks[body].text == "{":
                     end = _match_bracket(toks, body, "{", "}")
                     defs.append(

@@ -102,27 +102,35 @@ def phase_serve():
     )
     print(f"recall@10 vs bf16 exhaustive oracle: {recall:.4f}", flush=True)
 
-    # Pipelined batch-64 QPS, depth-1 window, p50 over passes.
+    # Pipelined batch-64 QPS: sweep windows {2, 6} like bench.py (the
+    # round-5 interleaved sweep showed the tunnel rewards depth now;
+    # window_sweep.json) and report the best window's p50 over passes.
     n_passes = 8
-    marks = []
-    t_start = time.perf_counter()
-    in_flight = []
-    for p in range(n_passes):
-        in_flight.append(
-            search_batch_async(index, queries[64:128], params)
-        )
-        if len(in_flight) > 1:
+    window_qps = {}
+    for window in (2, 6):
+        marks = []
+        t_start = time.perf_counter()
+        in_flight = []
+        for p in range(n_passes):
+            in_flight.append(
+                search_batch_async(index, queries[64:128], params)
+            )
+            if len(in_flight) >= window:
+                in_flight.pop(0).result()
+                marks.append(time.perf_counter())
+        while in_flight:
             in_flight.pop(0).result()
             marks.append(time.perf_counter())
-    while in_flight:
-        in_flight.pop(0).result()
-        marks.append(time.perf_counter())
-    deltas = np.diff(np.asarray([t_start] + marks))[1:]
-    qps = sorted(64.0 / deltas)
+        deltas = np.diff(np.asarray([t_start] + marks))
+        steady = deltas[min(window, len(deltas) - 1):]
+        window_qps[window] = sorted(64.0 / steady)
+    best_window = max(window_qps, key=lambda w: np.median(window_qps[w]))
+    qps = window_qps[best_window]
     p50 = float(np.median(qps))
     print(
-        f"batch64 pipelined: p50 {p50:.2f} QPS "
-        f"(worst {qps[0]:.2f} best {qps[-1]:.2f})",
+        f"batch64 pipelined: p50 {p50:.2f} QPS at window {best_window} "
+        f"(worst {qps[0]:.2f} best {qps[-1]:.2f}; per-window p50s "
+        f"{ {w: round(float(np.median(v)), 2) for w, v in window_qps.items()} })",
         flush=True,
     )
 
@@ -160,6 +168,11 @@ def phase_serve():
             "batch64_qps_p50": round(p50, 2),
             "batch64_qps_worst": round(qps[0], 2),
             "batch64_qps_best": round(qps[-1], 2),
+            "pipeline_window": best_window,
+            "batch64_qps_p50_per_window": {
+                str(w): round(float(np.median(v)), 2)
+                for w, v in window_qps.items()
+            },
             "batch1_p50_ms": round(p50_lat),
             "recall_at_10_vs_bf16_exhaustive": round(recall, 4),
             "baselines_same_corpus": {

@@ -49,6 +49,11 @@ HEADLINE_CLAIMS = [
     ("e2e_composite.json", "indexing_docs_per_s", "{:.1f}"),
     ("e2e_composite.json", "search_qps", "{:.1f}"),
     ("e2e_composite.json", "api_vs_library_top10_overlap", "{:.4f}"),
+    ("api_http_serving.json", "qps_p50", "{:.1f}"),
+    ("api_http_serving.json", "inproc_qps_same_phase", "{:.1f}"),
+    ("api_http_serving.json", "http_over_inproc_ratio", "{:.3f}"),
+    ("api_http_serving_b320.json", "qps_p50", "{:.1f}"),
+    ("api_http_serving_b320.json", "http_over_inproc_ratio", "{:.3f}"),
 ]
 
 

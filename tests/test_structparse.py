@@ -1502,3 +1502,84 @@ def test_fuzz_token_soup_no_crash_no_phantom_units():
                     assert stem in src or u.name in src, (
                         language, u.name, src[:80]
                     )
+
+
+def test_call_graph_edges_cpp_csharp_kotlin_ruby_swift():
+    """Round-5 widening of the call-graph fixture parity to C++/C#/Kotlin/
+    Ruby/Swift — the called_by resolver is language-agnostic (parser.py
+    _resolve_called_by over _analyze's layer-2 calls), so every lexer
+    language must produce the same helper<-{alpha,beta} edges."""
+    fixtures = {
+        "a.cpp": """
+int helper(int x) { return x + 1; }
+
+int alpha(int v) {
+    return helper(v) * 2;
+}
+
+int beta(int v) {
+    if (v > 0) { return helper(v) - 1; }
+    return 0;
+}
+""",
+        "A.cs": """
+public class A {
+    static int helper(int x) { return x + 1; }
+
+    static int alpha(int v) {
+        return helper(v) * 2;
+    }
+
+    static int beta(int v) {
+        if (v > 0) { return helper(v) - 1; }
+        return 0;
+    }
+}
+""",
+        "a.kt": """
+fun helper(x: Int): Int = x + 1
+
+fun alpha(v: Int): Int {
+    return helper(v) * 2
+}
+
+fun beta(v: Int): Int {
+    if (v > 0) { return helper(v) - 1 }
+    return 0
+}
+""",
+        "a.rb": """
+def helper(x)
+  x + 1
+end
+
+def alpha(v)
+  helper(v) * 2
+end
+
+def beta(v)
+  return helper(v) - 1 if v > 0
+  0
+end
+""",
+        "a.swift": """
+func helper(_ x: Int) -> Int { return x + 1 }
+
+func alpha(_ v: Int) -> Int {
+    return helper(v) * 2
+}
+
+func beta(_ v: Int) -> Int {
+    if v > 0 { return helper(v) - 1 }
+    return 0
+}
+""",
+    }
+    for path, src in fixtures.items():
+        units = _by_name(extract_units(path, src))
+        assert "helper" in units, (path, sorted(units))
+        assert "helper" in units["alpha"].calls, path
+        assert "helper" in units["beta"].calls, path
+        assert set(units["helper"].called_by) >= {"alpha", "beta"}, (
+            path, units["helper"].called_by
+        )
