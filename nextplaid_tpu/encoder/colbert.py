@@ -86,6 +86,7 @@ class Colbert:
         query_length: Optional[int] = None,
         document_length: Optional[int] = None,
         quantized: bool = False,
+        pipeline_depth: int = 4,
     ):
         if model_dir is not None:
             from nextplaid_tpu.encoder.hub import resolve_model_dir
@@ -124,6 +125,12 @@ class Colbert:
             params = quantize_dense_params(params)
         self.params = params
         self.batch_size = batch_size
+        # In-flight forward dispatches kept queued before the host blocks on
+        # the oldest one. JAX dispatch is async, but each d2h readback pays a
+        # host round trip; a deeper window hides that latency the same way
+        # the search pipeline's window does (scripts/profile_window_sweep.py
+        # measured depth ~6 optimal through the device tunnel).
+        self.pipeline_depth = max(int(pipeline_depth), 1)
         self.model = ColbertModel(self.backbone_config, quantized=quantized)
         self.skiplist_ids = self._build_skiplist()
         self._query_prefix_id = self._resolve_prefix_id(
@@ -323,8 +330,8 @@ class Colbert:
                 else:
                     out[orig] = emb[bi, :L]
 
-        # Two-deep pipeline: while the device runs batch i, the host
-        # tokenizes batch i+1 and skiplist-filters batch i-1.
+        # Pipelined: while the device runs batches i..i+depth, the host
+        # tokenizes batch i+depth+1 and skiplist-filters batch i-1.
         from collections import deque
 
         pending = deque()
@@ -336,7 +343,7 @@ class Colbert:
             )
             emb_dev, n_real = self._dispatch_batch(input_ids, attention)
             pending.append((emb_dev[:n_real], idxs, rows, lengths))
-            if len(pending) > 2:
+            if len(pending) > self.pipeline_depth:
                 postprocess(*pending.popleft())
         while pending:
             postprocess(*pending.popleft())
@@ -360,14 +367,25 @@ class Colbert:
         reference's "pooling thread") naturally overlaps the NEXT chunk's
         encode when the consumer uses the streamed-build path."""
         batch_size = batch_size or self.batch_size
+        # Encode pipeline_depth forward-batches per super-chunk so the
+        # in-flight dispatch window actually fills (a chunk of exactly one
+        # batch would sync per batch), then yield batch-size slices to keep
+        # the per-yield contract.
+        chunk = batch_size * self.pipeline_depth
         buf: List[str] = []
+
+        def flush(buf):
+            embs = self.encode_documents(buf, pool_factor=pool_factor)
+            for s in range(0, len(embs), batch_size):
+                yield embs[s : s + batch_size]
+
         for doc in documents:
             buf.append(doc)
-            if len(buf) >= batch_size:
-                yield self.encode_documents(buf, pool_factor=pool_factor)
+            if len(buf) >= chunk:
+                yield from flush(buf)
                 buf = []
         if buf:
-            yield self.encode_documents(buf, pool_factor=pool_factor)
+            yield from flush(buf)
 
     @property
     def embedding_dim(self) -> int:

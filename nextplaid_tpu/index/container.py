@@ -159,6 +159,15 @@ class DeviceIndex:
     scale_buckets: Tuple[jax.Array, ...] = ()
     grid_perm: Optional[jax.Array] = None  # [total_rows] i32
     grid_doclens: Optional[jax.Array] = None  # [total_rows, 1] i32
+    # Device-resident refinement lookup table for grid-only serving
+    # (`load_grid_only(refine="device")`): the corpus codes+residuals
+    # packed 32 tokens per 128-lane-aligned super-row
+    # ([rows, 32*(pd+4)] u8, ops/refine_gather.py). Replaces keeping
+    # codes/residuals resident: the narrow-row (36 B) corpus gather those
+    # feed is pathological on TPU at mega scale (>10 min compiles,
+    # >1 s/batch — the round-5 250->47 QPS regression), while super-row
+    # windows fetch in 0.09 ms. Same total HBM as codes+residuals.
+    refine_tab: Optional[jax.Array] = None  # [rows, 32*(pd+4)] u8
 
     def __post_init__(self):
         if self.n_docs is None:
@@ -271,7 +280,7 @@ class DeviceIndex:
         to the same artifact again (round-4 evidence bug)."""
         if not self.grid_only:
             return "none"
-        if int(self.codes.shape[0]) > 0:
+        if self.refine_tab is not None or int(self.codes.shape[0]) > 0:
             return "device"
         if self.refine_host is not None:
             return "host"
@@ -1533,18 +1542,31 @@ def load_grid_only(
         return "host"
 
     def upload_refine_tables():
-        """Concatenate the chunk codes/residuals and ship them to device
-        (one load-time h2d; per-batch refine then never touches the host)."""
-        codes_all = np.empty(n_emb, np.int32)
-        res_all = np.empty((n_emb, packed_dim), np.uint8)
+        """Pack the chunk codes/residuals into the super-row refine table
+        (ops/refine_gather.py: 32 tokens per 128-lane-aligned row — the
+        layout that makes per-candidate window fetches an efficient
+        big-row XLA gather) and ship it to device in one load-time h2d;
+        per-batch refine then never touches the host. Tail rows beyond
+        the corpus cover the widest bucket's window so fetches near the
+        end never clamp."""
+        from nextplaid_tpu.ops.refine_gather import (
+            REFINE_G,
+            pack_refine_rows_into,
+            refine_window_rows,
+        )
+
+        td_ref = max(
+            max(tds), max(_round_up(max(max_doclen, 1), 32), 32)
+        )  # widest refine window any scorer derives (exact.py td)
+        n_rows = -(-n_emb // REFINE_G) + refine_window_rows(td_ref) + 1
+        tab = np.zeros((n_rows, REFINE_G * (packed_dim + 4)), np.uint8)
         off = 0
         for i in range(meta.num_chunks):
             c = np.asarray(load_npy(layout.chunk_codes(i))).astype(np.int32)
             r = np.asarray(load_npy(layout.chunk_residuals(i)))
-            codes_all[off : off + c.shape[0]] = c
-            res_all[off : off + c.shape[0]] = r
+            pack_refine_rows_into(tab, c, r, off)
             off += c.shape[0]
-        return jnp.asarray(codes_all), jnp.asarray(res_all)
+        return jnp.asarray(tab)
 
     refine_data = None
 
@@ -1651,7 +1673,7 @@ def load_grid_only(
             )
             row += int(dl.shape[0])
         if refine_side == "device":
-            common["codes"], common["residuals"] = upload_refine_tables()
+            common["refine_tab"] = upload_refine_tables()
         elif refine_side == "host":
             refine_data = make_host_refine()
         out = DeviceIndex(
@@ -1786,7 +1808,7 @@ def load_grid_only(
         scale_grids = []
 
     if refine_side == "device":
-        common["codes"], common["residuals"] = upload_refine_tables()
+        common["refine_tab"] = upload_refine_tables()
     elif refine_side == "host":
         refine_data = make_host_refine()
     out = DeviceIndex(

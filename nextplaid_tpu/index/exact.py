@@ -665,6 +665,173 @@ def _refine_scores_scan(
     return out.transpose(1, 0, 2).reshape(queries.shape[0], cap)
 
 
+def _refine_scores_gathered_scan(
+    queries,  # [Q, Tq, d] f32 (zero-padded)
+    qmask,  # [Q, Tq] bool
+    tab,  # [rows, G*(pd+4)] u8 super-row refine table (refine_gather)
+    lens_u,  # [cap] i32 (0 for padding slots)
+    offs_u,  # [cap] i32 raw token offsets
+    centroids,
+    bucket_weights,
+    nbits: int,
+    td: int,
+    tile: int,
+    pd: int,
+):
+    """Union-candidate scorer over the super-row refine table: like
+    _refine_scores_scan but fetching each tile's candidate windows with
+    refine_gather.fetch_refine_windows (big-row XLA gather — the
+    narrow-row `codes_u[tok_pos]` form is pathological at mega scale, see
+    ops/refine_gather.py). Returns [Q, cap]."""
+    from nextplaid_tpu.ops.refine_gather import (
+        fetch_refine_windows,
+        split_refine_rows,
+    )
+
+    cap = lens_u.shape[0]
+    td_w = td + refine_gather_pad()
+    t_arange = jnp.arange(td_w, dtype=jnp.int32)
+    n_tiles = cap // tile
+
+    def score_tile(_, start):
+        ids = start + jnp.arange(tile, dtype=jnp.int32)
+        offs = offs_u[ids]
+        lens = lens_u[ids]
+        win, rem = fetch_refine_windows(tab, offs, td)  # [tile, td_w, B]
+        codes_g, res_g = split_refine_rows(win, pd)
+        tok_valid = (t_arange[None, :] >= rem[:, None]) & (
+            t_arange[None, :] < (rem + lens)[:, None]
+        )
+        emb = codec_ops.decompress_residuals(
+            res_g, codes_g, centroids, bucket_weights, nbits,
+            normalize=True,
+        )  # [tile, td_w, d] f32
+        sim = jnp.einsum(
+            "qtd,njd->qntj",
+            queries,
+            emb,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        sim = jnp.where(tok_valid[None, :, None, :], sim, NEG_INF)
+        per_tok = jnp.max(sim, axis=-1)  # [Q, tile, Tq]
+        per_tok = jnp.where(
+            qmask[:, None, :] & jnp.isfinite(per_tok), per_tok, 0.0
+        )
+        scores = jnp.sum(per_tok, axis=-1)  # [Q, tile]
+        return None, jnp.where(lens[None, :] > 0, scores, NEG_INF)
+
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    _, out = jax.lax.scan(score_tile, None, starts)
+    return out.transpose(1, 0, 2).reshape(queries.shape[0], cap)
+
+
+def refine_gather_pad() -> int:
+    """Extra window tokens of the super-row fetch (the sub-row remainder
+    rides along and is masked)."""
+    from nextplaid_tpu.ops.refine_gather import REFINE_G
+
+    return REFINE_G
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nbits", "td", "tile", "pd")
+)
+def _refine_scores_gathered_jit(
+    queries, qmask, ids_p, n_valid, tab, doc_offsets, doclens, centroids,
+    bucket_weights, nbits: int, td: int, tile: int, pd: int,
+):
+    """Union-path device refine over the super-row table ([Q, cap])."""
+    cap = ids_p.shape[0]
+    safe = jnp.clip(ids_p, 0, doclens.shape[0] - 1)
+    lens_u = jnp.where(
+        jnp.arange(cap, dtype=jnp.int32) < n_valid, doclens[safe], 0
+    )
+    offs_u = doc_offsets[safe].astype(jnp.int32)
+    return _refine_scores_gathered_scan(
+        queries, qmask, tab, lens_u, offs_u, centroids, bucket_weights,
+        nbits, td, tile, pd,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nbits", "td", "top_k", "q_tile", "pd")
+)
+def _refine_own_topk_gathered_jit(
+    queries,  # [Qp, Tq, d] f32 (Qp divisible by q_tile)
+    qmask,  # [Qp, Tq] bool
+    ids,  # [Qp, R] i32 recall candidates per query (-1 invalid)
+    tab,  # [rows, G*(pd+4)] u8 super-row refine table
+    doc_offsets,  # [ndocs_pad + 1] i32
+    doclens,  # [ndocs_pad] i32
+    centroids,
+    bucket_weights,
+    nbits: int,
+    td: int,
+    top_k: int,
+    q_tile: int,
+    pd: int,
+):
+    """Fused per-query refinement over the super-row refine table: the
+    mega-scale replacement for _refine_own_topk_jit's narrow-row corpus
+    gather (see ops/refine_gather.py for the layout and measurements).
+    Candidate token windows are fetched as S consecutive 128-lane-aligned
+    super-rows per candidate; the leading `off % G` remainder rows are
+    masked by tok_valid."""
+    from nextplaid_tpu.ops.refine_gather import (
+        fetch_refine_windows,
+        split_refine_rows,
+    )
+
+    q_n, tq, d = queries.shape
+    r = ids.shape[1]
+    td_w = td + refine_gather_pad()
+    t_arange = jnp.arange(td_w, dtype=jnp.int32)
+    n_tiles = q_n // q_tile
+
+    def score_tile(_, start):
+        qs = start + jnp.arange(q_tile, dtype=jnp.int32)
+        q_t = queries[qs]  # [qt, Tq, d]
+        m_t = qmask[qs]
+        ids_t = ids[qs]  # [qt, R]
+        valid = (ids_t >= 0) & (ids_t < doclens.shape[0])
+        safe = jnp.clip(ids_t, 0, doclens.shape[0] - 1)
+        lens = jnp.where(valid, doclens[safe], 0)  # [qt, R]
+        offs = doc_offsets[safe].astype(jnp.int32)
+        win, rem = fetch_refine_windows(tab, offs, td)  # [qt,R,td_w,B]
+        codes_g, res_g = split_refine_rows(win, pd)
+        tok_valid = (t_arange[None, None, :] >= rem[..., None]) & (
+            t_arange[None, None, :] < (rem + lens)[..., None]
+        )  # [qt, R, td_w]
+        emb = codec_ops.decompress_residuals(
+            res_g, codes_g, centroids, bucket_weights, nbits,
+            normalize=True,
+        )  # [qt, R, td_w, d] f32
+        sim = jnp.einsum(
+            "qtd,qrjd->qrtj",
+            q_t,
+            emb,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [qt, R, Tq, td_w]
+        sim = jnp.where(tok_valid[:, :, None, :], sim, NEG_INF)
+        per_tok = jnp.max(sim, axis=-1)  # [qt, R, Tq]
+        per_tok = jnp.where(
+            m_t[:, None, :] & jnp.isfinite(per_tok), per_tok, 0.0
+        )
+        scores = jnp.sum(per_tok, axis=-1)  # [qt, R]
+        return None, jnp.where(lens > 0, scores, NEG_INF)
+
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * q_tile
+    _, out = jax.lax.scan(score_tile, None, starts)
+    scores = out.reshape(q_n, r)  # [Qp, R]
+    k = min(top_k, r)
+    top_scores, slots = jax.lax.top_k(scores, k)
+    top_ids = jnp.take_along_axis(ids, slots, axis=1)
+    top_ids = jnp.where(jnp.isfinite(top_scores), top_ids, -1)
+    return top_ids, top_scores
+
+
 @functools.partial(
     jax.jit, static_argnames=("nbits", "td", "top_k", "q_tile")
 )
@@ -753,8 +920,10 @@ def refine_own_topk_device(
     transient instead."""
     q_n, r = cand_ids.shape[0], cand_ids.shape[1]
     td = max(_round_up(max(index.max_doclen, 1), 32), 32)
+    gathered = getattr(index, "refine_tab", None) is not None
+    td_cost = td + (refine_gather_pad() if gathered else 0)
     # Bound the decompress transient (~q_tile*R*td*d*4) to ~150 MB.
-    budget = (150 << 20) // max(r * td * index.dim * 4, 1)
+    budget = (150 << 20) // max(r * td_cost * index.dim * 4, 1)
     q_tile = 8 if budget >= 8 else max(int(budget), 1)
     q_pad = _round_up(max(q_n, 1), q_tile)
     if q_pad != q_n:
@@ -771,21 +940,39 @@ def refine_own_topk_device(
             [cand_ids,
              jnp.full((q_pad - q_n, r), -1, cand_ids.dtype)]
         )
-    ids, scores = _refine_own_topk_jit(
-        jnp.asarray(q_arr).astype(jnp.float32),
-        jnp.asarray(q_mask),
-        cand_ids.astype(jnp.int32),
-        index.codes,
-        index.residuals,
-        index.doc_offsets,
-        index.doclens,
-        index.centroids,
-        index.bucket_weights,
-        nbits=index.nbits,
-        td=td,
-        top_k=top_k,
-        q_tile=q_tile,
-    )
+    if gathered:
+        ids, scores = _refine_own_topk_gathered_jit(
+            jnp.asarray(q_arr).astype(jnp.float32),
+            jnp.asarray(q_mask),
+            cand_ids.astype(jnp.int32),
+            index.refine_tab,
+            index.doc_offsets,
+            index.doclens,
+            index.centroids,
+            index.bucket_weights,
+            nbits=index.nbits,
+            td=td,
+            top_k=top_k,
+            q_tile=q_tile,
+            # row width = G*(pd+4); G == refine_gather_pad()
+            pd=index.refine_tab.shape[1] // refine_gather_pad() - 4,
+        )
+    else:
+        ids, scores = _refine_own_topk_jit(
+            jnp.asarray(q_arr).astype(jnp.float32),
+            jnp.asarray(q_mask),
+            cand_ids.astype(jnp.int32),
+            index.codes,
+            index.residuals,
+            index.doc_offsets,
+            index.doclens,
+            index.centroids,
+            index.bucket_weights,
+            nbits=index.nbits,
+            td=td,
+            top_k=top_k,
+            q_tile=q_tile,
+        )
     return ids[:q_n], scores[:q_n]
 
 
@@ -811,7 +998,8 @@ def refine_topk(
         k = min(top_k, cand_ids.shape[1])
         return cand_ids[:, :k], np.full((n, k), -np.inf, np.float32)
 
-    if index.codes.shape[0] > 0:
+    refine_tab = getattr(index, "refine_tab", None)
+    if refine_tab is not None or index.codes.shape[0] > 0:
         # Device-resident refine tables (load_grid_only refine="device"):
         # score straight off the corpus arrays — no host gather, no
         # candidate h2d. cap is bucketed to bound compile variants.
@@ -819,8 +1007,24 @@ def refine_topk(
         ids_p = np.zeros(cap, np.int32)
         ids_p[: len(uniq)] = uniq
         td = max(_round_up(max(index.max_doclen, 1), 32), 32)
-        scores = np.asarray(
-            _refine_scores_device_jit(
+        if refine_tab is not None:
+            scores_dev = _refine_scores_gathered_jit(
+                jnp.asarray(q_arr),
+                jnp.asarray(q_mask),
+                jnp.asarray(ids_p),
+                jnp.int32(len(uniq)),
+                refine_tab,
+                index.doc_offsets,
+                index.doclens,
+                index.centroids,
+                index.bucket_weights,
+                nbits=index.nbits,
+                td=td,
+                tile=min(128, cap),
+                pd=refine_tab.shape[1] // refine_gather_pad() - 4,
+            )
+        else:
+            scores_dev = _refine_scores_device_jit(
                 jnp.asarray(q_arr),
                 jnp.asarray(q_mask),
                 jnp.asarray(ids_p),
@@ -835,7 +1039,7 @@ def refine_topk(
                 td=td,
                 tile=min(128, cap),
             )
-        )[:n]
+        scores = np.asarray(scores_dev)[:n]
         return _refine_finalize(uniq, scores, top_k, n)
 
     refine = index.refine_host

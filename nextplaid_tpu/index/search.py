@@ -78,6 +78,15 @@ from nextplaid_tpu.utils.errors import SearchError
 NEG_INF = np.float32(-np.inf)
 
 
+def _has_device_refine(index: DeviceIndex) -> bool:
+    """Device-resident refine tables present (super-row refine_tab, or the
+    legacy flat codes/residuals a non-grid-only index always carries)."""
+    return (
+        getattr(index, "refine_tab", None) is not None
+        or index.codes.shape[0] > 0
+    )
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -1136,7 +1145,7 @@ def search_batch_async(
         if (
             index.grid_only
             and index.grid_is_int8
-            and (index.refine_host is not None or index.codes.shape[0] > 0)
+            and index.refine_side != "none"
             and params.refine_depth >= 0
         ):
             depth = params.refine_depth or max(4 * params.top_k, 32)
@@ -1163,7 +1172,7 @@ def search_batch_async(
                 top_k=top_k_eff,
                 has_subset=subset is not None,
             )
-            if refine_k and index.codes.shape[0] > 0 and top_k_eff <= 128:
+            if refine_k and _has_device_refine(index) and top_k_eff <= 128:
                 # Fused device refine: candidates never leave the device,
                 # so the refined search stays one async dispatch chain
                 # (exact.refine_own_topk_device; host/union fallback below
@@ -1198,7 +1207,7 @@ def search_batch_async(
         )
         if (
             refine_k
-            and index.codes.shape[0] > 0
+            and _has_device_refine(index)
             and min(top_k_eff, max(index.num_docs_padded - 1, 1)) <= 128
         ):
             from nextplaid_tpu.index.exact import refine_own_topk_device

@@ -125,8 +125,7 @@ def pack_buckets(buckets: jax.Array, nbits: int) -> jax.Array:
     occupies bits [8-nbits*(k+1), 8-nbits*k) with its bits reversed.
     """
     vals_per_byte = 8 // nbits
-    rev = jnp.asarray(_bit_reverse_table(nbits))
-    reversed_vals = rev[buckets].astype(jnp.uint8)
+    reversed_vals = _reverse_bits(buckets, nbits).astype(jnp.uint8)
     *lead, dim = buckets.shape
     if dim % vals_per_byte != 0:
         raise ValueError(f"dim={dim} not a multiple of {vals_per_byte}")
@@ -143,18 +142,54 @@ def pack_buckets(buckets: jax.Array, nbits: int) -> jax.Array:
     )
 
 
+def _reverse_bits(seg: jax.Array, nbits: int) -> jax.Array:
+    """nbits-bit reversal as unrolled shift/or — NEVER as a table gather.
+
+    `rev_table[segments]` looks innocent (a 4- or 16-entry lookup) but XLA
+    on TPU lowers per-element gathers of {1}-sized slices to serialized
+    scalar loads: measured 700 ms/batch inside the 72M refine loop
+    (84M scalar gathers) vs ~0 for this arithmetic form."""
+    out = jnp.zeros_like(seg)
+    for b in range(nbits):
+        out = out | (((seg >> b) & 1) << (nbits - 1 - b))
+    return out
+
+
+def select_lut(idx: jax.Array, table: jax.Array) -> jax.Array:
+    """table[idx] for a TINY table ([2^n] values) as a binary select tree.
+
+    Replaces the per-element scalar gather XLA would otherwise emit on TPU
+    (the same pathology as _reverse_bits: bucket_weights[buckets] measured
+    ~670 ms/batch at 72M refine shapes). 2^n - 1 vectorized selects on
+    VPU-resident data instead; exact same values."""
+    n = int(table.shape[0])
+    assert n & (n - 1) == 0, n
+
+    def build(lo: int, hi: int, bit: int) -> jax.Array:
+        if hi - lo == 1:
+            return table[lo]
+        mid = (lo + hi) // 2
+        return jnp.where(
+            (idx >> bit) & 1 == 1, build(mid, hi, bit - 1),
+            build(lo, mid, bit - 1),
+        )
+
+    if n == 1:
+        return jnp.broadcast_to(table[0], idx.shape)
+    return build(0, n, n.bit_length() - 2)
+
+
 @functools.partial(jax.jit, static_argnames=("nbits",))
 def unpack_buckets(packed: jax.Array, nbits: int) -> jax.Array:
     """Inverse of `pack_buckets`: [..., dim*nbits/8] uint8 -> [..., dim] int32."""
     vals_per_byte = 8 // nbits
     mask = np.uint8((1 << nbits) - 1)
-    rev = jnp.asarray(_bit_reverse_table(nbits).astype(np.int32))
     shifts = np.array(
         [8 - nbits * (k + 1) for k in range(vals_per_byte)], dtype=np.uint8
     )
     # [..., packed_dim, vals_per_byte]
     segments = (packed[..., None] >> shifts) & mask
-    buckets = rev[segments]
+    buckets = _reverse_bits(segments.astype(jnp.int32), nbits)
     *lead, packed_dim, _ = segments.shape
     return buckets.reshape(*lead, packed_dim * vals_per_byte)
 
@@ -189,8 +224,10 @@ def decompress_residuals(
       [..., d] float32.
     """
     buckets = unpack_buckets(packed, nbits)
-    out = centroids[codes].astype(jnp.float32) + bucket_weights[buckets].astype(
-        jnp.float32
+    # select_lut, not bucket_weights[buckets]: the tiny-table gather lowers
+    # to per-element scalar loads on TPU (see select_lut docstring).
+    out = centroids[codes].astype(jnp.float32) + select_lut(
+        buckets, bucket_weights.astype(jnp.float32)
     )
     if normalize:
         norm = jnp.sqrt(jnp.sum(out * out, axis=-1, keepdims=True))

@@ -281,7 +281,8 @@ def test_load_grid_only_matches_pinned(corpus, tmp_path):
     # with the oracle AND each other.
     oracle = search_batch(full, queries, params)
     go8 = load_grid_only(path, dtype="int8")
-    assert go8.codes.shape[0] > 0  # auto -> device-resident refine tables
+    # auto -> device-resident super-row refine table (codes stay 0-row)
+    assert go8.refine_tab is not None and go8.codes.shape[0] == 0
     assert go8.refine_host is None
     refined = search_batch(go8, queries, params)
     for a, b in zip(oracle, refined):
@@ -314,6 +315,7 @@ def test_load_grid_only_matches_pinned(corpus, tmp_path):
     # (ADVICE r4 medium).
     assert go.refine_side == "none"
     assert go.codes.shape[0] == 0 and go.refine_host is None
+    assert go.refine_tab is None
     assert go8.refine_side == "device" and go8h.refine_side == "host"
     with pytest.raises(UpdateError):
         go.append_batch(
@@ -756,7 +758,7 @@ def test_refine_own_fused_matches_union_scorer(corpus, tmp_path):
     path = str(tmp_path / "fused")
     create_index(docs, path, IndexConfig(nbits=2, seed=7))
     index = load_grid_only(path, dtype="int8")  # auto -> device tables
-    assert index.codes.shape[0] > 0
+    assert index.refine_tab is not None
 
     rng = np.random.default_rng(3)
     queries = [
