@@ -184,6 +184,17 @@ class Colbert:
         enc = self.tokenizer.encode(text, add_special_tokens=add_special_tokens)
         return list(enc.ids if hasattr(enc, "ids") else enc)
 
+    def _encode_ids_batch(self, texts: Sequence[str]) -> List[List[int]]:
+        """Tokenize a batch. `tokenizers.Tokenizer.encode_batch` runs the
+        WordPiece loop in parallel Rust threads (the reference gets the same
+        from tokenizers-rs natively, lib.rs:1841); the per-text Python loop is
+        the fallback for transformers-style tokenizers and for single-core
+        hosts, where the thread-pool overhead measurably loses to the loop."""
+        fn = getattr(self.tokenizer, "encode_batch", None)
+        if fn is not None and len(os.sched_getaffinity(0)) > 1:
+            return [list(e.ids) for e in fn(list(texts))]
+        return [self._encode_ids(t) for t in texts]
+
     # -- tokenization (lib.rs:1841-2100 semantics) ---------------------------
 
     def _prepare(
@@ -201,7 +212,7 @@ class Colbert:
             (t.strip().lower() if cfg.do_lower_case else t.strip()) or " "
             for t in texts
         ]
-        encodings = [self._encode_ids(t) for t in processed]
+        encodings = self._encode_ids_batch(processed)
 
         rows: List[List[int]] = []
         for ids in encodings:
